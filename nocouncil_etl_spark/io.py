@@ -1,0 +1,58 @@
+"""Declared-schema readers for the synthetic tables (TESTDATA.md).
+
+The reference infers every schema at read time (``pd.read_json(...,
+lines=True)`` at transcribe_council.py:96, summarize.py:165, vectorize.py:72);
+the engine declares schemas instead (SURVEY.md §1.3-1.4) so plans are stable
+and scans prune columns. Parquet already embeds the schema; ``load`` keeps a
+single chokepoint where we can assert it and where partition layout / bucketing
+decisions would live at 100 TB (partition segments by meeting date, bucket fact
+tables by join key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nocouncil_etl_spark.session import tune
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Spark DDL per table (FIXTURES.md §A) — asserted in tests, relied on by plans.
+DDL: dict[str, str] = {
+    "region": "r_regionkey INT, r_name STRING",
+    "nation": "n_nationkey INT, n_name STRING, n_regionkey INT",
+    "customer": "c_custkey BIGINT, c_name STRING, c_nationkey INT, "
+    "c_acctbal DOUBLE, c_mktsegment STRING",
+    "supplier": "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE",
+    "part": "p_partkey BIGINT, p_name STRING, p_brand STRING, p_type STRING, "
+    "p_size INT, p_retailprice DOUBLE",
+    "orders": "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+    "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    "lineitem": "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, "
+    "l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE, "
+    "l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING, "
+    "l_linestatus STRING, l_shipdate TIMESTAMP",
+    "events": "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING",
+    "documents": "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    "embeddings": "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+}
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one synthetic table. Scans stay columnar/pushdown-friendly."""
+    if table not in TABLES:
+        raise KeyError(f"unknown table {table!r}; expected one of {TABLES}")
+    tune(spark)
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")

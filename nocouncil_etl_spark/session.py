@@ -1,0 +1,54 @@
+"""SparkSession factory and runtime tuning.
+
+Local test shape is ``local[32]`` on one JVM; the configs below are chosen so
+the same logical plans scale to a multi-executor cluster: AQE re-plans
+post-shuffle (partition coalescing, skew-join splitting), shuffle partitions
+match local cores instead of the 200 default, Arrow accelerates every
+pandas-UDF boundary, and the session timezone is pinned UTC so timestamp
+semantics match columnar storage and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs, applied both at build time and defensively at query
+# time (the verification driver owns its own SparkSession).
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # local[32]: one shuffle partition per core; on a real cluster this would
+    # be ~2-3x total executor cores (or left to AQE's initialPartitionNum).
+    "spark.sql.shuffle.partitions": str(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an externally-owned session (driver's or ours)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this build — ignore
+    return spark
+
+
+def get_session(app_name: str = "nocouncil_etl_spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark)
