@@ -3,6 +3,13 @@
 Each module covers a band of the SURVEY.md §2 operator inventory.
 """
 
-from nocouncil_etl_spark.plans import flagship  # noqa: F401
+from nocouncil_etl_spark.plans import (  # noqa: F401
+    aggregates,
+    flagship,
+    joins,
+    relational,
+    scalar_functions,
+    windows,
+)
 
-MODULES = [flagship]
+MODULES = [flagship, relational, scalar_functions, joins, aggregates, windows]

@@ -1,0 +1,236 @@
+"""Joins (SURVEY.md §2.6 J1-J6 + the join surface the engine exposes beyond
+the reference: semi/anti/intersect/except and an as-of join).
+
+Scale notes: dimension sides are broadcast (J1/J2); the contains-join (J3) is
+rewritten to a derived-key equi join instead of a broadcast-nested-loop — the
+rewrite is the difference between O(n·m) and a shuffle hash join at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.registry import query
+
+
+@query(
+    "join_lookup",
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def join_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: lookup (left-outer equi) join, dim side broadcast — the
+    `video→box_link` dict probe at transcribe_council.py:92-98."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_merge_coalesce",
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey, 'link_' || o_orderkey AS box_link
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT o.o_orderkey,
+       coalesce(old.box_link, 'fresh_' || o.o_orderkey) AS box_link
+FROM orders o LEFT JOIN old ON o.o_orderkey = old.o_orderkey
+""",
+)
+def join_merge_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: join + coalesce merge-preserve — keep existing box_link, else mint
+    a fresh one (get_box_links.py:43-68, apply at :68)."""
+    o = load(spark, sf_dir, "orders")
+    old = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", F.concat(F.lit("link_"), "o_orderkey").alias("box_link"))
+    )
+    return (
+        o.join(F.broadcast(old), "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            F.coalesce("box_link", F.concat(F.lit("fresh_"), "o_orderkey")).alias("box_link"),
+        )
+    )
+
+
+@query(
+    "join_anti_seen",
+    oracle="""
+SELECT e.event_id, e.event_type
+FROM events e
+WHERE NOT EXISTS (
+  SELECT 1 FROM events s WHERE s.event_id % 10 = 0 AND s.event_id = e.event_id
+)
+""",
+)
+def join_anti_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: existence anti-join dedup gate — skip records whose id is already
+    in the seen-set (newscrawler.py:125-127,366-369). At scale the seen-set is
+    a parquet table; the anti-join replaces the in-memory python set."""
+    ev = load(spark, sf_dir, "events")
+    seen = ev.filter(F.col("event_id") % 10 == 0).select("event_id")
+    return ev.join(seen, "event_id", "left_anti").select("event_id", "event_type")
+
+
+@query(
+    "join_semi_exists",
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 5000
+)
+""",
+)
+def join_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5-adjacent: existence check as a left-semi join (skip-if-exists logic
+    at transcribe_council.py:119,127 / summarize.py:174, inverted)."""
+    o = load(spark, sf_dir, "orders")
+    rich = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return o.join(rich, o.o_custkey == rich.c_custkey, "left_semi").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+@query(
+    "join_first_match",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_partkey
+FROM (
+  SELECT l_orderkey, l_linenumber, l_partkey,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_partkey) AS rn
+  FROM lineitem
+)
+WHERE rn = 1
+""",
+)
+def join_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: first-match semantics with a deterministic tie-break — the
+    `.iloc[0]` after a contains-filter (vectorize.py:64, get_box_links.py:49)
+    becomes row_number over an explicit ordering (SURVEY §7.3-1)."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+    )
+
+
+@query(
+    "join_contains_rewrite",
+    oracle="""
+WITH doc_tokens AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+part_keyed AS (
+  SELECT p_partkey, string_split(p_name, ' ')[1] AS token FROM part
+)
+SELECT d.doc_id, min(p.p_partkey) AS first_partkey
+FROM doc_tokens d JOIN part_keyed p ON d.token = p.token
+GROUP BY d.doc_id
+""",
+)
+def join_contains_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: contains/theta join rewritten to a derived-key equi join
+    (SURVEY §4.2-2). Reference joins via `df.video.str.contains(item.name)`
+    (get_box_links.py:48-49) — a quadratic scan; deriving the join key
+    (token) turns it into a shuffle hash join that scales linearly.
+    First-match = min(partkey), J6's deterministic tie-break."""
+    docs = load(spark, sf_dir, "documents")
+    parts = load(spark, sf_dir, "part")
+    doc_tokens = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    ).distinct()
+    part_keyed = parts.select(
+        "p_partkey", F.element_at(F.split("p_name", " "), 1).alias("token")
+    )
+    return (
+        doc_tokens.join(F.broadcast(part_keyed), "token")
+        .groupBy("doc_id")
+        .agg(F.min("p_partkey").alias("first_partkey"))
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+SELECT e.event_id, e.user_id, epoch_us(s.ts) AS last_signup_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON e.user_id = s.user_id AND e.ts >= s.ts
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (engine extension; Spark lacks a native one): for each
+    purchase, the most recent prior-or-equal signup of the same user.
+    Implemented as union-tag + last_value over an ordered window — one shuffle
+    on (user_id), no quadratic pairing; at 100 TB this beats a range
+    cross-join by orders of magnitude.
+    """
+    ev = load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_left"), F.col("ts").alias("sig_ts")
+    )
+    right = ev.filter(F.col("event_type") == "signup").select(
+        F.lit(None).cast("bigint").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_left"),
+        F.col("ts").alias("sig_ts"),
+    )
+    merged = left.unionByName(right)
+    # right rows sort before left rows at equal ts so `>=` semantics hold
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = F.last(F.when(F.col("is_left") == 0, F.col("sig_ts")), ignorenulls=True).over(w)
+    return (
+        merged.withColumn("last_signup", carried)
+        .filter(F.col("is_left") == 1)
+        .select("event_id", "user_id", F.unix_micros("last_signup").alias("last_signup_us"))
+    )
+
+
+@query(
+    "set_intersect",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'signup'
+""",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op surface (SURVEY §2.8): users who both signed up and purchased."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "signup").select("user_id")
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op surface: viewers who never purchased."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.subtract(b)  # EXCEPT DISTINCT semantics, matching the SQL oracle

@@ -22,6 +22,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized reader
+    # rejects; read as long and normalize in io.load (DuckDB truncates to
+    # micros on read — io.load matches that exactly).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # local[32]: one shuffle partition per core; on a real cluster this would
     # be ~2-3x total executor cores (or left to AQE's initialPartitionNum).
     "spark.sql.shuffle.partitions": str(os.environ.get("SPARK_GRAFT_CPUS", "32")),
