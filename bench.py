@@ -20,7 +20,17 @@ if REPO not in sys.path:
 # Queries included in the headline timing. Anything registered but not listed
 # still runs in the driver's correctness pass; bench stays focused and fast.
 HEADLINE: list[str] = [
-    "pricing_summary",
+    "pricing_summary",       # scan → filter → hash agg (TPC-H Q1 shape)
+    "join_lookup",           # broadcast lookup join
+    "chunked_agg",           # window row_number + grouped agg
+    "sessionize_batch",      # gaps-and-islands sessionization
+    "window_tumbling_batch", # event-time windows
+    "dedup_exact",           # content-hash dedup
+    "dedup_minhash_lsh",     # shingle→minhash→band→join→verify pipeline
+    "vec_knn_exact",         # brute-force cosine top-k
+    "vec_knn_lsh",           # LSH-bucketed ANN
+    "model_embed_hashproj",  # Arrow pandas_udf path
+    "text_quality",          # HOF-heavy text scoring
 ]
 
 

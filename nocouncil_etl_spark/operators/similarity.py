@@ -1,0 +1,126 @@
+"""Similarity search operators (SURVEY.md §2.9 E3, §4.2-1).
+
+The reference's ANN is ChromaDB HNSW over cosine space (vectorize.py:119-123);
+queried top-k out of repo. The engine provides a strategy ladder:
+
+1. ``knn_exact``  — brute-force: join queries × corpus, cosine, window top-k.
+   O(|Q|·|C|) — correct baseline, fine when |Q| is small or |C| is broadcast-able.
+2. ``knn_partitioned`` — IVF-style: restrict pairing to a coarse partition
+   (here the ``label`` column stands in for a centroid assignment), cutting
+   the candidate set by the partition fan-out.
+3. ``lsh_bucket`` / ``knn_lsh`` — random-hyperplane (SimHash) LSH: bucket by
+   sign-bit signature, pair only within buckets. At 100 TB this is the scale
+   path: bucketing is a narrow map, pairing is an equi-join shuffle on the
+   bucket key — no quadratic stage anywhere. Hyperplanes are derived from a
+   fixed seed so results are deterministic and oracle-checkable.
+
+All kernels are pure column expressions (functions/vectors.py) — no UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from nocouncil_etl_spark.functions.vectors import as_double, cosine, dot
+
+LSH_SEED = 42
+LSH_PLANES = 8
+LSH_DIM = 64
+
+# Deterministic hyperplane matrix, shared by the Spark plan and the generated
+# oracle SQL (plans/vectors_plans.py embeds the same literals).
+_rng = np.random.default_rng(LSH_SEED)
+HYPERPLANES: list[list[float]] = [
+    [round(float(x), 6) for x in _rng.standard_normal(LSH_DIM)] for _ in range(LSH_PLANES)
+]
+
+
+def _plane_lit(plane: list[float]) -> Column:
+    return F.array(*[F.lit(x) for x in plane])
+
+
+def lsh_signature(vec: Column | str) -> Column:
+    """Sign-bit signature string, e.g. '10110010' — the LSH bucket key."""
+    bits = [
+        F.when(dot(vec, _plane_lit(p)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in HYPERPLANES
+    ]
+    return F.concat(*bits)
+
+
+def knn_exact(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """Brute-force top-k: cross join → cosine → row_number ≤ k.
+
+    The small side (queries) is broadcast so the cross join is a map-side
+    nested loop over corpus partitions — no shuffle until the final window,
+    which shuffles only |Q|·|C| scored pairs pruned by the window.
+    """
+    pairs = corpus.crossJoin(F.broadcast(queries)).filter(F.col(q_id) != F.col(c_id))
+    scored = pairs.select(
+        q_id, c_id, F.round(cosine(q_vec, c_vec), 6).alias("sim")
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def knn_partitioned(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    part_col: str,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """IVF-style ANN: equi-join on a coarse partition key, then top-k within.
+
+    The cross join becomes a shuffle hash join on ``part_col`` — candidate
+    count drops by the partition fan-out; recall is bounded by the coarse
+    quantizer (exactly IVF with nprobe=1)."""
+    pairs = corpus.join(F.broadcast(queries), on=part_col).filter(
+        F.col(q_id) != F.col(c_id)
+    )
+    scored = pairs.select(
+        q_id, c_id, F.round(cosine(q_vec, c_vec), 6).alias("sim")
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def knn_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """LSH ANN: pair only vectors sharing the hyperplane sign signature."""
+    q = queries.withColumn("bucket", lsh_signature(q_vec))
+    c = corpus.withColumn("bucket", lsh_signature(c_vec))
+    pairs = c.join(F.broadcast(q), on="bucket").filter(F.col(q_id) != F.col(c_id))
+    scored = pairs.select(
+        q_id, c_id, F.round(cosine(q_vec, c_vec), 6).alias("sim")
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def perturb(vec: Column | str, delta: float, dim_expr: Column) -> Column:
+    """Deterministically nudge one dimension — used to synthesize near-dups."""
+    return F.transform(
+        as_double(vec),
+        lambda x, i: F.when(i == dim_expr, x + F.lit(delta)).otherwise(x),
+    )

@@ -5,11 +5,30 @@ Each module covers a band of the SURVEY.md §2 operator inventory.
 
 from nocouncil_etl_spark.plans import (  # noqa: F401
     aggregates,
+    dedup_plans,
     flagship,
     joins,
+    model_plans,
     relational,
     scalar_functions,
+    source_plans,
+    streaming_plans,
+    text_plans,
+    vectors_plans,
     windows,
 )
 
-MODULES = [flagship, relational, scalar_functions, joins, aggregates, windows]
+MODULES = [
+    flagship,
+    relational,
+    scalar_functions,
+    joins,
+    aggregates,
+    windows,
+    vectors_plans,
+    dedup_plans,
+    text_plans,
+    model_plans,
+    streaming_plans,
+    source_plans,
+]

@@ -1,0 +1,210 @@
+"""Dedup queries (SURVEY.md §2.9 E4/E5 + north-star dedup family).
+
+Duplicates are synthesized deterministically inside each query (original ∪
+mutated/exact copies with id+100000) so every detector provably fires and the
+DuckDB oracle sees the identical corpus. All kernels are md5-based and
+portable; the oracle SQL below is generated from the same constants as the
+Spark plan (operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.dedup import (
+    exact_dedup,
+    jaccard,
+    lsh_near_duplicates,
+    make_shingle_udf,
+    minhash_signatures,
+    shingles,
+    simhash_table,
+    words,
+)
+from nocouncil_etl_spark.registry import query
+
+SHINGLE_N = 3
+N_HASHES = 4
+N_BANDS = 2
+ROWS_PER_BAND = 2
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 16
+
+# ---- DuckDB SQL fragment generators (mirror operators/dedup.py) ------------
+
+
+def _sql_shingles(ws: str, n: int) -> str:
+    return (
+        f"CASE WHEN len({ws}) >= {n} THEN "
+        f"list_transform(range(1, len({ws}) - {n - 2}), i -> array_to_string({ws}[i:i+{n - 1}], ' ')) "
+        f"ELSE [] END"
+    )
+
+
+def _sql_minhash(sh: str, seed: int, width: int = 12) -> str:
+    return (
+        f"list_aggregate(list_transform({sh}, s -> substr(md5('{seed}|' || s), 1, {width})), 'min')"
+    )
+
+
+def _sql_band(sh: str, b: int, rows: int) -> str:
+    comps = " || '#' || ".join(_sql_minhash(sh, b * rows + r) for r in range(rows))
+    return f"'{b}#' || {comps}"
+
+
+def _sql_jaccard(a: str, b: str) -> str:
+    return (
+        f"CASE WHEN len(list_distinct(list_concat({a}, {b}))) > 0 THEN "
+        f"CAST(len(list_intersect({a}, {b})) AS DOUBLE) / len(list_distinct(list_concat({a}, {b}))) "
+        f"END"
+    )
+
+
+def _sql_simhash(ws: str, n_bits: int) -> str:
+    bits = " || ".join(
+        f"(CASE WHEN 2 * len(list_filter({ws}, w -> substr(md5(w), {i}, 1) >= '8')) > len({ws}) "
+        f"THEN '1' ELSE '0' END)"
+        for i in range(1, n_bits + 1)
+    )
+    return bits
+
+
+# ---- queries ----------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 4 = 0
+)
+SELECT md5(text) AS fp, min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM corpus
+GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: exact dedup via content-hash groupBy — the scaled form of the
+    reference's sha16(url) identity gate (newscrawler.py:59-61,366-369).
+    Hash-partitioned aggregate; no global collect."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return exact_dedup(docs.unionByName(copies), "text", "doc_id")
+
+
+@query(
+    "dedup_minhash_signature",
+    oracle=f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id, {_sql_shingles('w', SHINGLE_N)} AS s FROM ws)
+SELECT doc_id,
+       {", ".join(f"{_sql_minhash('s', i)} AS mh{i}" for i in range(N_HASHES))}
+FROM sh
+""",
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 stage 1: minhash signatures over 3-word shingles. Hybrid kernel
+    (measured fastest): Arrow pandas-UDF builds the shingle arrays, then
+    explode → codegen'd md5 → grouped min with map-side combine. The shuffle
+    carries one row per doc — the 100 TB signature shape."""
+    docs = load(spark, sf_dir, "documents")
+    sh_udf = make_shingle_udf(SHINGLE_N)
+    shd = docs.select("doc_id", sh_udf("text").alias("sh"))
+    return minhash_signatures(shd, "doc_id", "sh", N_HASHES)
+
+
+_LSH_CORPUS = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' appended mutation tail words' FROM documents
+  WHERE doc_id % 4 = 0
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH corpus AS ({_LSH_CORPUS}),
+ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+sh AS (SELECT doc_id, {_sql_shingles('w', SHINGLE_N)} AS s FROM ws),
+banded AS (
+  SELECT doc_id, s,
+         unnest([{", ".join(_sql_band('s', b, ROWS_PER_BAND) for b in range(N_BANDS))}]) AS band
+  FROM sh
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sh_a, b.s AS sh_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round({_sql_jaccard('sh_a', 'sh_b')}, 4) AS jaccard
+FROM pairs
+WHERE {_sql_jaccard('sh_a', 'sh_b')} >= {JACCARD_THRESHOLD}
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: MinHash+LSH near-dup detection — shingle → minhash → band →
+    bucket equi-join → exact-Jaccard verify. The flagship dedup pipeline:
+    candidate generation is linear (band-key join), verification touches only
+    candidates. Near-dups are synthesized (every 4th doc gets a mutated copy)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" appended mutation tail words")).alias("text"),
+    )
+    corpus = docs.unionByName(mutated)
+    return lsh_near_duplicates(
+        corpus,
+        id_col="doc_id",
+        text_col="text",
+        shingle_n=SHINGLE_N,
+        n_bands=N_BANDS,
+        rows_per_band=ROWS_PER_BAND,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id, {_sql_simhash('w', SIMHASH_BITS)} AS simhash
+FROM ws
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star SimHash: 16-bit majority-vote fingerprint per doc via
+    explode + one grouped aggregation (codegen'd md5, map-side combine);
+    hamming-bucket joins on prefixes give near-dup candidates at scale."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("w")
+    )
+    return simhash_table(docs, "doc_id", "w", SIMHASH_BITS)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id, {_sql_shingles('w', 2)} AS s FROM ws)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round({_sql_jaccard('a.s', 'b.s')}, 4) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star n-gram Jaccard: exact 2-gram similarity for adjacent doc
+    pairs — the verification kernel of the LSH pipeline, isolated."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", shingles(words("text"), 2).alias("s"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select((F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    return (
+        a.join(b, "id_a")
+        .select("id_a", "id_b", F.round(jaccard(F.col("sa"), F.col("sb")), 4).alias("jaccard"))
+    )

@@ -1,0 +1,233 @@
+"""Model-op and multimodal queries (SURVEY.md §2.9 E1, E6-E9 + north-star
+multimodal columns). Every model op runs its REAL Spark plumbing (Arrow
+pandas_udf / mapInPandas, typed structs, error columns) with a deterministic
+backend whose kernel the DuckDB oracle recomputes (SURVEY §5.2-2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.models import (
+    EMBED_DIM,
+    MAX_QUOTES,
+    QUOTE_MIN_LEN,
+    SUMMARIZE_SCHEMA,
+    SUMMARY_WORDS,
+    TRANSCRIBE_SCHEMA,
+    embed_text_udf,
+    summarize_map,
+    transcribe_map,
+)
+from nocouncil_etl_spark.operators.multimodal import (
+    DECODE_SCHEMA,
+    FRAME_BYTES,
+    decode_map,
+    frame_sample,
+    to_media_column,
+)
+from nocouncil_etl_spark.operators.treereduce import tree_reduce
+from nocouncil_etl_spark.registry import query
+
+EMBED_OUT_DIMS = 4  # report the first 4 dims; enough to pin the kernel
+
+
+def _sql_embed_dim(d: int) -> str:
+    comp = f"((('0x' || substr(md5('{d}|' || w), 1, 8))::BIGINT % 2000 - 1000) / 1000.0)"
+    return f"list_reduce(list_transform(ws, w -> {comp}), (a, b) -> a + b)"
+
+
+_EMBED_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+vec AS (
+  SELECT doc_id, [{", ".join(_sql_embed_dim(d) for d in range(EMBED_DIM))}] AS v
+  FROM t
+),
+n AS (
+  SELECT doc_id, v,
+         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS norm
+  FROM vec
+)
+SELECT doc_id,
+       {", ".join(f"round(v[{d + 1}] / norm, 6) AS e{d}" for d in range(EMBED_OUT_DIMS))}
+FROM n
+"""
+
+
+@query("model_embed_hashproj", oracle=_EMBED_ORACLE)
+def model_embed_hashproj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: batch text embedding through the REAL Arrow pandas_udf path with
+    the deterministic hash-projection backend (prod backend = MiniLM
+    per-executor singleton; reference vectorize.py:114-118). The oracle
+    recomputes the kernel in SQL — this checks the UDF plumbing end-to-end."""
+    docs = load(spark, sf_dir, "documents")
+    emb = docs.select("doc_id", embed_text_udf("text").alias("v"))
+    return emb.select(
+        "doc_id",
+        *[
+            F.round(F.element_at("v", d + 1), 6).alias(f"e{d}")
+            for d in range(EMBED_OUT_DIMS)
+        ],
+    )
+
+
+@query(
+    "model_summarize",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+       array_to_string(ws[1:{SUMMARY_WORDS}], ' ') AS summary,
+       coalesce(array_to_string(list_filter(ws, w -> length(w) >= {QUOTE_MIN_LEN})[1:{MAX_QUOTES}], '|'), '') AS quotes,
+       CAST(len(ws) AS INT) AS n_words,
+       CAST(NULL AS VARCHAR) AS error
+FROM t
+""",
+)
+def model_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: LLM-map summarize as mapInPandas with typed struct output and an
+    error column (ChainOfThought(Summary) at summarize.py:77-89,131-133;
+    skip-and-log at :185-186). Deterministic extractive backend."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = docs.mapInPandas(summarize_map, schema=SUMMARIZE_SCHEMA)
+    return out.select(
+        "doc_id",
+        "summary",
+        F.array_join("quotes", "|").alias("quotes"),
+        "n_words",
+        "error",
+    )
+
+
+@query(
+    "model_extract_entities",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         text || ' docket ' || (doc_id % 50) || ' ref docket ' || (doc_id % 7) AS body
+  FROM documents
+)
+SELECT doc_id,
+       array_to_string(regexp_extract_all(body, 'docket ([0-9]+)', 1), ',') AS dockets
+FROM t
+""",
+)
+def model_extract_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7: entity extraction — deterministic regex fallback for the LLM
+    signature extractors (docket/address patterns, summarize.py:27-55,122).
+    Docket markers are synthesized so the extractor provably fires."""
+    docs = load(spark, sf_dir, "documents")
+    body = F.concat(
+        "text",
+        F.lit(" docket "),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(" ref docket "),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(F.regexp_extract_all(body, F.lit("docket ([0-9]+)"), 1), ",").alias(
+            "dockets"
+        ),
+    )
+
+
+@query(
+    "model_tree_reduce",
+    oracle="""
+SELECT user_id, string_agg(event_type, ' ' ORDER BY ts, event_id) AS reduced
+FROM events
+GROUP BY user_id
+""",
+)
+def model_tree_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8: hierarchical reduce with bounded fan-in (SURVEY §4.2-3) — the
+    scale-safe form of summary-of-summaries (summarize.py:91-97,147). With an
+    order-preserving associative combiner, levels of fan-in-4 reduces equal
+    the single-pass ordered reduce, which is what the oracle computes."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    items = ev.select(
+        "user_id",
+        (F.row_number().over(w) - 1).alias("pos"),
+        F.col("event_type").alias("val"),
+    )
+    return tree_reduce(items, key="user_id", pos="pos", value="val", fan_in=4).select(
+        "user_id", F.col("val").alias("reduced")
+    )
+
+
+@query(
+    "multimodal_decode",
+    oracle=f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       CAST(greatest(1, ceil(octet_length(encode(text)) / {FRAME_BYTES}.0)) AS INT) AS n_frames,
+       lower(substr(hex(encode(text)), 1, 8)) AS head_hex,
+       'decoded' AS status
+FROM documents
+""",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star multimodal: opaque binary column + typed metadata, decoded
+    by an Arrow mapInPandas operator (real codecs stubbed — see
+    operators/multimodal.py; the binaryFile analogue of .mp4 handling at
+    transcribe_council.py:76-90)."""
+    docs = load(spark, sf_dir, "documents")
+    media = to_media_column(docs, "text", "doc_id")
+    return media.select("doc_id", "content").mapInPandas(
+        decode_map, schema=DECODE_SCHEMA
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         greatest(1, CAST(ceil(octet_length(encode(text)) / {FRAME_BYTES}.0) AS BIGINT)) AS nf
+  FROM documents
+)
+SELECT doc_id, frame_id FROM (
+  SELECT doc_id, CAST(unnest(range(0, nf)) AS INT) AS frame_id FROM m
+) WHERE frame_id % 5 = 0
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star multimodal: frame sampling — explode frame indices from
+    media metadata, keep every 5th. The explode/filter plan shape is the real
+    video sampler; only the decode kernel is faked."""
+    docs = load(spark, sf_dir, "documents")
+    media = to_media_column(docs, "text", "doc_id")
+    return frame_sample(media, every_n=5)
+
+
+@query(
+    "multimodal_transcribe",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, text,
+         greatest(1, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT)) AS nseg
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, text, CAST(unnest(range(0, nseg)) AS INT) AS seg_id FROM m
+)
+SELECT doc_id, seg_id,
+       round(seg_id * CAST(2.5 AS DOUBLE), 2) AS start,
+       round((seg_id + 1) * CAST(2.5 AS DOUBLE), 2) AS "end",
+       substr(text, seg_id * 64 + 1, 64) AS seg_text
+FROM segs
+""",
+)
+def multimodal_transcribe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9: speech-to-text as a one-to-many mapInPandas over the binary media
+    column → timed segment rows (Whisper at transcribe_council.py:86-90).
+    Deterministic byte-window backend; ASCII-only corpus makes byte and char
+    windows coincide for the oracle."""
+    docs = load(spark, sf_dir, "documents")
+    media = to_media_column(docs, "text", "doc_id")
+    return media.select("doc_id", "content").mapInPandas(
+        transcribe_map, schema=TRANSCRIBE_SCHEMA
+    )

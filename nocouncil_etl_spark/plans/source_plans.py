@@ -1,0 +1,91 @@
+"""Source/sink queries runnable in the driver gate (S1/S4/K1 without external
+fixtures): a JSONL write→read roundtrip through a scratch dir, and a
+frontmatter parse over markdown synthesized in-plan. File-based golden tests
+for the rest of the source surface live in tests/test_sources.py.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.registry import query
+from nocouncil_etl_spark.sources.jsonl import read_jsonl, write_jsonl
+from nocouncil_etl_spark.sources.markdown import frontmatter_body, frontmatter_map
+
+
+@query(
+    "io_jsonl_roundtrip",
+    oracle="""
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total,
+       min(epoch_us(ts)) AS first_us
+FROM events
+GROUP BY event_type
+""",
+)
+def io_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1+S1: events → JSONL sink → declared-schema JSONL scan → aggregate.
+    Matching the direct-parquet oracle proves the write/read path is
+    lossless. Timestamps cross as epoch micros (JSON has no timestamp type —
+    the engine's interchange convention)."""
+    out = os.path.join(
+        tempfile.gettempdir(), "nocouncil_etl_spark_scratch", "events_jsonl"
+    )
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "event_type", "value"
+    )
+    write_jsonl(ev, out)
+    back = read_jsonl(
+        spark, out, "event_id BIGINT, ts_us BIGINT, event_type STRING, value DOUBLE"
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+        F.min("ts_us").alias("first_us"),
+    )
+
+
+@query(
+    "source_frontmatter_parse",
+    oracle="""
+WITH md AS (
+  SELECT doc_id,
+         '---' || chr(10) || 'title: doc ' || doc_id || chr(10) ||
+         'lang: ' || lang || chr(10) || '---' || chr(10) || text AS raw
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(regexp_extract(raw, '(?s)^---\\n(.*?)\\n---\\n?', 1),
+                      'title: ([^\\n]*)', 1) AS title,
+       regexp_extract(regexp_extract(raw, '(?s)^---\\n(.*?)\\n---\\n?', 1),
+                      'lang: ([^\\n]*)', 1) AS lang_meta,
+       regexp_replace(raw, '(?s)^---\\n.*?\\n---\\n?', '') AS body
+FROM md
+""",
+)
+def source_frontmatter_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: frontmatter split into typed columns + body
+    (article_vectorize.py:75-103). Markdown is synthesized in-plan so the
+    oracle sees the identical corpus; the file-based path (S3 wholetext scan)
+    is golden-tested in tests/test_sources.py."""
+    docs = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("---\ntitle: doc "),
+        F.col("doc_id"),
+        F.lit("\nlang: "),
+        F.col("lang"),
+        F.lit("\n---\n"),
+        F.col("text"),
+    )
+    md = docs.select("doc_id", raw.alias("raw"))
+    meta = frontmatter_map("raw")
+    return md.select(
+        "doc_id",
+        F.element_at(meta, "title").alias("title"),
+        F.element_at(meta, "lang").alias("lang_meta"),
+        frontmatter_body("raw").alias("body"),
+    )

@@ -1,0 +1,143 @@
+"""Event-time window + incremental queries (SURVEY.md §2.10 T1-T5).
+
+`stream_*` queries run REAL Structured Streaming (file source →
+trigger(availableNow) → memory sink) and are checked against batch-SQL
+oracles; `window_*_batch` are the batch twins; `incr_*` are the anti-join
+memoization idioms that replace the reference's skip-if-exists / seen-set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.registry import query
+from nocouncil_etl_spark.streaming.windows import (
+    read_events_stream,
+    run_to_memory,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+_TUMBLING_ORACLE = """
+SELECT CAST(floor(epoch_us(ts) / 600e6) AS BIGINT) * 600000000 AS w_start_us,
+       event_type, count(*) AS n, round(sum(value), 2) AS total
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("stream_tumbling_window", oracle=_TUMBLING_ORACLE)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 streaming: tumbling 10-min windows over a file-source stream,
+    complete mode into a memory sink. The batch oracle is exact because
+    availableNow drains the whole source before the final emit."""
+    events = read_events_stream(spark, sf_dir)
+    return run_to_memory(tumbling_agg(events), mode="complete")
+
+
+@query("window_tumbling_batch", oracle=_TUMBLING_ORACLE)
+def window_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 batch twin: identical window expression, batch source."""
+    return tumbling_agg(load(spark, sf_dir, "events"))
+
+
+_SLIDING_ORACLE = """
+WITH starts AS (
+  SELECT event_id, event_type, epoch_us(ts) AS t,
+         CAST(floor(epoch_us(ts) / 300e6) AS BIGINT) * 300000000
+           - unnest([0, 300000000]) AS w_start_us
+  FROM events
+)
+SELECT w_start_us, event_type, count(*) AS n
+FROM starts
+WHERE t < w_start_us + 600000000 AND t >= w_start_us
+GROUP BY 1, 2
+"""
+
+
+@query("window_sliding_batch", oracle=_SLIDING_ORACLE)
+def window_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: sliding windows (10 min width, 5 min slide) — each event lands in
+    two windows; oracle enumerates candidate starts explicitly."""
+    return sliding_agg(load(spark, sf_dir, "events"))
+
+
+_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) + 30 * 60 * 1000000 AS session_end_us,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
+@query("window_session_batch", oracle=_SESSION_ORACLE)
+def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: session windows (30-min gap) via the native session_window in
+    batch mode. session_window treats [ts, ts+gap) as half-open — a new
+    session starts when the gap is ≥ 30 min (oracle's >= mirrors that);
+    session end = last event + gap."""
+    return session_agg(load(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_dedup",
+    oracle="SELECT event_id, event_type FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 streaming: exactly-once dedup state — dropDuplicates on the stream
+    (seen-set at newscrawler.py:349-351,366-369 as streaming state). event_id
+    is unique here so the oracle is the identity projection; the point is the
+    stateful operator running under a real streaming query."""
+    events = read_events_stream(spark, sf_dir)
+    deduped = events.dropDuplicates(["event_id"]).select("event_id", "event_type")
+    return run_to_memory(deduped, mode="append")
+
+
+_CUTOFF = "2024-01-15 00:00:00"
+
+
+@query(
+    "incr_new_since_checkpoint",
+    oracle=f"""
+WITH processed AS (
+  SELECT event_id FROM events WHERE ts < TIMESTAMP '{_CUTOFF}'
+)
+SELECT e.event_type, count(*) AS n_new, epoch_us(min(e.ts)) AS first_new_us
+FROM events e LEFT JOIN processed p ON e.event_id = p.event_id
+WHERE p.event_id IS NULL
+GROUP BY e.event_type
+""",
+)
+def incr_new_since_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: skip-if-output-exists memoization as an anti-join against the
+    processed-keys table (transcribe_council.py:119,127; summarize.py:174).
+    Run-twice idempotence is property-tested in tests/test_incremental.py."""
+    ev = load(spark, sf_dir, "events")
+    processed = ev.filter(F.col("ts") < F.lit(_CUTOFF).cast("timestamp")).select("event_id")
+    return (
+        ev.join(processed, "event_id", "left_anti")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.unix_micros(F.min("ts")).alias("first_new_us"),
+        )
+    )

@@ -1,0 +1,219 @@
+"""Vector / similarity queries (SURVEY.md §2.9 E2-E3, north-star similarity
+search). Kernels come from functions/vectors.py and operators/similarity.py;
+oracle SQL is generated with the SAME hyperplane/query constants so the LSH
+path is fully deterministic on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nocouncil_etl_spark.functions.vectors import cosine, dot, l2_norm
+from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.similarity import (
+    HYPERPLANES,
+    knn_exact,
+    knn_lsh,
+    knn_partitioned,
+)
+from nocouncil_etl_spark.registry import query
+
+QUERY_MOD = 100  # vec_id % 100 == 0 → the query set
+K = 5
+
+# DuckDB SQL fragments -------------------------------------------------------
+
+_DOT = "list_dot_product(a.v, b.v)"
+_COS = f"round({_DOT} / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
+_E_DOUBLE = "SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings"
+
+
+def _planes_sql() -> str:
+    """Hyperplanes as DuckDB literal arrays, one row per plane."""
+    rows = ",\n    ".join(
+        f"({i}, {p}::DOUBLE[])" for i, p in enumerate(HYPERPLANES)
+    )
+    return f"(VALUES\n    {rows}\n) p(plane_id, plane)"
+
+
+_BUCKET_SQL = f"""
+SELECT e.vec_id, e.label, e.v,
+       string_agg(CASE WHEN list_dot_product(e.v, p.plane) >= 0 THEN '1' ELSE '0' END,
+                  '' ORDER BY p.plane_id) AS bucket
+FROM ({_E_DOUBLE}) e CROSS JOIN {_planes_sql()}
+GROUP BY e.vec_id, e.label, e.v
+"""
+
+
+@query(
+    "vec_norms",
+    oracle=f"""
+WITH e AS ({_E_DOUBLE})
+SELECT vec_id, round(sqrt(list_dot_product(v, v)), 6) AS l2, round(v[1], 6) AS dim0
+FROM e
+""",
+)
+def vec_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: vector norms — verifies the HOF dot-product kernel and that the
+    corpus is L2-normalized (reference normalize_embeddings=True at
+    vectorize.py:117)."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.round(l2_norm("embedding"), 6).alias("l2"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("dim0"),
+    )
+
+
+@query(
+    "vec_cosine_pairs",
+    oracle=f"""
+WITH e AS ({_E_DOUBLE})
+SELECT a.vec_id, {_COS} AS cos_next
+FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+""",
+)
+def vec_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: pairwise cosine between consecutive vectors (hnsw:space=cosine at
+    vectorize.py:122 — the scoring function, isolated)."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id"), F.col("embedding").alias("va"))
+    b = e.select((F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("vb"))
+    return a.join(b, "vec_id").select(
+        "vec_id", F.round(cosine("va", "vb"), 6).alias("cos_next")
+    )
+
+
+def _query_corpus(spark: SparkSession, sf_dir: str):
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"), "label"
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"), "label"
+    )
+    return queries, corpus
+
+
+_KNN_ORACLE = f"""
+WITH e AS ({_E_DOUBLE}),
+scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS c_id, {_COS} AS sim
+  FROM (SELECT * FROM e WHERE vec_id % {QUERY_MOD} = 0) a
+  JOIN e b ON a.vec_id <> b.vec_id
+)
+SELECT q_id, c_id, sim, rk FROM (
+  SELECT q_id, c_id, sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rk
+  FROM scored
+) WHERE rk <= {K}
+"""
+
+
+@query("vec_knn_exact", oracle=_KNN_ORACLE)
+def vec_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 exact path: brute-force cosine top-k (the correctness baseline the
+    HNSW index at vectorize.py:119-123 approximates)."""
+    queries, corpus = _query_corpus(spark, sf_dir)
+    return knn_exact(queries.drop("label"), corpus.drop("label"), K).select(
+        "q_id", "c_id", "sim", "rk"
+    )
+
+
+@query(
+    "vec_knn_ivf",
+    oracle=f"""
+WITH e AS ({_E_DOUBLE}),
+scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS c_id, {_COS} AS sim
+  FROM (SELECT * FROM e WHERE vec_id % {QUERY_MOD} = 0) a
+  JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+)
+SELECT q_id, c_id, sim, rk FROM (
+  SELECT q_id, c_id, sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rk
+  FROM scored
+) WHERE rk <= {K}
+""",
+)
+def vec_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 scale path (IVF-style): candidates restricted to the query's coarse
+    partition (label = centroid assignment, nprobe=1). The cross join becomes
+    an equi join — linear, shuffle-partitioned, skew-safe under AQE."""
+    queries, corpus = _query_corpus(spark, sf_dir)
+    return knn_partitioned(queries, corpus, K, part_col="label").select(
+        "q_id", "c_id", "sim", "rk"
+    )
+
+
+@query(
+    "vec_knn_lsh",
+    oracle=f"""
+WITH b AS ({_BUCKET_SQL}),
+scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS c_id, {_COS} AS sim
+  FROM (SELECT * FROM b WHERE vec_id % {QUERY_MOD} = 0) a
+  JOIN b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+)
+SELECT q_id, c_id, sim, rk FROM (
+  SELECT q_id, c_id, sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rk
+  FROM scored
+) WHERE rk <= {K}
+""",
+)
+def vec_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 approximate path: random-hyperplane LSH buckets (deterministic,
+    seed=42) → equi-join on signature → top-k within bucket. The 100 TB
+    strategy: bucketing is a narrow map; no quadratic candidate generation."""
+    queries, corpus = _query_corpus(spark, sf_dir)
+    return knn_lsh(queries.drop("label"), corpus.drop("label"), K).select(
+        "q_id", "c_id", "sim", "rk"
+    )
+
+
+@query(
+    "vec_neardup_cosine",
+    oracle=f"""
+WITH e AS ({_E_DOUBLE}),
+aug AS (
+  SELECT vec_id, label, v FROM e
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, label,
+         v[1:63] || [v[64] + 0.1] AS v
+  FROM e WHERE vec_id % 5 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS sim
+FROM aug a JOIN aug b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_COS} >= 0.99
+""",
+)
+def vec_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star near-dup detection over embeddings: same-label candidate
+    pairs with cosine ≥ 0.99. Near-duplicates are synthesized deterministically
+    (last dim +0.1 on every 5th vector) so the detector provably fires."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    perturbed = (
+        e.filter(F.col("vec_id") % 5 == 0)
+        .select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            "label",
+            F.concat(
+                F.slice("v", 1, 63),
+                F.array(F.element_at("v", 64) + F.lit(0.1)),
+            ).alias("v"),
+        )
+    )
+    aug = e.unionByName(perturbed)
+    a = aug.select(F.col("vec_id").alias("id_a"), "label", F.col("v").alias("va"))
+    b = aug.select(F.col("vec_id").alias("id_b"), "label", F.col("v").alias("vb"))
+    sim = F.round(cosine("va", "vb"), 6)
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.99)
+    )

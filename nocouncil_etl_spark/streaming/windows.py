@@ -1,0 +1,103 @@
+"""Event-time windowing + streaming ingestion helpers (SURVEY.md §2.10 T5).
+
+The reference is batch-with-memoization re-run by cron (sample_cron_job.sh);
+its incremental idioms (skip-if-exists, seen-set, per-record commit) map to
+file-source streaming with checkpoints, watermarked stateful ops, and
+foreachBatch sinks. The `events` table stands in for the stream.
+
+Each streaming helper has a batch twin with identical semantics — batch twins
+are what the DuckDB oracle checks; the streaming forms run under
+trigger(availableNow=True) into a memory sink in queries and tests.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nocouncil_etl_spark.session import tune
+
+# events.parquet physical schema (ts = TIMESTAMP(NANOS) read as long — see io.load)
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (the streaming analogue of
+    the cron re-scan). maxFilesPerTrigger would bound micro-batches in a live
+    deployment; availableNow drains everything for tests."""
+    tune(spark)
+    # the file source requires a directory; glob-filter down to the one table
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "8")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def run_to_memory(stream_df: DataFrame, mode: str = "append") -> DataFrame:
+    """Drain a streaming frame synchronously into a memory sink; returns the
+    result as a batch DataFrame. availableNow + processAllAvailable = the
+    exactly-once 'catch up then stop' cron replacement (T1/T3)."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+def tumbling_agg(events: DataFrame, width: str = "10 minutes") -> DataFrame:
+    """Tumbling event-time windows; identical expression works in batch and
+    streaming (batch twin is the oracle)."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("w_start_us"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def sliding_agg(events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros(F.col("w.start")).alias("w_start_us"), "event_type", "n")
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """session_window merge (open interval [ts, ts+gap)); end = last_ts + gap."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,136 @@
+"""Golden-file tests for the source/sink surface that needs real files
+(SURVEY.md §5.2-4): markdown corpus, JSON-array state, binaryFile scan,
+JSONL declared-schema read.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+MD_DOC = """---
+title: Council Meeting 2024-01-11
+source: tribune
+published: Thu, 11 Jan 2024 10:00:00 +0000
+---
+The council discussed the budget.
+It was long."""
+
+MD_NO_FM = "no frontmatter here, just body text"
+
+MD_FENCE_IN_BODY = """---
+title: tricky
+---
+body with a fence
+---
+still the same body"""
+
+
+def test_markdown_corpus_roundtrip(spark, tmp_path):
+    d = tmp_path / "md"
+    d.mkdir()
+    (d / "a.md").write_text(MD_DOC)
+    (d / "b.md").write_text(MD_NO_FM)
+    (d / "c.md").write_text(MD_FENCE_IN_BODY)
+
+    from nocouncil_etl_spark.sources.markdown import read_markdown_corpus
+
+    rows = {
+        r.path.split("/")[-1]: r
+        for r in read_markdown_corpus(spark, str(d)).collect()
+    }
+    a = rows["a.md"]
+    assert a.meta["title"] == "Council Meeting 2024-01-11"
+    assert a.meta["source"] == "tribune"
+    assert a.body.startswith("The council discussed")
+    # no frontmatter → empty meta, body intact
+    b = rows["b.md"]
+    assert b.body == MD_NO_FM and not b.meta
+    # fence inside body: non-greedy block match keeps the body's fence
+    c = rows["c.md"]
+    assert c.meta["title"] == "tricky"
+    assert "still the same body" in c.body
+
+
+def test_markdown_render_inverse(spark, tmp_path):
+    from nocouncil_etl_spark.sources.markdown import (
+        frontmatter_body,
+        frontmatter_map,
+        render_markdown,
+    )
+
+    df = spark.createDataFrame([("t1", "bodytext",)], "title string, body string")
+    md = df.select(
+        render_markdown({"title": F.col("title")}, F.col("body")).alias("raw")
+    )
+    back = md.select(
+        F.element_at(frontmatter_map("raw"), "title").alias("title"),
+        frontmatter_body("raw").alias("body"),
+    ).collect()[0]
+    assert back.title == "t1" and back.body == "bodytext"
+
+
+def test_json_array_state_roundtrip(spark, tmp_path):
+    """S2/K2: whole-file JSON array as catalog state (articles.json)."""
+    state = [
+        {"id": "abc123", "url": "http://x/1", "title": "one"},
+        {"id": "def456", "url": "http://x/2", "title": "two"},
+    ]
+    p = tmp_path / "articles.json"
+    p.write_text(json.dumps(state, indent=2))
+
+    from nocouncil_etl_spark.sources.jsonl import read_json_array
+
+    df = read_json_array(spark, str(p), "id STRING, url STRING, title STRING")
+    assert sorted(r.id for r in df.collect()) == ["abc123", "def456"]
+
+
+def test_jsonl_declared_schema_and_corrupt_rows(spark, tmp_path):
+    """S1: JSONL scan with declared schema; malformed lines become nulls
+    (PERMISSIVE), never a crash — the reference's skip-and-log analogue."""
+    p = tmp_path / "data.jsonl"
+    p.write_text(
+        '{"video": "a.mp4", "n": 1}\n'
+        "NOT JSON AT ALL\n"
+        '{"video": "b.mp4", "n": 2}\n'
+    )
+    from nocouncil_etl_spark.sources.jsonl import read_jsonl
+
+    df = read_jsonl(spark, str(p), "video STRING, n BIGINT")
+    rows = df.collect()
+    assert len(rows) == 3
+    assert sorted(r.video for r in rows if r.video) == ["a.mp4", "b.mp4"]
+
+
+def test_binary_file_scan(spark, tmp_path):
+    """S8-adjacent: binaryFile source — the multimodal ingestion path
+    (.mp4 artifacts → (path, modificationTime, length, content))."""
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "clip1.mp4").write_bytes(b"\x00\x01fakevideo")
+    (d / "clip2.mp4").write_bytes(b"\x00\x02other")
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.mp4")
+        .load(str(d))
+    )
+    rows = {r.path.split("/")[-1]: r for r in df.collect()}
+    assert rows["clip1.mp4"].length == 11
+    assert bytes(rows["clip1.mp4"].content)[:2] == b"\x00\x01"
+
+
+def test_jsonl_write_partitioned(spark, tmp_path):
+    """K1/K3: partitioned JSONL sink — one directory per key, the engine's
+    version of one-file-per-entity layouts."""
+    from nocouncil_etl_spark.sources.jsonl import read_jsonl
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "k string, v long"
+    )
+    out = str(tmp_path / "parts")
+    df.write.partitionBy("k").mode("overwrite").json(out)
+    back = spark.read.schema("v long, k string").json(out)
+    assert back.count() == 3
+    assert back.filter(F.col("k") == "a").count() == 2
