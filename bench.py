@@ -21,6 +21,10 @@ if REPO not in sys.path:
 # still runs in the driver's correctness pass; bench stays focused and fast.
 HEADLINE: list[str] = [
     "pricing_summary",       # scan → filter → hash agg (TPC-H Q1 shape)
+    "tpch_q3_shipping",      # 3-way join, top-10
+    "tpch_q5_local_supplier",# 6-way join, broadcast dim chain
+    "tpch_q6_forecast",      # pushdown-bound scan
+    "tpch_q10_returns",      # join + top-20 per revenue
     "join_lookup",           # broadcast lookup join
     "chunked_agg",           # window row_number + grouped agg
     "sessionize_batch",      # gaps-and-islands sessionization

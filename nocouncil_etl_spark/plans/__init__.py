@@ -6,6 +6,7 @@ Each module covers a band of the SURVEY.md §2 operator inventory.
 from nocouncil_etl_spark.plans import (  # noqa: F401
     aggregates,
     dedup_plans,
+    extract_plans,
     flagship,
     joins,
     model_plans,
@@ -14,6 +15,7 @@ from nocouncil_etl_spark.plans import (  # noqa: F401
     source_plans,
     streaming_plans,
     text_plans,
+    tpch_like,
     vectors_plans,
     windows,
 )
@@ -31,4 +33,6 @@ MODULES = [
     model_plans,
     streaming_plans,
     source_plans,
+    tpch_like,
+    extract_plans,
 ]

@@ -1,0 +1,56 @@
+"""Content-extraction cascade (SURVEY.md §2.9 E10).
+
+The reference tries trafilatura → selenium → BeautifulSoup in order and takes
+the first extractor that yields usable text (newscrawler.py:187-299). The
+engine expresses the cascade as a coalesce over per-extractor columns — one
+pass, no branching control flow, and the 'which extractor won' lineage is a
+first-class column. Extractor availability is simulated deterministically so
+the oracle sees identical behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.registry import query
+
+
+@query(
+    "extract_cascade",
+    oracle="""
+WITH tries AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 <> 0 THEN trim(substring(text, 1, 120)) END AS t_trafilatura,
+         CASE WHEN lang <> 'zh' THEN upper(substring(text, 1, 60)) END AS t_selenium,
+         substring(text, 1, 30) AS t_bs4
+  FROM documents
+)
+SELECT doc_id,
+       coalesce(t_trafilatura, t_selenium, t_bs4) AS content,
+       CASE WHEN t_trafilatura IS NOT NULL THEN 'trafilatura'
+            WHEN t_selenium IS NOT NULL THEN 'selenium'
+            ELSE 'bs4' END AS extractor
+FROM tries
+""",
+)
+def extract_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10: first-success extractor cascade as coalesce of per-extractor
+    columns (newscrawler.py:187-299). Each 'extractor' is a deterministic
+    column expression standing in for an HTTP+parse UDF; in production each
+    would be a mapInPandas stage and the coalesce shape is unchanged."""
+    docs = load(spark, sf_dir, "documents")
+    t_traf = F.when(F.col("doc_id") % 3 != 0, F.trim(F.substring("text", 1, 120)))
+    t_sel = F.when(F.col("lang") != "zh", F.upper(F.substring("text", 1, 60)))
+    t_bs4 = F.substring("text", 1, 30)
+    extractor = (
+        F.when(t_traf.isNotNull(), "trafilatura")
+        .when(t_sel.isNotNull(), "selenium")
+        .otherwise("bs4")
+    )
+    return docs.select(
+        "doc_id",
+        F.coalesce(t_traf, t_sel, t_bs4).alias("content"),
+        extractor.alias("extractor"),
+    )
