@@ -20,6 +20,10 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 
 TOKEN_RE = "[a-z0-9]+"  # BPE-ish lowercase alnum runs
 
+# P7 keyword set (reference: newscrawler.py:48-57 KEYWORDS list; ours targets
+# the synthetic documents vocabulary). Declared order is the report order.
+KEYWORDS = ("spark", "query", "window", "stream", "vector")
+
 
 def _lit_array(vals: tuple[str, ...]) -> Column:
     return F.array(*[F.lit(v) for v in vals])

@@ -10,12 +10,14 @@ from nocouncil_etl_spark.plans import (  # noqa: F401
     flagship,
     joins,
     model_plans,
+    pipeline_plans,
     relational,
     scalar_functions,
     source_plans,
     streaming_plans,
     text_plans,
     tpch_like,
+    udaf_plans,
     vectors_plans,
     windows,
 )
@@ -35,4 +37,6 @@ MODULES = [
     source_plans,
     tpch_like,
     extract_plans,
+    pipeline_plans,
+    udaf_plans,
 ]

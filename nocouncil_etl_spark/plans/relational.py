@@ -13,9 +13,7 @@ from pyspark.sql import functions as F
 from nocouncil_etl_spark.io import load
 from nocouncil_etl_spark.registry import query
 
-# P7 keyword set (reference: newscrawler.py:48-57 KEYWORDS list; ours targets
-# the synthetic documents vocabulary). Declared order is the report order.
-KEYWORDS = ("spark", "query", "window", "stream", "vector")
+from nocouncil_etl_spark.functions.text import KEYWORDS  # P7 keyword set
 
 
 @query(
