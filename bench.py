@@ -31,7 +31,8 @@ HEADLINE: list[str] = [
     "window_tumbling_batch", # event-time windows
     "dedup_exact",           # content-hash dedup
     "dedup_minhash_lsh",     # shingle→minhash→band→join→verify pipeline
-    "vec_knn_exact",         # brute-force cosine top-k
+    "vec_knn_exact",         # brute-force cosine top-k (pure expression)
+    "vec_knn_blocked",       # blocked-matmul exact top-k (Arrow + numpy)
     "vec_knn_lsh",           # LSH-bucketed ANN
     "model_embed_hashproj",  # Arrow pandas_udf path
     "text_quality",          # HOF-heavy text scoring

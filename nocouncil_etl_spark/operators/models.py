@@ -40,12 +40,32 @@ def _word_component(dim: int, word: str) -> float:
     return (h % 2000 - 1000) / 1000.0
 
 
+# Per-executor memo of word → component vector. Natural-language corpora are
+# Zipfian, so the hit rate is high; this is the hash-stub analogue of the
+# per-executor model singleton a real embedding backend uses.
+_WORD_CACHE: dict[str, list[float]] = {}
+
+
+def _word_vec(word: str, dim: int) -> list[float]:
+    v = _WORD_CACHE.get(word)
+    if v is None:
+        v = [_word_component(d, word) for d in range(dim)]
+        if len(_WORD_CACHE) < 1_000_000:  # bound executor memory
+            _WORD_CACHE[word] = v
+    return v
+
+
 def hash_projection_embed(text: str, dim: int = EMBED_DIM) -> list[float]:
     """Deterministic 'embedding': per-dim sum of word hash components,
     L2-normalized (mirrors normalize_embeddings=True at vectorize.py:117).
-    The same kernel is expressible in SQL → oracle-checkable."""
+    The same kernel is expressible in SQL → oracle-checkable.
+
+    Summation runs dim-major over words in document order — identical fold
+    order to the SQL oracle, so values match to the last bit before
+    rounding."""
     ws = text.split(" ")
-    vec = [sum(_word_component(d, w) for w in ws) for d in range(dim)]
+    word_vecs = [_word_vec(w, dim) for w in ws]
+    vec = [sum(wv[d] for wv in word_vecs) for d in range(dim)]
     norm = math.sqrt(sum(x * x for x in vec))
     if norm == 0:
         return [0.0] * dim

@@ -118,6 +118,58 @@ def knn_lsh(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def knn_exact_blocked(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """Brute-force top-k as blocked matrix multiply — the 100 TB exact-search
+    shape: the (small) query matrix is captured once and shipped to every
+    task; each Arrow batch of corpus vectors scores against ALL queries with
+    one numpy matmul and emits only its per-batch top-k candidates, so the
+    final window ranks ≤ k·|Q|·n_batches rows instead of |Q|·|C|.
+
+    Same scores as knn_exact (float64 cosine, round 6) — the strategy ladder
+    entry between pure-expression exact and LSH."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(q_id, q_vec).collect()
+    q_ids = np.array([r[q_id] for r in q_rows])
+    qm = np.array([r[q_vec] for r in q_rows], dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            cm = np.vstack(pdf[c_vec].to_numpy()).astype(np.float64)
+            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cm @ qm.T  # (batch, |Q|)
+            c_ids = pdf[c_id].to_numpy()
+            out = {q_id: [], c_id: [], "sim": []}
+            top = min(k + 1, len(c_ids))  # +1 absorbs the self-match
+            for j in range(qm.shape[0]):
+                col = sims[:, j]
+                idx = np.argpartition(-col, top - 1)[:top]
+                out[q_id].extend([q_ids[j]] * len(idx))
+                out[c_id].extend(c_ids[idx])
+                out["sim"].extend(np.round(col[idx], 6))
+            yield pd.DataFrame(out)
+
+    candidates = corpus.select(c_id, c_vec).mapInPandas(
+        score, schema=f"{q_id} long, {c_id} long, sim double"
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id))
+    return (
+        candidates.filter(F.col(q_id) != F.col(c_id))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def perturb(vec: Column | str, delta: float, dim_expr: Column) -> Column:
     """Deterministically nudge one dimension — used to synthesize near-dups."""
     return F.transform(

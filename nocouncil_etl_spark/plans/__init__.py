@@ -11,6 +11,7 @@ from nocouncil_etl_spark.plans import (  # noqa: F401
     joins,
     model_plans,
     pipeline_plans,
+    range_time_plans,
     relational,
     scalar_functions,
     source_plans,
@@ -39,4 +40,5 @@ MODULES = [
     extract_plans,
     pipeline_plans,
     udaf_plans,
+    range_time_plans,
 ]

@@ -14,6 +14,7 @@ from nocouncil_etl_spark.io import load
 from nocouncil_etl_spark.operators.similarity import (
     HYPERPLANES,
     knn_exact,
+    knn_exact_blocked,
     knn_lsh,
     knn_partitioned,
 )
@@ -117,6 +118,17 @@ def vec_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     HNSW index at vectorize.py:119-123 approximates)."""
     queries, corpus = _query_corpus(spark, sf_dir)
     return knn_exact(queries.drop("label"), corpus.drop("label"), K).select(
+        "q_id", "c_id", "sim", "rk"
+    )
+
+
+@query("vec_knn_blocked", oracle=_KNN_ORACLE)
+def vec_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 exact path, blocked-matmul strategy: per-Arrow-batch numpy scoring
+    with per-batch top-k pruning before the global window — identical results
+    to vec_knn_exact (same oracle), the shape that scales to huge corpora."""
+    queries, corpus = _query_corpus(spark, sf_dir)
+    return knn_exact_blocked(queries.drop("label"), corpus.drop("label"), K).select(
         "q_id", "c_id", "sim", "rk"
     )
 
