@@ -18,6 +18,7 @@ from nocouncil_etl_spark.plans import (  # noqa: F401
     streaming_plans,
     text_plans,
     tpch_like,
+    tpch_more,
     udaf_plans,
     vectors_plans,
     windows,
@@ -41,4 +42,5 @@ MODULES = [
     pipeline_plans,
     udaf_plans,
     range_time_plans,
+    tpch_more,
 ]

@@ -1,0 +1,35 @@
+"""Facade smoke: the user-facing Engine surface works end to end."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_engine_facade(spark, sf_dir):
+    from nocouncil_etl_spark.api import Engine
+
+    eng = Engine(spark)
+    assert "pricing_summary" in eng.queries()
+    assert eng.run("pricing_summary", sf_dir).count() > 0
+
+    docs = eng.table(sf_dir, "documents")
+    assert eng.dedup_exact(docs, "text", "doc_id").count() == docs.count()
+
+    nd = eng.near_duplicates(docs.limit(50), "doc_id", "text", threshold=0.9)
+    assert nd.columns == ["id_a", "id_b", "jaccard"]
+
+    emb = eng.embed(docs.limit(5), "text")
+    assert "embedding" in emb.columns
+    assert len(emb.first().embedding) > 0
+
+    e = eng.table(sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    for strategy in ("exact", "blocked", "lsh"):
+        hits = eng.search(corpus, queries, k=3, strategy=strategy)
+        assert hits.count() <= 2 * 3
+
+    scored = eng.text_quality(docs.limit(3), "text")
+    assert all(0.0 <= r.quality <= 1.0 for r in scored.collect())
