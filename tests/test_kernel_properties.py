@@ -1,0 +1,110 @@
+"""Hypothesis property tests over the pure-python kernels (SURVEY.md §5.2-3)
+— fast (no Spark jobs), they pin the algebraic invariants the distributed
+operators rely on.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nocouncil_etl_spark.operators.models import (
+    hash_projection_embed,
+    summarize_extractive,
+)
+
+words_st = st.lists(
+    st.text(alphabet="abcdefghij", min_size=1, max_size=12), min_size=1, max_size=60
+)
+
+
+def _minhash_py(shingles: list[str], seed: int, width: int = 12) -> str | None:
+    return min(
+        (hashlib.md5(f"{seed}|{s}".encode()).hexdigest()[:width] for s in shingles),
+        default=None,
+    )
+
+
+def _shingles(ws: list[str], n: int) -> list[str]:
+    return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)] if len(ws) >= n else []
+
+
+@given(words_st)
+@settings(max_examples=200, deadline=None)
+def test_embedding_is_unit_norm_and_deterministic(ws):
+    text = " ".join(ws)
+    v1 = hash_projection_embed(text)
+    v2 = hash_projection_embed(text)
+    assert v1 == v2
+    norm = math.sqrt(sum(x * x for x in v1))
+    assert abs(norm - 1.0) < 1e-9 or norm == 0.0
+
+
+@given(words_st, words_st)
+@settings(max_examples=100, deadline=None)
+def test_minhash_of_union_is_min_of_minhashes(a, b):
+    """The property LSH banding depends on: mh(A ∪ B) = min(mh(A), mh(B))."""
+    sa, sb = _shingles(a, 1), _shingles(b, 1)
+    mu = _minhash_py(sa + sb, seed=0)
+    ma, mb = _minhash_py(sa, seed=0), _minhash_py(sb, seed=0)
+    expected = min(x for x in (ma, mb) if x is not None)
+    assert mu == expected
+
+
+@given(words_st)
+@settings(max_examples=100, deadline=None)
+def test_minhash_is_order_and_duplication_invariant(ws):
+    """Min over a set: permuting or duplicating shingles can't change it —
+    why the exploded aggregation needs no ordering guarantees."""
+    sh = _shingles(ws, 1)
+    assert _minhash_py(sh, 3) == _minhash_py(list(reversed(sh)), 3)
+    assert _minhash_py(sh, 3) == _minhash_py(sh + sh, 3)
+
+
+@given(words_st, st.integers(min_value=1, max_value=5))
+@settings(max_examples=100, deadline=None)
+def test_shingle_count(ws, n):
+    sh = _shingles(ws, n)
+    assert len(sh) == max(0, len(ws) - n + 1)
+    assert all(len(s.split(" ")) == n for s in sh)
+
+
+@given(words_st, words_st)
+@settings(max_examples=100, deadline=None)
+def test_jaccard_bounds_and_symmetry(a, b):
+    sa, sb = set(_shingles(a, 1)), set(_shingles(b, 1))
+    if not (sa | sb):
+        return
+    j = len(sa & sb) / len(sa | sb)
+    assert 0.0 <= j <= 1.0
+    assert j == len(sb & sa) / len(sb | sa)
+    assert (j == 1.0) == (sa == sb)
+
+
+@given(words_st)
+@settings(max_examples=100, deadline=None)
+def test_summarize_extractive_contract(ws):
+    text = " ".join(ws)
+    summary, quotes, n = summarize_extractive(text)
+    assert n == len(ws)
+    assert len(quotes) <= 3 and all(len(q) >= 6 for q in quotes)
+    assert text.startswith(summary)
+
+
+@given(words_st)
+@settings(max_examples=50, deadline=None)
+def test_simhash_bit_rule_is_order_invariant(ws):
+    """SimHash majority vote ignores word order — why the grouped-sum
+    implementation needs no sort."""
+
+    def simhash(words: list[str]) -> str:
+        bits = []
+        for i in range(1, 17):
+            ones = sum(1 for w in words if hashlib.md5(w.encode()).hexdigest()[i - 1] >= "8")
+            bits.append("1" if 2 * ones > len(words) else "0")
+        return "".join(bits)
+
+    assert simhash(ws) == simhash(list(reversed(ws)))
