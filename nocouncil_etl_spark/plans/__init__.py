@@ -21,6 +21,7 @@ from nocouncil_etl_spark.plans import (  # noqa: F401
     tpch_more,
     udaf_plans,
     vectors_plans,
+    window_more,
     windows,
 )
 
@@ -43,4 +44,5 @@ MODULES = [
     udaf_plans,
     range_time_plans,
     tpch_more,
+    window_more,
 ]

@@ -1,0 +1,76 @@
+"""Additional window-frame and collection-aggregate surface: moving average,
+distribution ranks, sorted distinct collection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.registry import query
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS frame_n
+FROM events
+""",
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-frame window: 4-row moving average per user — the smoothing
+    primitive for the time-series rollups."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("mov_avg"),
+        F.count(F.lit(1)).over(w).alias("frame_n"),
+    )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+SELECT c_custkey,
+       round(percent_rank() OVER (ORDER BY round(c_acctbal, 2), c_custkey), 6) AS pr,
+       round(cume_dist() OVER (ORDER BY round(c_acctbal, 2)), 6) AS cd
+FROM customer
+""",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranks: percent_rank / cume_dist over account balance."""
+    c = load(spark, sf_dir, "customer")
+    bal = F.round("c_acctbal", 2)
+    return c.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(Window.orderBy(bal, "c_custkey")), 6).alias("pr"),
+        F.round(F.cume_dist().over(Window.orderBy(bal)), 6).alias("cd"),
+    )
+
+
+@query(
+    "agg_collect_set_sorted",
+    oracle="""
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+       count(DISTINCT event_type) AS n_types
+FROM events
+GROUP BY user_id
+""",
+)
+def agg_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted distinct collection per group — set-valued aggregation made
+    deterministic by an explicit sort (SURVEY §7.3-2: never iterate unsorted
+    sets)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types"),
+        F.countDistinct("event_type").alias("n_types"),
+    )

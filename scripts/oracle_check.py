@@ -1,0 +1,90 @@
+"""Driver-contract simulator: run entry() + every queries() entry against
+oracle_sql() via DuckDB, exactly like the verification driver.
+
+Usage: python scripts/oracle_check.py [sf_dir]     (default sf0.01)
+Prints per-query status only on failure; final line is ALL MATCH or FAILED.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def digest(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def c(v):
+        if v is None:
+            return "N"
+        if isinstance(v, float):
+            return f"{v:.9g}"
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(c(x) for x in v) + "]"
+        return str(v)
+
+    lines = sorted("|".join(c(r[i]) for i in order) for r in rows)
+    return sorted(cols), hashlib.sha256("\n".join(lines).encode()).hexdigest()[:12]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    # deliberately a plain session: the driver owns its own; tune() must cope
+    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    smoke = entrymod.entry(spark).collect()
+    print(f"smoke: {len(smoke)} rows")
+    assert len(smoke) > 0
+
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    bad = []
+    for name, fn in qs.items():
+        try:
+            sdf = fn(spark, sf_dir)
+            scols, sh = digest(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+            if name in osql:
+                res = con.execute(osql[name])
+                dcols, dh = digest([d[0] for d in res.description], res.fetchall())
+                ok = sh == dh and scols == dcols
+                if not ok:
+                    print(f"{name}: MISMATCH spark={sh} oracle={dh} cols={scols == dcols}")
+            else:
+                ok = sdf.count() >= 0
+        except Exception as exc:  # noqa: BLE001
+            ok = False
+            print(f"{name}: EXC {str(exc)[:140]}")
+        if not ok:
+            bad.append(name)
+
+    if bad:
+        print("FAILED:", bad)
+        return 1
+    print(f"ALL MATCH — {len(qs)} queries at {sf_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
