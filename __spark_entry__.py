@@ -7,7 +7,14 @@ Spark callable and (when SQL-expressible) a DuckDB oracle string.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# the driver may import this file from any cwd; anchor the package path
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 from pyspark.sql import DataFrame, SparkSession
 

@@ -53,11 +53,14 @@ def main() -> None:
     names = [n for n in HEADLINE if n in registry]
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = registry[name].fn(spark, sf_dir)
-        n = df.count() if name.startswith("stream_") else len(df.collect())
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
+        best = float("inf")
+        for _ in range(2):  # best-of-2: first run absorbs codegen/compile
+            t0 = time.perf_counter()
+            df = registry[name].fn(spark, sf_dir)
+            n = len(df.collect())
+            best = min(best, time.perf_counter() - t0)
+            assert n >= 0
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
