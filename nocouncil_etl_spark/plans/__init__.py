@@ -9,6 +9,7 @@ from nocouncil_etl_spark.plans import (  # noqa: F401
     extract_plans,
     flagship,
     joins,
+    misc_fns,
     model_plans,
     pipeline_plans,
     range_time_plans,
@@ -45,4 +46,5 @@ MODULES = [
     range_time_plans,
     tpch_more,
     window_more,
+    misc_fns,
 ]

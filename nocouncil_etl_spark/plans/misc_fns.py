@@ -1,0 +1,106 @@
+"""Breadth batch: regexp predicates, array ops, conditional aggregates,
+string-function misc — rounding out the scalar/aggregate surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.registry import query
+
+
+@query(
+    "fn_rlike_filter",
+    oracle="""
+SELECT doc_id
+FROM documents
+WHERE regexp_matches(text, 'join [a-z]+ window') OR regexp_matches(text, 'stream stream')
+""",
+)
+def fn_rlike_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp predicate filter (rlike) — pattern-gated scans."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.filter(
+        F.col("text").rlike("join [a-z]+ window") | F.col("text").rlike("stream stream")
+    ).select("doc_id")
+
+
+@query(
+    "fn_array_ops",
+    oracle="""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       CAST(coalesce(list_position(w, 'spark'), 0) AS BIGINT) AS spark_pos,
+       CAST(list_contains(w, 'query') AS VARCHAR) AS has_query,
+       len(list_filter(w, x -> x <> 'the')) AS n_no_the,
+       array_to_string(list_sort(list_distinct(w[1:6])), ',') AS head_sorted
+FROM ws
+""",
+)
+def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface: position / contains / remove / distinct-sort
+    (both engines return 0 for a position miss)."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.array_position(w, "spark").alias("spark_pos"),
+        F.array_contains(w, "query").cast("string").alias("has_query"),
+        F.size(F.array_remove(w, "the")).alias("n_no_the"),
+        F.array_join(F.array_sort(F.array_distinct(F.slice(w, 1, 6))), ",").alias(
+            "head_sorted"
+        ),
+    )
+
+
+@query(
+    "agg_conditional_filter",
+    oracle="""
+SELECT event_type,
+       count(*) FILTER (WHERE value > 100) AS n_big,
+       round(coalesce(sum(value) FILTER (WHERE value <= 100), 0), 2) AS small_total,
+       round(avg(CASE WHEN user_id % 2 = 0 THEN value END), 4) AS even_user_avg
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_conditional_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER clause / CASE-gated aggs)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.when(F.col("value") > 100, 1)).alias("n_big"),
+        F.round(
+            F.coalesce(F.sum(F.when(F.col("value") <= 100, F.col("value"))), F.lit(0.0)),
+            2,
+        ).alias("small_total"),
+        F.round(
+            F.avg(F.when(F.col("user_id") % 2 == 0, F.col("value"))), 4
+        ).alias("even_user_avg"),
+    )
+
+
+@query(
+    "fn_string_misc",
+    oracle="""
+SELECT doc_id,
+       reverse(substring(text, 1, 10)) AS rev10,
+       CAST(strpos(text, 'query') AS BIGINT) AS query_at,
+       repeat(left(lang, 1), 3) AS lang_tag,
+       rpad(lang, 5, '.') AS lang_padded,
+       split_part(source, 'rc', 2) AS src_num
+FROM documents
+""",
+)
+def fn_string_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function breadth: reverse/instr/repeat/left/rpad/split_part."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.reverse(F.substring("text", 1, 10)).alias("rev10"),
+        F.instr(F.col("text"), "query").cast("bigint").alias("query_at"),
+        F.repeat(F.left(F.col("lang"), F.lit(1)), 3).alias("lang_tag"),
+        F.rpad(F.col("lang"), 5, ".").alias("lang_padded"),
+        F.split_part(F.col("source"), F.lit("rc"), F.lit(2)).alias("src_num"),
+    )
