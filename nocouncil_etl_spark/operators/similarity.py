@@ -20,8 +20,10 @@ All kernels are pure column expressions (functions/vectors.py) — no UDFs.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from nocouncil_etl_spark.functions.vectors import as_double, cosine, dot
 
@@ -42,12 +44,26 @@ def _plane_lit(plane: list[float]) -> Column:
 
 
 def lsh_signature(vec: Column | str) -> Column:
-    """Sign-bit signature string, e.g. '10110010' — the LSH bucket key."""
+    """Sign-bit signature string, e.g. '10110010' — the LSH bucket key
+    (expression form, for composition; hot path = lsh_signature_udf)."""
     bits = [
         F.when(dot(vec, _plane_lit(p)) >= 0, F.lit("1")).otherwise(F.lit("0"))
         for p in HYPERPLANES
     ]
     return F.concat(*bits)
+
+
+_PLANES_MAT = np.array(HYPERPLANES, dtype=np.float64)  # (P, D)
+
+
+@F.pandas_udf(T.StringType())
+def lsh_signature_udf(vecs: pd.Series) -> pd.Series:
+    """Arrow twin of lsh_signature: one numpy matmul per batch against the
+    plane matrix. Sign decisions agree with the expression/oracle form —
+    dots are O(0.1-10), float64 noise is ~1e-15, so no boundary flips."""
+    mat = np.vstack(vecs.to_numpy()).astype(np.float64)  # (N, D)
+    signs = (mat @ _PLANES_MAT.T) >= 0  # (N, P)
+    return pd.Series(["".join("1" if b else "0" for b in row) for row in signs])
 
 
 def knn_exact(
@@ -108,8 +124,8 @@ def knn_lsh(
     c_vec: str = "c_vec",
 ) -> DataFrame:
     """LSH ANN: pair only vectors sharing the hyperplane sign signature."""
-    q = queries.withColumn("bucket", lsh_signature(q_vec))
-    c = corpus.withColumn("bucket", lsh_signature(c_vec))
+    q = queries.withColumn("bucket", lsh_signature_udf(q_vec))
+    c = corpus.withColumn("bucket", lsh_signature_udf(c_vec))
     pairs = c.join(F.broadcast(q), on="bucket").filter(F.col(q_id) != F.col(c_id))
     scored = pairs.select(
         q_id, c_id, F.round(cosine(q_vec, c_vec), 6).alias("sim")
