@@ -5,6 +5,7 @@ Each module covers a band of the SURVEY.md §2 operator inventory.
 
 from nocouncil_etl_spark.plans import (  # noqa: F401
     aggregates,
+    chunk_summarize_plans,
     dedup_plans,
     extract_plans,
     flagship,
@@ -47,4 +48,5 @@ MODULES = [
     tpch_more,
     window_more,
     misc_fns,
+    chunk_summarize_plans,
 ]
