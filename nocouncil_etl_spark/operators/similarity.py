@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from nocouncil_etl_spark.functions.vectors import as_double, cosine, dot
+from nocouncil_etl_spark.functions.vectors import as_double, cosine, dot, l2_norm  # noqa: F401  (cosine kept as public kernel)
 
 LSH_SEED = 42
 LSH_PLANES = 8
@@ -81,10 +81,17 @@ def knn_exact(
     nested loop over corpus partitions — no shuffle until the final window,
     which shuffles only |Q|·|C| scored pairs pruned by the window.
     """
-    pairs = corpus.crossJoin(F.broadcast(queries)).filter(F.col(q_id) != F.col(c_id))
-    scored = pairs.select(
-        q_id, c_id, F.round(cosine(q_vec, c_vec), 6).alias("sim")
+    # norms are per-row — fold them once on each side BEFORE pairing, so each
+    # pair evaluates only the dot product (3× less interpreted HOF work than
+    # cosine() per pair; arithmetic is unchanged → identical values)
+    qn = queries.withColumn("_qn", l2_norm(q_vec))
+    cn = corpus.withColumn("_cn", l2_norm(c_vec))
+    pairs = cn.crossJoin(F.broadcast(qn)).filter(F.col(q_id) != F.col(c_id))
+    sim = F.when(
+        F.col("_qn") * F.col("_cn") != 0,
+        dot(q_vec, c_vec) / (F.col("_qn") * F.col("_cn")),
     )
+    scored = pairs.select(q_id, c_id, F.round(sim, 6).alias("sim"))
     w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
@@ -104,12 +111,14 @@ def knn_partitioned(
     The cross join becomes a shuffle hash join on ``part_col`` — candidate
     count drops by the partition fan-out; recall is bounded by the coarse
     quantizer (exactly IVF with nprobe=1)."""
-    pairs = corpus.join(F.broadcast(queries), on=part_col).filter(
-        F.col(q_id) != F.col(c_id)
+    qn = queries.withColumn("_qn", l2_norm(q_vec))
+    cn = corpus.withColumn("_cn", l2_norm(c_vec))
+    pairs = cn.join(F.broadcast(qn), on=part_col).filter(F.col(q_id) != F.col(c_id))
+    sim = F.when(
+        F.col("_qn") * F.col("_cn") != 0,
+        dot(q_vec, c_vec) / (F.col("_qn") * F.col("_cn")),
     )
-    scored = pairs.select(
-        q_id, c_id, F.round(cosine(q_vec, c_vec), 6).alias("sim")
-    )
+    scored = pairs.select(q_id, c_id, F.round(sim, 6).alias("sim"))
     w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
@@ -124,12 +133,18 @@ def knn_lsh(
     c_vec: str = "c_vec",
 ) -> DataFrame:
     """LSH ANN: pair only vectors sharing the hyperplane sign signature."""
-    q = queries.withColumn("bucket", lsh_signature_udf(q_vec))
-    c = corpus.withColumn("bucket", lsh_signature_udf(c_vec))
-    pairs = c.join(F.broadcast(q), on="bucket").filter(F.col(q_id) != F.col(c_id))
-    scored = pairs.select(
-        q_id, c_id, F.round(cosine(q_vec, c_vec), 6).alias("sim")
+    q = queries.withColumn("bucket", lsh_signature_udf(q_vec)).withColumn(
+        "_qn", l2_norm(q_vec)
     )
+    c = corpus.withColumn("bucket", lsh_signature_udf(c_vec)).withColumn(
+        "_cn", l2_norm(c_vec)
+    )
+    pairs = c.join(F.broadcast(q), on="bucket").filter(F.col(q_id) != F.col(c_id))
+    sim = F.when(
+        F.col("_qn") * F.col("_cn") != 0,
+        dot(q_vec, c_vec) / (F.col("_qn") * F.col("_cn")),
+    )
+    scored = pairs.select(q_id, c_id, F.round(sim, 6).alias("sim"))
     w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
