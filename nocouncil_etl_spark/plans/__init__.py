@@ -5,6 +5,7 @@ Each module covers a band of the SURVEY.md §2 operator inventory.
 
 from nocouncil_etl_spark.plans import (  # noqa: F401
     aggregates,
+    breadth2,
     chunk_summarize_plans,
     dedup_plans,
     extract_plans,
@@ -49,4 +50,5 @@ MODULES = [
     window_more,
     misc_fns,
     chunk_summarize_plans,
+    breadth2,
 ]
