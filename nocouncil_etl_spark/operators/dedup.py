@@ -11,10 +11,12 @@ upserts by id (article_vectorize.py:361-363). A training-data pipeline at
     n-gram jaccard — exact verify kernel for candidate pairs
     embedding cosine — semantic near-dup (operators/similarity.py)
 
-Everything here is a pure column expression. The hash kernel is
-md5-of-string (portable: identical in Spark and DuckDB), so every stage is
-oracle-checkable — no engine-specific hash (Spark's murmur3 ``hash()`` would
-not be) and no UDF.
+The hash kernel is md5-of-string (portable: identical in Spark, DuckDB, and
+hashlib), so every stage is oracle-checkable — never an engine-specific hash
+(Spark's murmur3 ``hash()`` would not be). Each kernel exists in two forms:
+a pure column expression for composition, and a hot-path form (explode +
+codegen scalar + combiner agg, or one Arrow pandas-UDF pass) that produces
+byte-identical values — see SCALE.md for the measured gap.
 
 Scale shape: shingling/minhash are narrow maps; LSH banding explodes
 |bands| rows per doc; the candidate join is an equi-join on the band key
