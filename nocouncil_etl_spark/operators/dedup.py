@@ -257,7 +257,13 @@ def lsh_near_duplicates(
     Stage shapes at scale: shingling = narrow map; signature shuffle carries
     one row per doc (map-side min combine); candidate join = equi-join on
     band key (AQE skew-safe); verify touches candidate pairs only. Nothing
-    quadratic."""
+    quadratic.
+
+    Cache lifecycle: the corpus-sized shingle cache is dropped as soon as the
+    verify stage materializes; the returned frame is the (small) verified
+    pair set, persisted so downstream consumers don't re-run the pipeline.
+    Callers doing many dedup passes in one session own its lifetime
+    (``result.unpersist()`` when done)."""
     sh_udf = make_shingle_udf(shingle_n)
     shd = df.select(F.col(id_col), sh_udf(text_col).alias("_sh")).persist()
     sig = minhash_signatures(shd, id_col, "_sh", n_bands * rows_per_band)
@@ -284,5 +290,9 @@ def lsh_near_duplicates(
         .join(shd.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
         .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
         .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .persist()
     )
-    return verified.select("id_a", "id_b", "jaccard")
+    verified.count()  # materialize the pair set so the shingle cache can drop
+    shd.unpersist()
+    return verified

@@ -47,10 +47,15 @@ def merge_state(
 def resumable_sink(stream_df: DataFrame, out_path: str, checkpoint: str):
     """T3/K6: exactly-once durable progress via checkpointed foreachBatch —
     the scaled replacement for save-state-after-every-article
-    (newscrawler.py:421-427). Returns the StreamingQuery (caller awaits)."""
+    (newscrawler.py:421-427). Returns the StreamingQuery (caller awaits).
+
+    foreachBatch is at-least-once: a batch replayed after a crash between
+    write and checkpoint commit would double-append. Keying the write on
+    epoch_id (one overwritten directory per micro-batch) makes the replay
+    idempotent, which upgrades the end-to-end contract to exactly-once."""
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
-        batch.write.mode("append").parquet(out_path)
+        batch.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
 
     return (
         stream_df.writeStream.foreachBatch(write_batch)

@@ -25,6 +25,7 @@ import hashlib
 import math
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -106,20 +107,42 @@ def summarize_extractive(text: str) -> tuple[str, list[str], int]:
     return summary, quotes, len(ws)
 
 
+def _summarize_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Columnar summarize kernel: pandas str ops over the whole Arrow batch —
+    no per-row Python loop on the hot path."""
+    words = pdf["text"].fillna("").str.split(" ")
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"].to_numpy(),
+            "summary": words.str[:SUMMARY_WORDS].str.join(" "),
+            "quotes": words.map(
+                lambda ws: [w for w in ws if len(w) >= QUOTE_MIN_LEN][:MAX_QUOTES]
+            ),
+            "n_words": words.str.len(),
+            "error": np.full(len(pdf), None, dtype=object),
+        }
+    )
+
+
 def summarize_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """E6 as mapInPandas: typed struct out, error column instead of raising
-    (summarize.py:185-186 skip-and-log)."""
+    (summarize.py:185-186 skip-and-log). The batch runs the columnar kernel;
+    only when a batch-level op raises does it fall back to per-row execution
+    so a poison row quarantines alone instead of failing the stage."""
     for pdf in batches:
-        out = []
-        for _, row in pdf.iterrows():
-            try:
-                summary, quotes, n = summarize_extractive(row["text"])
-                out.append((row["doc_id"], summary, quotes, n, None))
-            except Exception as exc:  # quarantine, never fail the stage
-                out.append((row["doc_id"], None, None, None, str(exc)))
-        yield pd.DataFrame(
-            out, columns=["doc_id", "summary", "quotes", "n_words", "error"]
-        )
+        try:
+            yield _summarize_frame(pdf)
+        except Exception:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                try:
+                    summary, quotes, n = summarize_extractive(text)
+                    out.append((doc_id, summary, quotes, n, None))
+                except Exception as exc:  # quarantine, never fail the stage
+                    out.append((doc_id, None, None, None, str(exc)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "summary", "quotes", "n_words", "error"]
+            )
 
 
 # --- transcription stub (E9) --------------------------------------------------
@@ -142,21 +165,32 @@ def transcribe_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """E9: binary 'media' column → timed segment rows (one-to-many, the UDTF
     shape of Whisper at transcribe_council.py:86-90). Deterministic fake:
     fixed-size byte windows; a real backend would lazy-load Whisper once per
-    executor and honor spark.task.resource.gpu.amount."""
+    executor and honor spark.task.resource.gpu.amount.
+
+    Fan-out is computed columnar (numpy repeat/arange over the whole Arrow
+    batch); only the byte slice+decode — inherently per-value — runs in a
+    comprehension."""
     for pdf in batches:
-        rows = []
-        for _, r in pdf.iterrows():
-            content: bytes = r["content"]
-            n_seg = max(1, math.ceil(len(content) / SEGMENT_BYTES))
-            for i in range(n_seg):
-                chunk = content[i * SEGMENT_BYTES : (i + 1) * SEGMENT_BYTES]
-                rows.append(
-                    (
-                        r["doc_id"],
-                        i,
-                        round(i * SEGMENT_SECONDS, 2),
-                        round((i + 1) * SEGMENT_SECONDS, 2),
-                        chunk.decode("utf-8", errors="ignore"),
-                    )
-                )
-        yield pd.DataFrame(rows, columns=["doc_id", "seg_id", "start", "end", "seg_text"])
+        contents = pdf["content"]
+        lens = contents.map(len).to_numpy(dtype=np.int64, na_value=0)
+        n_seg = np.maximum(1, -(-lens // SEGMENT_BYTES))  # ceil-div, ≥1
+        total = int(n_seg.sum())
+        # local segment index = global arange minus each row's segment offset
+        offsets = np.repeat(np.cumsum(n_seg) - n_seg, n_seg)
+        seg_id = np.arange(total, dtype=np.int64) - offsets
+        seg_text = [
+            c[i * SEGMENT_BYTES : (i + 1) * SEGMENT_BYTES].decode(
+                "utf-8", errors="ignore"
+            )
+            for c, n in zip(contents, n_seg)
+            for i in range(n)
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": np.repeat(pdf["doc_id"].to_numpy(), n_seg),
+                "seg_id": seg_id,
+                "start": np.round(seg_id * SEGMENT_SECONDS, 2),
+                "end": np.round((seg_id + 1) * SEGMENT_SECONDS, 2),
+                "seg_text": seg_text,
+            }
+        )

@@ -11,6 +11,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from nocouncil_etl_spark.functions.numeric import (
+    ravg,
+    ravg_sql,
+    rstddev,
+    rstddev_sql,
+    rsum,
+    rsum_sql,
+)
 from nocouncil_etl_spark.io import load
 from nocouncil_etl_spark.registry import query
 
@@ -30,7 +38,7 @@ SELECT user_id,
        count(*) AS n_rows,
        epoch_us(min(ts)) AS start_us,
        epoch_us(max(ts)) AS end_us,
-       round(sum(value), 2) AS chunk_value
+       {rsum_sql("value")} AS chunk_value
 FROM numbered
 GROUP BY user_id, CAST(floor(rn / {CHUNK}) AS BIGINT)
 """,
@@ -49,7 +57,7 @@ def chunked_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             F.unix_micros(F.min("ts")).alias("start_us"),
             F.unix_micros(F.max("ts")).alias("end_us"),
-            F.round(F.sum("value"), 2).alias("chunk_value"),
+            rsum("value").alias("chunk_value"),
         )
     )
 
@@ -94,12 +102,12 @@ WITH numbered AS (
 ),
 chunks AS (
   SELECT user_id, CAST(floor(rn / {CHUNK}) AS BIGINT) AS chunk,
-         round(sum(value), 2) AS chunk_value, count(*) AS n
+         {rsum_sql("value")} AS chunk_value, count(*) AS n
   FROM numbered GROUP BY 1, 2
 )
 SELECT user_id,
        count(*) AS n_chunks,
-       round(sum(chunk_value), 2) AS total_value,
+       {rsum_sql("chunk_value")} AS total_value,
        string_agg(chunk || ':' || n, ',' ORDER BY chunk) AS chunk_report
 FROM chunks
 GROUP BY user_id
@@ -115,7 +123,7 @@ def hierarchical_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("rn", F.row_number().over(w) - 1)
         .withColumn("chunk", F.floor(F.col("rn") / CHUNK).cast("bigint"))
         .groupBy("user_id", "chunk")
-        .agg(F.round(F.sum("value"), 2).alias("chunk_value"), F.count(F.lit(1)).alias("n"))
+        .agg(rsum("value").alias("chunk_value"), F.count(F.lit(1)).alias("n"))
     )
     report = F.array_join(
         F.transform(
@@ -126,7 +134,7 @@ def hierarchical_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return chunks.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
-        F.round(F.sum("chunk_value"), 2).alias("total_value"),
+        rsum("chunk_value").alias("total_value"),
         report.alias("chunk_report"),
     )
 
@@ -183,9 +191,9 @@ def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_cube",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+       {rsum_sql("l_quantity")} AS sum_qty, count(*) AS n
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
@@ -194,16 +202,16 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets surface (SURVEY §2.7 note): CUBE over lineitem."""
     li = load(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        rsum("l_quantity").alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
     )
 
 
 @query(
     "agg_rollup",
-    oracle="""
+    oracle=f"""
 SELECT o_orderstatus, o_orderpriority,
-       count(*) AS n, round(sum(o_totalprice), 2) AS total
+       count(*) AS n, {rsum_sql("o_totalprice")} AS total
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
@@ -213,31 +221,34 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        rsum("o_totalprice").alias("total"),
     )
 
 
 @query(
     "agg_numeric_stats",
-    oracle="""
+    oracle=f"""
 SELECT event_type,
        round(min(value), 2) AS min_v,
        round(max(value), 2) AS max_v,
-       round(avg(value), 4) AS avg_v,
-       round(stddev_samp(value), 4) AS sd_v,
+       {ravg_sql("value")} AS avg_v,
+       {rstddev_sql("value")} AS sd_v,
        round(quantile_cont(value, 0.5), 4) AS median_v
 FROM events
 GROUP BY event_type
 """,
 )
 def agg_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Numeric stats surface: min/max/avg/stddev/exact median per group."""
+    """Numeric stats surface: min/max/avg/stddev/exact median per group.
+    avg/stddev fold exact decimal moments (functions.numeric) so the rounded
+    values are combine-order-independent; min/max/median are already
+    order-free."""
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.round(F.min("value"), 2).alias("min_v"),
         F.round(F.max("value"), 2).alias("max_v"),
-        F.round(F.avg("value"), 4).alias("avg_v"),
-        F.round(F.stddev_samp("value"), 4).alias("sd_v"),
+        ravg("value").alias("avg_v"),
+        rstddev("value").alias("sd_v"),
         F.round(F.percentile("value", F.lit(0.5)), 4).alias("median_v"),
     )
 
@@ -273,13 +284,13 @@ WITH numbered AS (
 ),
 chunks AS (
   SELECT user_id, CAST(floor(rn / {CHUNK}) AS BIGINT) AS chunk,
-         round(sum(value), 2) AS chunk_value
+         {rsum_sql("value")} AS chunk_value
   FROM numbered GROUP BY 1, 2
 )
 SELECT user_id, FALSE AS is_rollup, chunk, chunk_value FROM chunks
 UNION ALL
 SELECT user_id, TRUE AS is_rollup, -1 AS chunk,
-       round(sum(chunk_value), 2) AS chunk_value
+       {rsum_sql("chunk_value")} AS chunk_value
 FROM chunks GROUP BY user_id
 """,
 )
@@ -294,13 +305,13 @@ def rollup_prepend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("rn", F.row_number().over(w) - 1)
         .withColumn("chunk", F.floor(F.col("rn") / CHUNK).cast("bigint"))
         .groupBy("user_id", "chunk")
-        .agg(F.round(F.sum("value"), 2).alias("chunk_value"))
+        .agg(rsum("value").alias("chunk_value"))
     )
     detail = chunks.select(
         "user_id", F.lit(False).alias("is_rollup"), "chunk", "chunk_value"
     )
     rollup = chunks.groupBy("user_id").agg(
-        F.round(F.sum("chunk_value"), 2).alias("chunk_value")
+        rsum("chunk_value").alias("chunk_value")
     ).select(
         "user_id", F.lit(True).alias("is_rollup"), F.lit(-1).cast("bigint").alias("chunk"),
         "chunk_value",

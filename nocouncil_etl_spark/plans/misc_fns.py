@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nocouncil_etl_spark.functions.numeric import ravg, ravg_sql, rsum
 from nocouncil_etl_spark.io import load
 from nocouncil_etl_spark.registry import query
 
@@ -57,27 +58,27 @@ def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_conditional_filter",
-    oracle="""
+    oracle=f"""
 SELECT event_type,
        count(*) FILTER (WHERE value > 100) AS n_big,
-       round(coalesce(sum(value) FILTER (WHERE value <= 100), 0), 2) AS small_total,
-       round(avg(CASE WHEN user_id % 2 = 0 THEN value END), 4) AS even_user_avg
+       coalesce(CAST(round(sum(CAST(value AS DECIMAL(18,6)))
+                             FILTER (WHERE value <= 100), 2) AS DOUBLE),
+                0) AS small_total,
+       {ravg_sql("CASE WHEN user_id % 2 = 0 THEN value END")} AS even_user_avg
 FROM events
 GROUP BY event_type
 """,
 )
 def agg_conditional_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conditional aggregation (FILTER clause / CASE-gated aggs)."""
+    """Conditional aggregation (FILTER clause / CASE-gated aggs); sums/avgs
+    on the decimal-exact kernels (functions.numeric)."""
     ev = load(spark, sf_dir, "events")
+    small = F.when(F.col("value") <= 100, F.col("value"))
+    even = F.when(F.col("user_id") % 2 == 0, F.col("value"))
     return ev.groupBy("event_type").agg(
         F.count(F.when(F.col("value") > 100, 1)).alias("n_big"),
-        F.round(
-            F.coalesce(F.sum(F.when(F.col("value") <= 100, F.col("value"))), F.lit(0.0)),
-            2,
-        ).alias("small_total"),
-        F.round(
-            F.avg(F.when(F.col("user_id") % 2 == 0, F.col("value"))), 4
-        ).alias("even_user_avg"),
+        F.coalesce(rsum(small), F.lit(0.0)).alias("small_total"),
+        ravg(even).alias("even_user_avg"),
     )
 
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nocouncil_etl_spark.functions.numeric import exact_sum
 from nocouncil_etl_spark.io import load
 from nocouncil_etl_spark.registry import query
 
@@ -81,11 +82,11 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS h, event_type,
-         count(*) AS n, sum(value) AS total
+         count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS total
   FROM events GROUP BY 1, 2
 )
 SELECT epoch_us(date_trunc('day', h)) AS day_us, event_type,
-       sum(n) AS n, round(sum(total), 2) AS total,
+       sum(n) AS n, CAST(round(sum(total), 2) AS DOUBLE) AS total,
        count(*) AS hours_with_data
 FROM hourly
 GROUP BY 1, 2
@@ -95,18 +96,21 @@ def rollup_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate: daily rollup computed FROM the
     hourly aggregate, not from raw rows — the multi-resolution pattern that
     makes 100 TB dashboards cheap (each resolution reads the previous one;
-    sums/counts compose)."""
+    sums/counts compose). Sums run on DECIMAL(18,6)-quantized values so the
+    rollup is order-independent (functions.numeric): round 1's only driver
+    hash flake was this query's round(sum(double)) straddling a .005
+    boundary under a different combine order."""
     ev = load(spark, sf_dir, "events")
     hourly = (
         ev.groupBy(
             F.date_trunc("hour", "ts").alias("h"), "event_type"
-        ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        ).agg(F.count(F.lit(1)).alias("n"), exact_sum("value").alias("total"))
     )
     daily = (
         hourly.groupBy(F.date_trunc("day", "h").alias("d"), "event_type")
         .agg(
             F.sum("n").alias("n"),
-            F.round(F.sum("total"), 2).alias("total"),
+            F.round(F.sum("total"), 2).cast("double").alias("total"),
             F.count(F.lit(1)).alias("hours_with_data"),
         )
     )

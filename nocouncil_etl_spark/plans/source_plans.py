@@ -12,6 +12,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nocouncil_etl_spark.functions.numeric import rsum, rsum_sql
 from nocouncil_etl_spark.io import load
 from nocouncil_etl_spark.registry import query
 from nocouncil_etl_spark.sources.jsonl import read_jsonl, write_jsonl
@@ -20,8 +21,8 @@ from nocouncil_etl_spark.sources.markdown import frontmatter_body, frontmatter_m
 
 @query(
     "io_jsonl_roundtrip",
-    oracle="""
-SELECT event_type, count(*) AS n, round(sum(value), 2) AS total,
+    oracle=f"""
+SELECT event_type, count(*) AS n, {rsum_sql("value")} AS total,
        min(epoch_us(ts)) AS first_us
 FROM events
 GROUP BY event_type
@@ -44,7 +45,7 @@ def io_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("total"),
+        rsum("value").alias("total"),
         F.min("ts_us").alias("first_us"),
     )
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nocouncil_etl_spark.functions.numeric import rsum_sql
 from nocouncil_etl_spark.io import load
 from nocouncil_etl_spark.registry import query
 from nocouncil_etl_spark.streaming.windows import (
@@ -21,9 +22,9 @@ from nocouncil_etl_spark.streaming.windows import (
     tumbling_agg,
 )
 
-_TUMBLING_ORACLE = """
+_TUMBLING_ORACLE = f"""
 SELECT CAST(floor(epoch_us(ts) / 600e6) AS BIGINT) * 600000000 AS w_start_us,
-       event_type, count(*) AS n, round(sum(value), 2) AS total
+       event_type, count(*) AS n, {rsum_sql("value")} AS total
 FROM events
 GROUP BY 1, 2
 """

@@ -16,15 +16,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nocouncil_etl_spark.functions.numeric import rsum, rsum_sql
 from nocouncil_etl_spark.io import load
 from nocouncil_etl_spark.registry import query
 
 
 @query(
     "tpch_q3_shipping",
-    oracle="""
+    oracle=f"""
 SELECT l.l_orderkey,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       {rsum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
        epoch_us(o.o_orderdate) AS orderdate_us,
        o.o_orderpriority
 FROM customer c
@@ -53,7 +54,7 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            rsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
@@ -72,9 +73,9 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q5_local_supplier",
-    oracle="""
+    oracle=f"""
 SELECT n.n_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       {rsum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
 FROM region r
 JOIN nation n ON r.r_regionkey = n.n_regionkey
 JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -110,7 +111,7 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            rsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
@@ -119,8 +120,8 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q6_forecast",
-    oracle="""
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    oracle=f"""
+SELECT {rsum_sql("l_extendedprice * l_discount")} AS revenue,
        count(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -142,9 +143,7 @@ def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            rsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -152,9 +151,9 @@ def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q10_returns",
-    oracle="""
+    oracle=f"""
 SELECT c.c_custkey, c.c_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       {rsum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
        round(max(c.c_acctbal), 2) AS acctbal,
        n.n_name
 FROM customer c
@@ -185,7 +184,7 @@ def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            rsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             ),
             F.round(F.max("c_acctbal"), 2).alias("acctbal"),
@@ -196,13 +195,23 @@ def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pivot_sql(status: str) -> str:
+    """One pivot cell: exact decimal sum of the status bucket, 0 when empty
+    (same quantization as functions.numeric.rsum_sql)."""
+    return (
+        "round(coalesce(CAST(sum(CASE WHEN o_orderstatus = "
+        f"'{status}' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE)"
+        ", 0), 2)"
+    )
+
+
 @query(
     "pivot_priority_by_status",
-    oracle="""
+    oracle=f"""
 SELECT o_orderpriority,
-       round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS open_total,
-       round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS fulfilled_total,
-       round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS partial_total
+       {_pivot_sql("O")} AS open_total,
+       {_pivot_sql("F")} AS fulfilled_total,
+       {_pivot_sql("P")} AS partial_total
 FROM orders
 GROUP BY o_orderpriority
 """,
@@ -211,17 +220,23 @@ def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot surface (SURVEY §2.8 note): order totals by priority × status,
     with an explicit value list so the plan is a single pass (no distinct
     scan to discover pivot columns)."""
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").withColumn(
+        "price_dec", F.col("o_totalprice").cast("decimal(18,6)")
+    )
     p = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["O", "F", "P"])
-        .sum("o_totalprice")
+        .sum("price_dec")
     )
+
+    def cell(col: str, alias: str):
+        return F.round(F.coalesce(F.col(col).cast("double"), F.lit(0.0)), 2).alias(alias)
+
     return p.select(
         "o_orderpriority",
-        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("open_total"),
-        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("fulfilled_total"),
-        F.round(F.coalesce(F.col("P"), F.lit(0.0)), 2).alias("partial_total"),
+        cell("O", "open_total"),
+        cell("F", "fulfilled_total"),
+        cell("P", "partial_total"),
     )
 
 

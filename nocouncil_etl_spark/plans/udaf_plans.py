@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nocouncil_etl_spark.functions.numeric import exact_sum, rsum_sql
 from nocouncil_etl_spark.io import load
 from nocouncil_etl_spark.operators.udaf import mean_pool
 from nocouncil_etl_spark.registry import query
@@ -58,8 +59,8 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_salted_skew",
-    oracle="""
-SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+    oracle=f"""
+SELECT event_type, count(*) AS n, {rsum_sql("value")} AS total
 FROM events
 GROUP BY event_type
 """,
@@ -72,8 +73,9 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     salted = ev.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(SALT_BUCKETS)))
     partial = salted.groupBy("event_type", "_salt").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+        F.count(F.lit(1)).alias("n"), exact_sum("value").alias("total")
     )
     return partial.groupBy("event_type").agg(
-        F.sum("n").alias("n"), F.round(F.sum("total"), 2).alias("total")
+        F.sum("n").alias("n"),
+        F.round(F.sum("total"), 2).cast("double").alias("total"),
     )

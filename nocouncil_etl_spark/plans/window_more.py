@@ -15,7 +15,10 @@ from nocouncil_etl_spark.registry import query
     "window_moving_avg",
     oracle="""
 SELECT event_id, user_id,
-       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       round(CAST(sum(CAST(value AS DECIMAL(18,6)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg,
        count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS frame_n
@@ -24,14 +27,18 @@ FROM events
 )
 def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-frame window: 4-row moving average per user — the smoothing
-    primitive for the time-series rollups."""
+    primitive for the time-series rollups. Mean = exact decimal frame sum /
+    frame count (window combine order is engine-internal, see
+    functions.numeric)."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    frame_sum = F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+    frame_n = F.count(F.lit(1)).over(w)
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.avg("value").over(w), 4).alias("mov_avg"),
-        F.count(F.lit(1)).over(w).alias("frame_n"),
+        F.round(frame_sum / frame_n, 4).alias("mov_avg"),
+        frame_n.alias("frame_n"),
     )
 
 

@@ -21,15 +21,19 @@ SESSION_GAP_MIN = 30
     oracle="""
 SELECT event_id, user_id,
        row_number() OVER w AS rn,
-       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING), 2) AS running_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,6)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_value
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3: explicit-order positional semantics — running sum + row_number per
-    user (replaces list-position logic at summarize.py:116-117,151-154)."""
+    user (replaces list-position logic at summarize.py:116-117,151-154).
+    Decimal-quantized accumulation: window-sum association order is
+    engine-internal (DuckDB uses segment trees, Spark accumulates in frame
+    order), so float prefix sums are not parity-safe — exact decimals are."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
@@ -37,8 +41,11 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.row_number().over(w).alias("rn"),
         F.round(
-            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
-        ).alias("running_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            2,
+        ).cast("double").alias("running_value"),
     )
 
 

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from nocouncil_etl_spark.functions.numeric import rsum
 from nocouncil_etl_spark.session import tune
 
 # events.parquet physical schema (ts = TIMESTAMP(NANOS) read as long — see io.load)
@@ -51,7 +52,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_to_memory(stream_df: DataFrame, mode: str = "append") -> DataFrame:
     """Drain a streaming frame synchronously into a memory sink; returns the
     result as a batch DataFrame. availableNow + processAllAvailable = the
-    exactly-once 'catch up then stop' cron replacement (T1/T3)."""
+    exactly-once 'catch up then stop' cron replacement (T1/T3).
+
+    The memory-sink table is copied into a local DataFrame and dropped before
+    returning, so repeated calls in a long session don't leak one buffered
+    temp view per query. (Memory sinks are a test/debug surface — bounded
+    result sets by definition — so the driver-side copy is safe.)"""
     name = f"mem_{uuid.uuid4().hex[:12]}"
     q = (
         stream_df.writeStream.outputMode(mode)
@@ -63,7 +69,10 @@ def run_to_memory(stream_df: DataFrame, mode: str = "append") -> DataFrame:
     q.processAllAvailable()
     q.stop()
     spark = stream_df.sparkSession
-    return spark.table(name)
+    sunk = spark.table(name)
+    out = spark.createDataFrame(sunk.collect(), sunk.schema)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def tumbling_agg(events: DataFrame, width: str = "10 minutes") -> DataFrame:
@@ -71,7 +80,7 @@ def tumbling_agg(events: DataFrame, width: str = "10 minutes") -> DataFrame:
     streaming (batch twin is the oracle)."""
     return (
         events.groupBy(F.window("ts", width).alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), rsum("value").alias("total"))
         .select(
             F.unix_micros(F.col("w.start")).alias("w_start_us"),
             "event_type",

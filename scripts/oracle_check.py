@@ -1,7 +1,8 @@
 """Driver-contract simulator: run entry() + every queries() entry against
 oracle_sql() via DuckDB, exactly like the verification driver.
 
-Usage: python scripts/oracle_check.py [sf_dir]     (default sf0.01)
+Usage: python scripts/oracle_check.py [sf_dir] [query_name ...]
+(default sf0.01, all queries; name args filter to a subset for fast iteration)
 Prints per-query status only on failure; final line is ALL MATCH or FAILED.
 """
 
@@ -39,6 +40,7 @@ def digest(cols, rows):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -54,6 +56,10 @@ def main() -> int:
     assert len(smoke) > 0
 
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    if only:
+        missing = only - set(qs)
+        assert not missing, f"unknown queries: {missing}"
+        qs = {k: v for k, v in qs.items() if k in only}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
