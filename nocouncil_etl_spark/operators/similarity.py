@@ -19,6 +19,8 @@ All kernels are pure column expressions (functions/vectors.py) — no UDFs.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -149,6 +151,21 @@ def knn_lsh(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+# Driver-side cap for the blocked strategy's query matrix. 64k × 64 dims ×
+# 8 B ≈ 32 MB — comfortably shippable in a task closure; beyond that the
+# query side belongs in a distributed strategy, not on the driver.
+MAX_BLOCKED_QUERIES = 65_536
+
+_SIX = Decimal("0.000001")
+
+
+def _round6_like_spark(x: float) -> float:
+    """Twin of Spark's Round(double, 6): HALF_UP on the shortest decimal
+    representation (BigDecimal.valueOf ≡ Python repr). np.round is half-even
+    on the binary value — close, but not the same rule at .5e-7 boundaries."""
+    return float(Decimal(repr(float(x))).quantize(_SIX, rounding=ROUND_HALF_UP))
+
+
 def knn_exact_blocked(
     queries: DataFrame,
     corpus: DataFrame,
@@ -162,38 +179,70 @@ def knn_exact_blocked(
     shape: the (small) query matrix is captured once and shipped to every
     task; each Arrow batch of corpus vectors scores against ALL queries with
     one numpy matmul and emits only its per-batch top-k candidates, so the
-    final window ranks ≤ k·|Q|·n_batches rows instead of |Q|·|C|.
+    final window ranks ≤ (k+1)·|Q|·n_batches rows instead of |Q|·|C|.
 
-    Same scores as knn_exact (float64 cosine, round 6) — the strategy ladder
-    entry between pure-expression exact and LSH."""
-    import numpy as np
-    import pandas as pd
-
-    q_rows = queries.select(q_id, q_vec).collect()
+    Result-identical to knn_exact (same oracle), including edges:
+    - the query side is size-guarded (MAX_BLOCKED_QUERIES) — a larger query
+      set fails fast with a pointer at knn_lsh/knn_partitioned instead of
+      OOMing the driver;
+    - zero-norm vectors score null (knn_exact's F.when), ranked last;
+    - emitted sims use Spark's HALF_UP rounding rule, not np.round;
+    - per-batch pruning keeps every candidate within 1e-6 (one rounding
+      ulp at 6dp) of the batch's k-th best, so a candidate that would
+      round-tie into the global top-k is never dropped: anything pruned
+      rounds strictly below ≥ k same-batch survivors."""
+    q_rows = queries.select(q_id, q_vec).limit(MAX_BLOCKED_QUERIES + 1).collect()
+    if len(q_rows) > MAX_BLOCKED_QUERIES:
+        raise ValueError(
+            f"knn_exact_blocked materializes the query side on the driver and "
+            f"got more than {MAX_BLOCKED_QUERIES} query rows; for large query "
+            "sets use knn_lsh or knn_partitioned (bucketed equi-joins that "
+            "never leave the cluster)."
+        )
     q_ids = np.array([r[q_id] for r in q_rows])
     qm = np.array([r[q_vec] for r in q_rows], dtype=np.float64)
-    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    q_norm = np.linalg.norm(qm, axis=1, keepdims=True)
+    q_zero = (q_norm == 0).ravel()
+    qm = np.divide(qm, q_norm, out=np.zeros_like(qm), where=q_norm != 0)
 
     def score(batches):
         for pdf in batches:
             cm = np.vstack(pdf[c_vec].to_numpy()).astype(np.float64)
-            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            c_norm = np.linalg.norm(cm, axis=1, keepdims=True)
+            c_zero = (c_norm == 0).ravel()
+            cm = np.divide(cm, c_norm, out=np.zeros_like(cm), where=c_norm != 0)
             sims = cm @ qm.T  # (batch, |Q|)
+            # undefined cosines (zero norm) rank last, surface as null
+            sims[c_zero, :] = -np.inf
+            sims[:, q_zero] = -np.inf
             c_ids = pdf[c_id].to_numpy()
-            out = {q_id: [], c_id: [], "sim": []}
+            out_q, out_c, out_s = [], [], []
             top = min(k + 1, len(c_ids))  # +1 absorbs the self-match
             for j in range(qm.shape[0]):
                 col = sims[:, j]
-                idx = np.argpartition(-col, top - 1)[:top]
-                out[q_id].extend([q_ids[j]] * len(idx))
-                out[c_id].extend(c_ids[idx])
-                out["sim"].extend(np.round(col[idx], 6))
-            yield pd.DataFrame(out)
+                finite = np.nonzero(np.isfinite(col))[0]
+                if len(finite) >= top:
+                    vals = col[finite]
+                    kth = np.partition(vals, len(vals) - top)[len(vals) - top]
+                    idx = finite[vals >= kth - 1e-6]
+                else:
+                    # fewer than `top` defined sims: keep them all, plus the
+                    # smallest-c_id null rows (the window's null tie-break)
+                    nulls = np.nonzero(~np.isfinite(col))[0]
+                    pick = nulls[np.argsort(c_ids[nulls])[: top - len(finite)]]
+                    idx = np.concatenate([finite, pick])
+                out_q.extend([q_ids[j]] * len(idx))
+                out_c.extend(c_ids[idx])
+                out_s.extend(
+                    _round6_like_spark(s) if np.isfinite(s) else None
+                    for s in col[idx]
+                )
+            yield pd.DataFrame({q_id: out_q, c_id: out_c, "sim": out_s})
 
     candidates = corpus.select(c_id, c_vec).mapInPandas(
         score, schema=f"{q_id} long, {c_id} long, sim double"
     )
-    w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id))
+    w = Window.partitionBy(q_id).orderBy(F.col("sim").desc_nulls_last(), F.col(c_id))
     return (
         candidates.filter(F.col(q_id) != F.col(c_id))
         .withColumn("rk", F.row_number().over(w))

@@ -37,8 +37,18 @@ def tree_reduce(
     if combine is None:
         combine = lambda arr: F.array_join(arr, " ")  # noqa: E731
 
+    # level count is known up front: ceil(log_fan_in(max group size)). One
+    # cheap count job here replaces an isEmpty() driver round-trip per level.
+    max_n = (
+        df.groupBy(key).count().agg(F.max("count").alias("m")).first()["m"] or 0
+    )
+    levels, n = 0, int(max_n)
+    while n > 1 and levels < max_levels:
+        n = -(-n // fan_in)  # ceil-div
+        levels += 1
+
     out = df.select(key, F.col(pos).cast("long").alias(pos), value)
-    for _ in range(max_levels):
+    for _ in range(levels):
         # one reduce level: bucket consecutive items, combine each bucket
         w = Window.partitionBy(key).orderBy(pos)
         leveled = out.withColumn("_rn", F.row_number().over(w) - 1).withColumn(
@@ -50,7 +60,4 @@ def tree_reduce(
         out = leveled.groupBy(key, "_bucket").agg(
             combine(ordered_vals).alias(value), F.min(pos).alias(pos)
         ).select(key, pos, value)
-        # done when every key has a single row; cheap check on a shrinking frame
-        if out.groupBy(key).count().filter(F.col("count") > 1).isEmpty():
-            break
     return out.select(key, value)

@@ -171,7 +171,12 @@ def vectorize_stage(summaries: DataFrame, media: DataFrame) -> DataFrame:
 
 
 def topk_stage(index: DataFrame, query_text: str, k: int = 5) -> DataFrame:
-    """E3: embed the query with the same backend, exact cosine top-k."""
+    """E3: embed the query with the same backend, exact cosine top-k.
+
+    Global top-k goes through orderBy().limit(k) — planned as
+    TakeOrderedAndProject (per-partition heaps + driver merge of k rows),
+    never a single-partition window over the whole scored index. The rank
+    window that numbers the survivors runs over k rows only."""
     from nocouncil_etl_spark.functions.vectors import cosine
 
     spark = index.sparkSession
@@ -181,8 +186,9 @@ def topk_stage(index: DataFrame, query_text: str, k: int = 5) -> DataFrame:
     scored = index.crossJoin(F.broadcast(q)).select(
         "id", "document", F.round(cosine("embedding", "q_vec"), 6).alias("sim")
     )
-    w = Window.orderBy(F.col("sim").desc(), "id")
-    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    top = scored.orderBy(F.col("sim").desc(), "id").limit(k)
+    w = Window.orderBy(F.col("sim").desc(), "id")  # input bounded to k rows
+    return top.withColumn("rk", F.row_number().over(w))
 
 
 def council_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

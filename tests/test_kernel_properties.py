@@ -108,3 +108,42 @@ def test_simhash_bit_rule_is_order_invariant(ws):
         return "".join(bits)
 
     assert simhash(ws) == simhash(list(reversed(ws)))
+
+
+def test_knn_blocked_guards_large_query_side(spark, monkeypatch):
+    """A query side larger than the driver-capture cap must fail fast with
+    guidance toward the distributed strategies, not OOM the driver."""
+    import pytest
+
+    from nocouncil_etl_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "MAX_BLOCKED_QUERIES", 3)
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)], "q_id long, q_vec array<double>"
+    )
+    corpus = vecs.select(
+        vecs.q_id.alias("c_id"), vecs.q_vec.alias("c_vec")
+    )
+    with pytest.raises(ValueError, match="knn_lsh"):
+        similarity.knn_exact_blocked(vecs, corpus, k=2)
+
+
+def test_knn_blocked_zero_norm_scores_null(spark):
+    """Zero-norm vectors have undefined cosine: sim must surface as null and
+    rank last — matching knn_exact's F.when(null) semantics."""
+    from nocouncil_etl_spark.operators.similarity import knn_exact, knn_exact_blocked
+
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.0]), (3, [1.0, 1.0])]
+    q = spark.createDataFrame(rows, "q_id long, q_vec array<double>")
+    c = spark.createDataFrame(
+        [(i, v) for i, v in rows], "c_id long, c_vec array<double>"
+    )
+    exact = {
+        (r.q_id, r.rk): (r.c_id, r.sim)
+        for r in knn_exact(q, c, k=3).collect()
+    }
+    blocked = {
+        (r.q_id, r.rk): (r.c_id, r.sim)
+        for r in knn_exact_blocked(q, c, k=3).collect()
+    }
+    assert blocked == exact

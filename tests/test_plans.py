@@ -83,3 +83,15 @@ def test_aggregates_are_partial_final(spark, sf_dir):
 def test_topn_uses_take_ordered(spark, sf_dir):
     p = plan_of(REGISTRY["top_n_orders"].fn(spark, sf_dir), mode="simple")
     assert "TakeOrderedAndProject" in p  # no global sort for ORDER BY+LIMIT
+
+
+def test_topk_stage_uses_take_ordered(spark, sf_dir):
+    """The pipeline's global top-k must plan as TakeOrderedAndProject
+    (per-partition heaps, k-row driver merge) — not a single-partition
+    window over the whole scored index; the rank window's input is bounded
+    to the k survivors."""
+    from nocouncil_etl_spark.pipelines.council import council_pipeline, topk_stage
+
+    index = council_pipeline(spark, sf_dir)
+    p = plan_of(topk_stage(index, "spark query window", k=5), mode="simple")
+    assert "TakeOrderedAndProject" in p
