@@ -67,11 +67,23 @@ class Engine:
 
     # --- vectors ------------------------------------------------------------
 
-    def embed(self, df: DataFrame, text_col: str) -> DataFrame:
+    def embed(
+        self, df: DataFrame, text_col: str, backend: str | None = None
+    ) -> DataFrame:
+        """E1 embedding; backend = 'hash' (deterministic default) or
+        'sentence_transformers' (MiniLM-384 production twin), resolved from
+        session conf spark.nocouncil_etl_spark.embedBackend when not given.
+        The Spark plan is identical across backends (operators/backends.py)."""
+        from nocouncil_etl_spark.operators.backends import (
+            EMBED_HASH,
+            make_embed_udf,
+            resolve_backend,
+        )
         from nocouncil_etl_spark.operators.vector_index import add_embeddings
-        from nocouncil_etl_spark.operators.models import embed_text_udf
 
-        return add_embeddings(df, text_col, embed_text_udf)
+        if backend is None:
+            backend = resolve_backend(self.spark, "embedBackend", EMBED_HASH)
+        return add_embeddings(df, text_col, make_embed_udf(backend))
 
     def search(
         self,
