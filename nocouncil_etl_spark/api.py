@@ -94,14 +94,18 @@ class Engine:
         **cols,
     ) -> DataFrame:
         """Top-k similarity with the strategy ladder: 'exact' (expression),
-        'blocked' (Arrow matmul), 'lsh' (bucketed ANN) — SURVEY §4.2-1's
-        API-level strategy switch."""
+        'blocked' (Arrow matmul), 'lsh' (one signature table), 'lsh_multi'
+        (OR-amplified, L tables — the high-recall ANN), 'ivf' (centroid
+        probing; pass part_col=..., nprobe=...) — SURVEY §4.2-1's API-level
+        strategy switch."""
         from nocouncil_etl_spark.operators import similarity as S
 
         fn = {
             "exact": S.knn_exact,
             "blocked": S.knn_exact_blocked,
             "lsh": S.knn_lsh,
+            "lsh_multi": S.knn_lsh_multi,
+            "ivf": S.knn_ivf_probe,
         }[strategy]
         return fn(queries, corpus, k, **cols)
 

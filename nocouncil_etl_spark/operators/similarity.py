@@ -33,11 +33,27 @@ LSH_SEED = 42
 LSH_PLANES = 8
 LSH_DIM = 64
 
-# Deterministic hyperplane matrix, shared by the Spark plan and the generated
-# oracle SQL (plans/vectors_plans.py embeds the same literals).
-_rng = np.random.default_rng(LSH_SEED)
-HYPERPLANES: list[list[float]] = [
-    [round(float(x), 6) for x in _rng.standard_normal(LSH_DIM)] for _ in range(LSH_PLANES)
+# OR-amplification: L independent, identically-seeded-apart signature tables.
+# Fewer planes per table than the single-table path (wider buckets) × more
+# tables = the recall knob; candidates are the UNION over tables, so recall
+# compounds as 1-(1-p^r)^L while cost stays a bucketed equi-join.
+LSH_MULTI_TABLES = 4
+LSH_MULTI_PLANES = 6
+
+
+def _planes(seed: int, n_planes: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return [
+        [round(float(x), 6) for x in rng.standard_normal(LSH_DIM)]
+        for _ in range(n_planes)
+    ]
+
+
+# Deterministic hyperplane matrices, shared by the Spark plan and the
+# generated oracle SQL (plans/vectors_plans.py embeds the same literals).
+HYPERPLANES: list[list[float]] = _planes(LSH_SEED, LSH_PLANES)
+HYPERPLANES_MULTI: list[list[list[float]]] = [
+    _planes(LSH_SEED + t, LSH_MULTI_PLANES) for t in range(LSH_MULTI_TABLES)
 ]
 
 
@@ -66,6 +82,28 @@ def lsh_signature_udf(vecs: pd.Series) -> pd.Series:
     mat = np.vstack(vecs.to_numpy()).astype(np.float64)  # (N, D)
     signs = (mat @ _PLANES_MAT.T) >= 0  # (N, P)
     return pd.Series(["".join("1" if b else "0" for b in row) for row in signs])
+
+
+# (L·P, D) — all tables' planes stacked for one matmul per batch
+_MULTI_MAT = np.array(
+    [p for table in HYPERPLANES_MULTI for p in table], dtype=np.float64
+)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def lsh_multi_signature_udf(vecs: pd.Series) -> pd.Series:
+    """All L table signatures per vector in ONE matmul; each key is
+    't#bits' so different tables can never collide in the bucket join."""
+    mat = np.vstack(vecs.to_numpy()).astype(np.float64)  # (N, D)
+    signs = (mat @ _MULTI_MAT.T) >= 0  # (N, L·P)
+    out = []
+    for row in signs:
+        keys = []
+        for t in range(LSH_MULTI_TABLES):
+            bits = row[t * LSH_MULTI_PLANES : (t + 1) * LSH_MULTI_PLANES]
+            keys.append(f"{t}#" + "".join("1" if b else "0" for b in bits))
+        out.append(keys)
+    return pd.Series(out)
 
 
 def knn_exact(
@@ -142,6 +180,108 @@ def knn_lsh(
         "_cn", l2_norm(c_vec)
     )
     pairs = c.join(F.broadcast(q), on="bucket").filter(F.col(q_id) != F.col(c_id))
+    sim = F.when(
+        F.col("_qn") * F.col("_cn") != 0,
+        dot(q_vec, c_vec) / (F.col("_qn") * F.col("_cn")),
+    )
+    scored = pairs.select(q_id, c_id, F.round(sim, 6).alias("sim"))
+    w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def knn_lsh_multi(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """LSH ANN with OR-amplification over L signature tables: a pair is a
+    candidate if it collides in ANY table, so recall compounds as
+    1-(1-p^r)^L instead of p^r (single table). Plan shape per table is
+    unchanged — explode L bucket keys (narrow map), one equi-join on the
+    key, pair-dedup, verify — so the 100 TB story is the single-table one
+    ×L, never quadratic. The recall-vs-candidates trade is measured in
+    SCALE.md and property-tested against the exact kernel."""
+    q = queries.withColumn(
+        "bucket", F.explode(lsh_multi_signature_udf(q_vec))
+    ).withColumn("_qn", l2_norm(q_vec))
+    c = corpus.withColumn(
+        "bucket", F.explode(lsh_multi_signature_udf(c_vec))
+    ).withColumn("_cn", l2_norm(c_vec))
+    pairs = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col(q_id) != F.col(c_id))
+        # OR over tables: a pair colliding in several tables scores once
+        .dropDuplicates([q_id, c_id])
+    )
+    sim = F.when(
+        F.col("_qn") * F.col("_cn") != 0,
+        dot(q_vec, c_vec) / (F.col("_qn") * F.col("_cn")),
+    )
+    scored = pairs.select(q_id, c_id, F.round(sim, 6).alias("sim"))
+    w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def knn_ivf_probe(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    part_col: str,
+    nprobe: int = 2,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """IVF with real centroid probing, nprobe ≥ 1: build per-partition
+    centroids (exact decimal-mean per dimension, rounded 6dp so centroid
+    values are combine-order-independent and oracle-stable), rank
+    partitions per query by cosine to the centroid, probe the top
+    ``nprobe``, then top-k within the probed candidates.
+
+    Stage shapes: centroid build = explode(dims) + partial+final agg (tiny
+    result: |partitions|·dims rows); probe ranking = broadcast of the
+    centroid table against queries; candidate join = equi-join on the
+    partition key, nprobe rows per query — linear everywhere, the knob
+    between knn_partitioned (nprobe=1) and exact."""
+    from nocouncil_etl_spark.functions.numeric import ravg
+
+    cexp = corpus.select(
+        F.col(part_col), F.posexplode(as_double(c_vec)).alias("pos", "x")
+    )
+    cent = (
+        cexp.groupBy(part_col, "pos")
+        .agg(ravg("x", 6).alias("m"))
+        .groupBy(part_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+            ).alias("cv")
+        )
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cent.withColumnRenamed(part_col, "_probe")))
+        .withColumn("_csim", F.round(cosine(q_vec, "cv"), 6))
+        .withColumn(
+            "_crk",
+            F.row_number().over(
+                Window.partitionBy(q_id).orderBy(
+                    F.col("_csim").desc_nulls_last(), F.col("_probe")
+                )
+            ),
+        )
+        .filter(F.col("_crk") <= nprobe)
+        .select(q_id, q_vec, F.col("_probe").alias(part_col))
+        .withColumn("_qn", l2_norm(q_vec))
+    )
+    cn = corpus.withColumn("_cn", l2_norm(c_vec))
+    pairs = cn.join(F.broadcast(probes), on=part_col).filter(
+        F.col(q_id) != F.col(c_id)
+    )
     sim = F.when(
         F.col("_qn") * F.col("_cn") != 0,
         dot(q_vec, c_vec) / (F.col("_qn") * F.col("_cn")),

@@ -13,9 +13,12 @@ from nocouncil_etl_spark.functions.vectors import cosine, dot, l2_norm
 from nocouncil_etl_spark.io import load
 from nocouncil_etl_spark.operators.similarity import (
     HYPERPLANES,
+    HYPERPLANES_MULTI,
     knn_exact,
     knn_exact_blocked,
+    knn_ivf_probe,
     knn_lsh,
+    knn_lsh_multi,
     knn_partitioned,
 )
 from nocouncil_etl_spark.registry import query
@@ -183,6 +186,112 @@ def vec_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_lsh(queries.drop("label"), corpus.drop("label"), K).select(
         "q_id", "c_id", "sim", "rk"
     )
+
+
+def _multi_planes_sql() -> str:
+    """All L tables' hyperplanes as one literal relation."""
+    rows = ",\n    ".join(
+        f"({t}, {pi}, {plane}::DOUBLE[])"
+        for t, table in enumerate(HYPERPLANES_MULTI)
+        for pi, plane in enumerate(table)
+    )
+    return f"(VALUES\n    {rows}\n) mp(table_id, plane_id, plane)"
+
+
+_BUCKET_MULTI_SQL = f"""
+SELECT e.vec_id, e.v,
+       mp.table_id || '#' ||
+       string_agg(CASE WHEN list_dot_product(e.v, mp.plane) >= 0 THEN '1' ELSE '0' END,
+                  '' ORDER BY mp.plane_id) AS bucket
+FROM ({_E_DOUBLE}) e CROSS JOIN {_multi_planes_sql()}
+GROUP BY e.vec_id, e.v, mp.table_id
+"""
+
+
+@query(
+    "vec_knn_lsh_multi",
+    oracle=f"""
+WITH bm AS ({_BUCKET_MULTI_SQL}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
+  FROM (SELECT * FROM bm WHERE vec_id % {QUERY_MOD} = 0) a
+  JOIN bm b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+e AS ({_E_DOUBLE}),
+scored AS (
+  SELECT cand.q_id, cand.c_id, {_COS} AS sim
+  FROM cand
+  JOIN e a ON a.vec_id = cand.q_id
+  JOIN e b ON b.vec_id = cand.c_id
+)
+SELECT q_id, c_id, sim, rk FROM (
+  SELECT q_id, c_id, sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rk
+  FROM scored
+) WHERE rk <= {K}
+""",
+)
+def vec_knn_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 approximate path with OR-amplification: candidates collide in ANY
+    of L=4 six-plane signature tables (recall 1-(1-p^6)^4 vs the single
+    table's p^8), still a bucketed equi-join per table — the recall knob
+    that keeps the 100 TB shape. Measured against exact in SCALE.md."""
+    queries, corpus = _query_corpus(spark, sf_dir)
+    return knn_lsh_multi(queries.drop("label"), corpus.drop("label"), K).select(
+        "q_id", "c_id", "sim", "rk"
+    )
+
+
+@query(
+    "vec_knn_ivf_probe2",
+    oracle=f"""
+WITH e AS ({_E_DOUBLE}),
+cexp AS (
+  SELECT label, unnest(v) AS x,
+         CAST(unnest(range(0, len(v))) AS INT) AS pos
+  FROM e
+),
+cent AS (
+  SELECT label, pos,
+         round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(x), 6) AS m
+  FROM cexp GROUP BY 1, 2
+),
+centv AS (SELECT label, list(m ORDER BY pos) AS cv FROM cent GROUP BY label),
+probes AS (
+  SELECT q_id, label FROM (
+    SELECT a.vec_id AS q_id, c.label,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round(list_dot_product(a.v, c.cv)
+                            / (sqrt(list_dot_product(a.v, a.v))
+                               * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                      c.label
+           ) AS crk
+    FROM (SELECT * FROM e WHERE vec_id % {QUERY_MOD} = 0) a CROSS JOIN centv c
+  ) WHERE crk <= 2
+),
+scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS c_id, {_COS} AS sim
+  FROM (SELECT * FROM e WHERE vec_id % {QUERY_MOD} = 0) a
+  JOIN probes p ON p.q_id = a.vec_id
+  JOIN e b ON b.label = p.label AND b.vec_id <> a.vec_id
+)
+SELECT q_id, c_id, sim, rk FROM (
+  SELECT q_id, c_id, sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rk
+  FROM scored
+) WHERE rk <= {K}
+""",
+)
+def vec_knn_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 scale path, real IVF probing: per-label centroids (exact decimal
+    per-dim means, order-independent), rank labels per query by centroid
+    cosine, probe the top 2 — the nprobe knob between knn_partitioned
+    (nprobe=1 on the query's own label) and exact search."""
+    queries, corpus = _query_corpus(spark, sf_dir)
+    return knn_ivf_probe(
+        queries.drop("label"), corpus, K, part_col="label", nprobe=2
+    ).select("q_id", "c_id", "sim", "rk")
 
 
 @query(

@@ -115,3 +115,38 @@ def test_embedding_udf_matches_kernel(spark, sf_dir):
         vec = hash_projection_embed(row.text)
         expect = tuple(round(x, 6) for x in vec[:4])
         assert got[row.doc_id] == expect
+
+
+def test_lsh_multi_table_recall_amplification(spark, sf_dir):
+    """OR-amplification must lift near-duplicate recall ≥0.9 where the
+    single 8-plane table sits lower (~0.76-0.78 on this corpus): a planted
+    near-dup (cosine ≈ 0.995) collides per table w.p. ~0.955^planes, so
+    L=4 six-plane tables give 1-(1-0.758)^4 ≈ 0.997 vs 0.955^8 ≈ 0.69.
+    Deterministic (fixed seeds, fixed data) — no flake margin needed."""
+    from pyspark.sql import functions as F
+
+    from nocouncil_etl_spark.io import load
+    from nocouncil_etl_spark.operators.similarity import (
+        knn_lsh,
+        knn_lsh_multi,
+        perturb,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    queries = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("q_id"),
+        perturb("v", 0.1, F.lit(63)).alias("q_vec"),
+    )
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_vec"))
+    n_q = queries.count()
+
+    def recall(fn):
+        top = fn(queries, corpus, 3).collect()
+        return sum(1 for r in top if r.c_id == r.q_id - 100000) / n_q
+
+    single, multi = recall(knn_lsh), recall(knn_lsh_multi)
+    assert single < 0.9  # the gap amplification exists to close
+    assert multi >= 0.9
+    assert multi > single
