@@ -34,8 +34,11 @@ HEADLINE: list[str] = [
     "vec_knn_exact",         # brute-force cosine top-k (pure expression)
     "vec_knn_blocked",       # blocked-matmul exact top-k (Arrow + numpy)
     "vec_knn_lsh",           # LSH-bucketed ANN
+    "vec_knn_lsh_multi",     # OR-amplified multi-table ANN (the recall path)
     "model_embed_hashproj",  # Arrow pandas_udf path
     "text_quality",          # HOF-heavy text scoring
+    "curation_e2e",          # full training-data curation DAG (north star)
+    "pipeline_council_e2e",  # whole council DAG: transcribe→summarize→embed
 ]
 
 
