@@ -19,21 +19,24 @@ from pyspark.sql import functions as F
 def mean_pool(
     df: DataFrame, key: str, vec_col: str, out_dims: int
 ) -> DataFrame:
-    """Per-key mean of vector columns, deterministic (rows sorted by all
-    scalar columns before pooling so float summation order is fixed)."""
+    """Per-key mean of vector columns, order-independent: components are
+    quantized to the DECIMAL(18,6) grid (×1e6 → int64) and summed exactly,
+    so the pooled mean is identical whatever order rows reach the group —
+    the applyInPandas analogue of functions.numeric's decimal sums, and the
+    same grid the SQL oracle uses."""
     schema = f"{key} long, " + ", ".join(f"p{i} double" for i in range(out_dims))
 
     def pool(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_ord")
-        mat = np.vstack(pdf[vec_col].to_numpy())
-        pooled = mat.mean(axis=0)
+        mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        q = np.round(mat * 1e6).astype(np.int64)  # exact integer micro-grid
+        pooled = (q.sum(axis=0) / 1e6) / len(q)
         row = {key: pdf[key].iloc[0]}
         row.update({f"p{i}": float(pooled[i]) for i in range(out_dims)})
         return pd.DataFrame([row])
 
-    # deterministic order: sort by a value derived from the data, not task order
-    with_ord = df.select(F.col(key), F.col(vec_col), F.hash(vec_col).alias("_ord"))
-    return with_ord.groupBy(key).applyInPandas(pool, schema=schema)
+    return df.select(F.col(key), F.col(vec_col)).groupBy(key).applyInPandas(
+        pool, schema=schema
+    )
 
 
 try:  # Python UDTF (Spark 3.5+): one markdown blob in → (key, value) rows out

@@ -26,7 +26,11 @@ SALT_BUCKETS = 8
     oracle=f"""
 WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT label,
-       {", ".join(f"round(avg(v[{i + 1}]), 6) AS p{i}" for i in range(POOL_DIMS))}
+       {", ".join(
+           f"round(CAST(sum(CAST(v[{i + 1}] AS DECIMAL(18,6))) AS DOUBLE)"
+           f" / count(*), 6) AS p{i}"
+           for i in range(POOL_DIMS)
+       )}
 FROM e
 GROUP BY label
 """,

@@ -95,3 +95,12 @@ def test_topk_stage_uses_take_ordered(spark, sf_dir):
     index = council_pipeline(spark, sf_dir)
     p = plan_of(topk_stage(index, "spark query window", k=5), mode="simple")
     assert "TakeOrderedAndProject" in p
+
+
+def test_q8_single_fact_shuffle(spark, sf_dir):
+    """Q8's seven joins must resolve to broadcasts except orders⋈lineitem:
+    exactly one SortMergeJoin/ShuffledHashJoin in the plan."""
+    p = plan_of(REGISTRY["tpch_q8_market_share"].fn(spark, sf_dir), mode="simple")
+    shuffles = p.count("SortMergeJoin") + p.count("ShuffledHashJoin")
+    assert shuffles <= 1, p
+    assert p.count("BroadcastHashJoin") >= 3
