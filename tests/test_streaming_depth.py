@@ -123,3 +123,41 @@ def test_late_data_outside_watermark_dropped(spark, sf_dir, tmp_path):
     # is that the query completes and emits only finalized windows
     assert out.count() > 0
     assert out.filter(F.col("event_type") == "late").count() <= 1
+
+
+def test_stream_session_window_append_finalizes_under_watermark(spark, sf_dir):
+    """Session windows on a real stream in APPEND mode: only sessions the
+    watermark has closed are emitted, and every emitted session matches the
+    batch twin exactly. Sessions within the final watermark horizon
+    (max_ts - 1h) legitimately stay in state at stream end."""
+    from nocouncil_etl_spark.streaming.windows import session_agg
+
+    events = read_events_stream(spark, sf_dir)
+    out = run_to_memory(
+        session_agg(events.withWatermark("ts", "1 hour")), mode="append"
+    )
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us): r.n_events
+        for r in out.collect()
+    }
+    batch = session_agg(load(spark, sf_dir, "events"))
+    expect = {
+        (r.user_id, r.session_start_us, r.session_end_us): r.n_events
+        for r in batch.collect()
+    }
+    # append-mode output is a subset: all finalized sessions, none mutated
+    assert got, "no session finalized — watermark never advanced"
+    for k, v in got.items():
+        assert expect.get(k) == v, f"finalized session {k} disagrees with batch"
+    # everything older than the final watermark horizon must have been emitted
+    mx = load(spark, sf_dir, "events").agg(F.max(F.unix_micros("ts"))).first()[0]
+    horizon = mx - 3600 * 1_000_000
+    missing = {
+        k for k in expect if k not in got and expect_end_before(k, horizon)
+    }
+    assert not missing, f"sessions past the watermark not emitted: {missing}"
+
+
+def expect_end_before(key, horizon_us):
+    _, _, session_end_us = key
+    return session_end_us < horizon_us
