@@ -235,6 +235,61 @@ def lsh_candidate_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Min-label propagation over an undirected pair graph → (node,
+    component), component = smallest reachable node id.
+
+    This is the step between near-dup PAIRS and actual dedup CLUSTERS: LSH
+    emits (a,b) matches; picking one canonical doc per transitive group
+    (a~b, b~c ⇒ {a,b,c}) is a connected-components problem. The reference
+    drops duplicates pairwise (article_vectorize.py:361-363) and silently
+    over/under-keeps on chains; this closes them.
+
+    Each level is one equi-join + min-aggregate; the driver loop stops when
+    a fixpoint is reached (one `limit(1).count()` probe per level). Dedup
+    graphs have tiny diameters (clusters are near-cliques), so iterations
+    ≈ 2-4 in practice; `max_iters` bounds pathological chains. Labels are
+    persisted per level and the previous level dropped, so lineage and
+    cache stay O(1) in iteration count."""
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        prop = sym.join(labels, sym.a == labels.node).select(
+            F.col("b").alias("node"), "comp"
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("comp", "_old"), "node"
+            )
+            .filter(F.col("comp") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def lsh_near_duplicates(
     df: DataFrame,
     id_col: str,

@@ -208,3 +208,72 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "id_a")
         .select("id_a", "id_b", F.round(jaccard(F.col("sa"), F.col("sb")), 4).alias("jaccard"))
     )
+
+
+def _fp_sql(gram: int) -> str:
+    """DuckDB twin of functions.text.fingerprint(ws, gram, 16)."""
+    return f"""CASE WHEN len(w) >= {gram} THEN
+         list_aggregate(
+           list_transform(range(1, len(w) - {gram - 2}),
+                          i -> substr(md5(array_to_string(w[i:i+{gram - 1}], ' ')), 1, 16)),
+           'min')
+       ELSE substr(md5(array_to_string(w, ' ')), 1, 16) END"""
+
+
+@query(
+    "dedup_cluster_components",
+    oracle=f"""
+WITH RECURSIVE ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+fps AS (SELECT doc_id, {_fp_sql(4)} AS fp4, {_fp_sql(5)} AS fp5 FROM ws),
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM fps a JOIN fps b ON a.fp4 = b.fp4 AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id
+  FROM fps a JOIN fps b ON a.fp5 = b.fp5 AND a.doc_id < b.doc_id
+),
+sym AS (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT s.b AS node, reach.r FROM reach JOIN sym s ON s.a = reach.node
+)
+SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node
+""",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → transitive dedup CLUSTERS via min-label-propagation
+    connected components (operators/dedup.connected_components). Edges =
+    docs agreeing on either the 4-gram or the 5-gram rolling fingerprint,
+    so transitivity is non-trivial (A~B on one key, B~C on the other ⇒ one
+    cluster). The oracle computes the same components with a recursive CTE.
+    At scale: per-level equi-join + min-agg, diameter-bounded iterations —
+    the canonical-representative step every dedup pipeline needs between
+    pair generation and row dropping."""
+    from nocouncil_etl_spark.functions.text import fingerprint
+    from nocouncil_etl_spark.operators.dedup import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id",
+        fingerprint(F.split("text", " "), gram=4, width=16).alias("fp4"),
+        fingerprint(F.split("text", " "), gram=5, width=16).alias("fp5"),
+    )
+
+    def pairs_on(col: str) -> DataFrame:
+        a = fps.select(F.col("doc_id").alias("src"), F.col(col).alias("_k"))
+        b = fps.select(F.col("doc_id").alias("dst"), F.col(col).alias("_k"))
+        return (
+            a.join(b, "_k")
+            .filter(F.col("src") < F.col("dst"))
+            .select("src", "dst")
+        )
+
+    edges = pairs_on("fp4").unionByName(pairs_on("fp5")).dropDuplicates(
+        ["src", "dst"]
+    )
+    comp = connected_components(edges)
+    return comp.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))

@@ -147,3 +147,15 @@ def test_knn_blocked_zero_norm_scores_null(spark):
         for r in knn_exact_blocked(q, c, k=3).collect()
     }
     assert blocked == exact
+
+
+def test_connected_components_closes_chains(spark):
+    """A~B, B~C, D~E must yield two components {A,B,C} and {D,E} labeled by
+    their min node — pairwise dropping would miss the A~C closure."""
+    from nocouncil_etl_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 4), (7, 6), (6, 8), (8, 9)], "src long, dst long"
+    )
+    got = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 6, 8: 6, 9: 6}
