@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.functions.numeric import exact_sum, rsum_sql
+from nocouncil_etl_spark.functions.numeric import exact_sum, rsum, rsum_sql
 from nocouncil_etl_spark.io import load
 from nocouncil_etl_spark.operators.udaf import mean_pool
 from nocouncil_etl_spark.registry import query
@@ -82,4 +82,36 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("event_type").agg(
         F.sum("n").alias("n"),
         F.round(F.sum("total"), 2).cast("double").alias("total"),
+    )
+
+
+@query(
+    "join_salted_skew",
+    oracle=f"""
+SELECT n.n_name, count(*) AS n, {rsum_sql("e.value")} AS total
+FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew idiom, join edition (SURVEY §4.1): salt the fact side
+    (pmod(event_id, SALT)), explode the dim side over the salt range, and
+    equi-join on (key, salt) — a hot key spreads over SALT reducers instead
+    of melting one. Result-identical to the plain join (the oracle IS the
+    plain join). The shuffle-merge hint forces the shuffle path the idiom
+    exists for — a broadcast-able dim wouldn't need salting."""
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 25).alias("nk"),
+        F.pmod(F.col("event_id"), F.lit(SALT_BUCKETS)).alias("_salt"),
+        "value",
+    )
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"),
+        "n_name",
+        F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1))).alias("_salt"),
+    )
+    return (
+        ev.join(n.hint("shuffle_merge"), ["nk", "_salt"])
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n"), rsum("value").alias("total"))
     )
