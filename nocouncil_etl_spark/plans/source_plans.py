@@ -90,3 +90,62 @@ def source_frontmatter_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(meta, "lang").alias("lang_meta"),
         frontmatter_body("raw").alias("body"),
     )
+
+
+@query(
+    "io_json_array_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def io_json_array_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2+S2: catalog table → whole-file JSON-array state write → multiLine
+    read-back with a declared schema (the articles.json state cycle at
+    newscrawler.py:90-145). Matching the direct-parquet oracle proves the
+    state write/read is lossless."""
+    from nocouncil_etl_spark.sources.jsonl import read_json_array, write_json_array_state
+
+    out = os.path.join(
+        tempfile.gettempdir(), "nocouncil_etl_spark_scratch", "nation_state.json"
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    write_json_array_state(n, out)
+    return read_json_array(
+        spark, out, "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+    ).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
+    "vec_index_upsert",
+    oracle="""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+state AS (SELECT id, 1 AS version, v FROM e),
+updates AS (
+  SELECT id, 2 AS version, list_transform(v, x -> x * 2.0) AS v
+  FROM e WHERE id < 50
+),
+merged AS (
+  SELECT id, version, v FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY version DESC) AS rn
+    FROM (SELECT * FROM state UNION ALL SELECT * FROM updates)
+  ) WHERE rn = 1
+)
+SELECT id, version, round(v[1], 6) AS e0 FROM merged
+""",
+)
+def vec_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 in the driver gate: keep-latest upsert into the vector table
+    ("duplicates will be updated", article_vectorize.py:361-363) — rows with
+    a newer version replace the stored embedding, everything else survives."""
+    from nocouncil_etl_spark.functions.vectors import as_double, scale
+    from nocouncil_etl_spark.operators.vector_index import upsert_vectors
+
+    e = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), as_double("embedding").alias("v")
+    )
+    state = e.withColumn("version", F.lit(1))
+    updates = e.filter(F.col("id") < 50).select(
+        "id", scale("v", F.lit(2.0)).alias("v"), F.lit(2).alias("version")
+    )
+    merged = upsert_vectors(state, updates, id_col="id", version_col="version")
+    return merged.select(
+        "id", "version", F.round(F.element_at("v", 1), 6).alias("e0")
+    )

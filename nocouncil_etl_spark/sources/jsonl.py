@@ -39,7 +39,23 @@ def read_json_array(spark: SparkSession, path: str, ddl: str | None = None) -> D
 
 
 def write_json_array_state(df: DataFrame, path: str) -> None:
-    """K2: overwrite the whole state file (newscrawler.py:129-145).
-    coalesce(1) keeps the single-file contract of the reference; the engine's
-    real state tables are parquet directories (see operators/incremental)."""
-    df.coalesce(1).write.mode("overwrite").json(path)
+    """K2: overwrite the whole state file as ONE pretty-printed JSON array —
+    the exact interchange format of the reference's articles.json
+    (newscrawler.py:129-145 json.dump of the full list), so its tooling can
+    read the file unchanged.
+
+    State files are catalog-sized by contract, so the array is assembled on
+    the driver and written atomically (tmp + replace — a crashed writer never
+    leaves a torn state file). Bulk data belongs in parquet directories
+    (operators/incremental), never here."""
+    import json
+    import os
+
+    rows = [json.loads(r) for r in df.toJSON().collect()]
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(rows, fh, indent=2)
+    os.replace(tmp, path)

@@ -134,3 +134,26 @@ def test_jsonl_write_partitioned(spark, tmp_path):
     back = spark.read.schema("v long, k string").json(out)
     assert back.count() == 3
     assert back.filter(F.col("k") == "a").count() == 2
+
+
+def test_json_array_state_write_is_reference_format(spark, tmp_path):
+    """K2 write side: the state file must be ONE pretty-printed JSON array
+    (the reference's json.dump of articles.json) — plain json.load must read
+    it, not just Spark."""
+    import json as _json
+
+    from nocouncil_etl_spark.sources.jsonl import (
+        read_json_array,
+        write_json_array_state,
+    )
+
+    df = spark.createDataFrame(
+        [("abc", "http://x/1"), ("def", "http://x/2")], "id string, url string"
+    )
+    p = str(tmp_path / "articles.json")
+    write_json_array_state(df, p)
+    raw = _json.load(open(p))
+    assert isinstance(raw, list) and len(raw) == 2
+    assert {r["id"] for r in raw} == {"abc", "def"}
+    back = read_json_array(spark, p, "id STRING, url STRING")
+    assert sorted(r.id for r in back.collect()) == ["abc", "def"]
