@@ -100,6 +100,85 @@ def decode_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             )
 
 
+RESIZE_MAX_DIM = 256
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_w", T.IntegerType()),
+        T.StructField("src_h", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+def resize_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Image resize plumbing: source dims come from the (fake) decode —
+    w = byte_len % 640 + 16, h = byte_len % 480 + 16 — and the op computes
+    the aspect-preserving fit into RESIZE_MAX_DIM², integer math only (the
+    same contract as a PIL thumbnail call; only the pixel kernel is the
+    stubbed part). Columnar over the Arrow batch."""
+    for pdf in batches:
+        lens = pdf["content"].map(len).to_numpy(dtype=np.int64, na_value=0)
+        src_w = lens % 640 + 16
+        src_h = lens % 480 + 16
+        long_side = np.maximum(src_w, src_h)
+        scale_num = np.minimum(long_side, RESIZE_MAX_DIM)  # never upscale
+        out_w = np.maximum(1, src_w * scale_num // long_side)
+        out_h = np.maximum(1, src_h * scale_num // long_side)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "src_w": src_w,
+                "src_h": src_h,
+                "out_w": out_w,
+                "out_h": out_h,
+                "status": np.full(len(pdf), "resized", dtype=object),
+            }
+        )
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("sum_bytes", T.LongType()),
+        T.StructField("max_byte", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def features_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Feature extraction over the binary column: byte statistics computed
+    with one numpy pass per value (frombuffer — zero-copy). Only EXACT
+    integer stats leave Python (sums, max); derived floats (mean) are
+    computed and rounded JVM-side so rounding rules stay in the one engine
+    pair that is parity-tested. A real extractor would swap the kernel for
+    an image/audio model embedding; the batch plumbing is identical."""
+    for pdf in batches:
+        stats = [
+            (
+                len(b),
+                int(np.frombuffer(b, np.uint8).sum()),
+                int(np.frombuffer(b, np.uint8).max()) if len(b) else 0,
+            )
+            for b in pdf["content"]
+        ]
+        lens = np.array([s[0] for s in stats], dtype=np.int64)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "byte_len": lens,
+                "sum_bytes": np.array([s[1] for s in stats], dtype=np.int64),
+                "max_byte": np.array([s[2] for s in stats], dtype=np.int64),
+                "n_frames": np.maximum(1, -(-lens // FRAME_BYTES)),
+            }
+        )
+
+
 def frame_sample(df: DataFrame, every_n: int, id_col: str = "doc_id") -> DataFrame:
     """Frame sampling: explode fake frame indices, keep every n-th. Pure
     column expressions — the explode/filter shape matches a real video

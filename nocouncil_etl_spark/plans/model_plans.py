@@ -23,9 +23,14 @@ from nocouncil_etl_spark.operators.models import (
 )
 from nocouncil_etl_spark.operators.multimodal import (
     DECODE_SCHEMA,
+    FEATURES_SCHEMA,
     FRAME_BYTES,
+    RESIZE_MAX_DIM,
+    RESIZE_SCHEMA,
     decode_map,
+    features_map,
     frame_sample,
+    resize_map,
     to_media_column,
 )
 from nocouncil_etl_spark.operators.treereduce import tree_reduce
@@ -230,4 +235,75 @@ def multimodal_transcribe(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = to_media_column(docs, "text", "doc_id")
     return media.select("doc_id", "content").mapInPandas(
         transcribe_map, schema=TRANSCRIBE_SCHEMA
+    )
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS src_w,
+         CAST(octet_length(encode(text)) % 480 + 16 AS INT) AS src_h
+  FROM documents
+),
+s AS (
+  SELECT doc_id, src_w, src_h,
+         greatest(src_w, src_h) AS long_side,
+         least(greatest(src_w, src_h), {RESIZE_MAX_DIM}) AS scale_num
+  FROM m
+)
+SELECT doc_id, src_w, src_h,
+       CAST(greatest(1, (src_w * scale_num) // long_side) AS INT) AS out_w,
+       CAST(greatest(1, (src_h * scale_num) // long_side) AS INT) AS out_h,
+       'resized' AS status
+FROM s
+""",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star multimodal: aspect-preserving resize-to-fit as a
+    mapInPandas op over binary media (the PIL-thumbnail contract with the
+    pixel kernel stubbed — dims derive deterministically from the bytes so
+    the oracle recomputes them). Integer math only."""
+    docs = load(spark, sf_dir, "documents")
+    media = to_media_column(docs, "text", "doc_id")
+    return media.select("doc_id", "content").mapInPandas(
+        resize_map, schema=RESIZE_SCHEMA
+    )
+
+
+@query(
+    "multimodal_features",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         list_transform(string_split(text, ''), c -> unicode(c)) AS codes
+  FROM documents
+)
+SELECT doc_id, byte_len,
+       round(CAST(list_aggregate(codes, 'sum') AS DOUBLE) / byte_len, 4) AS mean_byte,
+       CAST(list_aggregate(codes, 'max') AS INT) AS max_byte,
+       CAST(greatest(1, ceil(byte_len / {FRAME_BYTES}.0)) AS INT) AS n_frames
+FROM b
+""",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star multimodal: feature extraction over the binary column —
+    exact integer byte stats leave the Arrow kernel; the derived mean is
+    rounded JVM-side (the parity-tested engine pair). ASCII corpus ⇒ the
+    oracle recomputes bytes as character codes."""
+    docs = load(spark, sf_dir, "documents")
+    media = to_media_column(docs, "text", "doc_id")
+    feats = media.select("doc_id", "content").mapInPandas(
+        features_map, schema=FEATURES_SCHEMA
+    )
+    return feats.select(
+        "doc_id",
+        "byte_len",
+        F.round(F.col("sum_bytes").cast("double") / F.col("byte_len"), 4).alias(
+            "mean_byte"
+        ),
+        "max_byte",
+        "n_frames",
     )
