@@ -109,6 +109,61 @@ class Engine:
         }[strategy]
         return fn(queries, corpus, k, **cols)
 
+    # --- curation (training-data ops) ---------------------------------------
+
+    @staticmethod
+    def _hash_bucket(id_col):
+        from pyspark.sql import functions as F
+
+        return (
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+            .cast("long") % 100
+        )
+
+    def sample(self, df: DataFrame, id_col: str, pct: int) -> DataFrame:
+        """Deterministic ~pct% sample by id-hash bucket — reproducible across
+        runs and task retries (df.sample() is not)."""
+        return df.filter(self._hash_bucket(id_col) < pct)
+
+    def split(
+        self, df: DataFrame, id_col: str, train_pct: int = 80, val_pct: int = 10
+    ) -> DataFrame:
+        """Add a deterministic 'split' column (train/val/test) — membership
+        is a property of the row, stable under backfills and late data."""
+        from pyspark.sql import functions as F
+
+        b = self._hash_bucket(id_col)
+        return df.withColumn(
+            "split",
+            F.when(b < train_pct, F.lit("train"))
+            .when(b < train_pct + val_pct, F.lit("val"))
+            .otherwise(F.lit("test")),
+        )
+
+    def pack(
+        self, df: DataFrame, group_col: str, order_col: str, tokens_col: str,
+        budget: int = 512,
+    ) -> DataFrame:
+        """Add a 'pack_id' column: greedy fixed-budget sequence packing via
+        a keyed cumulative-sum window (shuffle-free across groups)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = Window.partitionBy(group_col).orderBy(order_col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cum = F.sum(tokens_col).over(w)
+        return df.withColumn(
+            "pack_id", F.floor((cum - F.col(tokens_col)) / budget).cast("bigint")
+        )
+
+    def cluster_duplicates(self, pairs: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+        """Near-dup pairs → transitive clusters (connected components):
+        returns (node, comp) where comp is the cluster's canonical id."""
+        from nocouncil_etl_spark.operators.dedup import connected_components
+
+        return connected_components(pairs, src=src, dst=dst)
+
     # --- text ---------------------------------------------------------------
 
     def text_quality(self, df: DataFrame, text_col: str) -> DataFrame:

@@ -33,3 +33,37 @@ def test_engine_facade(spark, sf_dir):
 
     scored = eng.text_quality(docs.limit(3), "text")
     assert all(0.0 <= r.quality <= 1.0 for r in scored.collect())
+
+
+def test_engine_curation_surface(spark, sf_dir):
+    """The facade's curation verbs: deterministic sample/split/pack and
+    pair→cluster — same kernels the oracle-checked queries use."""
+    from pyspark.sql import functions as F
+
+    from nocouncil_etl_spark.api import Engine
+
+    eng = Engine(spark)
+    docs = eng.table(sf_dir, "documents")
+
+    s1 = eng.sample(docs, "doc_id", 10).count()
+    assert 0 < s1 < docs.count()
+    assert eng.sample(docs, "doc_id", 10).count() == s1  # deterministic
+
+    splits = dict(
+        eng.split(docs, "doc_id").groupBy("split").count().collect()
+    )
+    assert set(splits) == {"train", "val", "test"}
+    assert splits["train"] > splits["val"]
+
+    packed = eng.pack(
+        docs.withColumn("n_tok", F.size(F.split("text", " "))),
+        group_col="source", order_col="doc_id", tokens_col="n_tok",
+    )
+    per_pack = packed.groupBy("source", "pack_id").agg(
+        F.sum("n_tok").alias("t")
+    )
+    assert per_pack.count() > 0
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    comp = {r.node: r.comp for r in eng.cluster_duplicates(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1}
