@@ -89,7 +89,7 @@ SELECT CASE WHEN {_BUCKET_SQL} < {TRAIN_PCT} THEN 'train'
             WHEN {_BUCKET_SQL} < {TRAIN_PCT + VAL_PCT} THEN 'val'
             ELSE 'test' END AS split,
        count(*) AS n_docs,
-       sum(len(string_split(text, ' '))) AS total_tokens
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
 FROM documents
 GROUP BY 1
 """,
@@ -124,7 +124,7 @@ c AS (
   FROM t
 )
 SELECT source, CAST(floor((cum - n_tok) / {PACK_BUDGET}) AS BIGINT) AS pack_id,
-       count(*) AS n_docs, sum(n_tok) AS pack_tokens
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens
 FROM c
 GROUP BY 1, 2
 """,

@@ -86,7 +86,7 @@ WITH hourly AS (
   FROM events GROUP BY 1, 2
 )
 SELECT epoch_us(date_trunc('day', h)) AS day_us, event_type,
-       sum(n) AS n, CAST(round(sum(total), 2) AS DOUBLE) AS total,
+       CAST(sum(n) AS BIGINT) AS n, CAST(round(sum(total), 2) AS DOUBLE) AS total,
        count(*) AS hours_with_data
 FROM hourly
 GROUP BY 1, 2

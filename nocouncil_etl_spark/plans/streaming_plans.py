@@ -77,8 +77,8 @@ WITH flagged AS (
 ),
 sessions AS (
   SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                ROWS UNBOUNDED PRECEDING) AS sid
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
   FROM flagged
 )
 SELECT user_id,

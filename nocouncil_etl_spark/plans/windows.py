@@ -107,8 +107,8 @@ WITH flagged AS (
 ),
 sessions AS (
   SELECT user_id, ts, event_id,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,

@@ -62,6 +62,24 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     assert not mismatches, f"{name}: {len(mismatches)} row diffs; first: {mismatches[0]}"
 
 
+def test_no_oracle_column_is_hugeint(duck):
+    """Driver-digest guard: DuckDB promotes sum(INT)/sum(BIGINT) to HUGEINT
+    (int128), which the verification driver's pandas-mediated digest
+    stringifies differently from Python ints — the only wrong-answer signal
+    in rounds 1-2 (VERDICT r2 'What's wrong #1'). Every integer aggregate in
+    an oracle must be CAST(... AS BIGINT). This asserts the whole registry,
+    without executing, via the relation's lazy type plan."""
+    offenders = {}
+    for name in ORACLE_CASES:
+        rel = duck.sql(REGISTRY[name].oracle)
+        bad = [
+            c for c, t in zip(rel.columns, rel.types) if "HUGEINT" in str(t).upper()
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"HUGEINT oracle columns (CAST AS BIGINT): {offenders}"
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_CASES)
 def test_rows_only_query_runs(name, spark, sf_dir):
     q = REGISTRY[name]
