@@ -63,6 +63,119 @@ def rstddev(col, digits: int = 4) -> Column:
     return F.round(F.sqrt(var), digits)
 
 
+# ---------------------------------------------------------------------------
+# Split-sum money kernel (flagship hot path).
+#
+# The decimal kernel above is exact but expensive to PLAN: Catalyst's decimal
+# precision-promotion rules cost ~1.3 s of per-build analysis on a 7-aggregate
+# query (measured: scripts/bench_money_grid.py — decimal(18,6) 1.97 s/build vs
+# 0.66 s for double sums at sf0.1). For the hot flagship query we instead fold
+# two primitive LONG accumulators per column:
+#
+#   s_int  = sum(floor(x))                      -- integer part
+#   s_frac = sum(floor((x - floor(x))*1e6 + 0.5)) -- 6dp fraction, in 1e-6 units
+#
+# Long addition is exact and order-independent; for data on a ≤6dp grid the
+# quantization is lossless, so the finished values equal the decimal kernel's.
+# floor(v + 0.5) is pure IEEE arithmetic that Spark and DuckDB evaluate
+# bit-identically (no engine-specific HALF_UP-on-string tie rules), so the
+# oracle can never diverge. The finish recombines in integer space:
+#
+#   S = s_int + s_frac DIV 1e6 ; r = s_frac % 1e6
+#   round(sum, 2) = (S*100 + (r + 5000) DIV 10000) / 100.0      -- all integer
+#   round(avg, d) = floor((S + r/1e6)/n * 10^d + 0.5) / 10^d    -- same doubles
+#                                                                  both engines
+# Overflow headroom at 100 TB: s_int caps at ~9.2e18 / max|x|, s_frac at
+# ~9.2e18 / 1e6 ≈ 9.2e12 rows-per-group — vs a single 6dp-units long
+# accumulator that dies at sum ≈ 9.2e12 currency units (TPC-H Q1 group sums
+# pass that near sf150). Contract: non-negative inputs on a ≤6dp grid
+# (DIV truncates toward zero in Spark but floors in DuckDB — identical only
+# for non-negative operands).
+# ---------------------------------------------------------------------------
+
+FRAC = 1_000_000  # 6dp fraction units
+
+
+def money_parts(col, name: str) -> list[Column]:
+    """The two LONG partial aggregates for one money column. Pair with
+    money_sum_col / money_avg_col over aliases __{name}_i / __{name}_f."""
+    c = _col(col)
+    i = F.floor(c)
+    return [
+        F.sum(i.cast("long")).alias(f"__{name}_i"),
+        F.sum(F.floor((c - i) * FRAC + F.lit(0.5)).cast("long")).alias(f"__{name}_f"),
+    ]
+
+
+def _money_S_r(name: str) -> tuple[str, str]:
+    # integral `div` (not `/`, which is double division and imprecise past
+    # 2^53) keeps the recombination exact at any accumulator magnitude
+    return (
+        f"(__{name}_i + (__{name}_f div {FRAC}))",
+        f"(__{name}_f % {FRAC})",
+    )
+
+
+def money_sum_col(name: str, digits: int = 2) -> Column:
+    """Finished round(sum(x), digits) from the split partials — integer
+    arithmetic end-to-end, DOUBLE out. SQL twin: money_sum_sql."""
+    S, r = _money_S_r(name)
+    unit = 10 ** (6 - digits)
+    # divisor cast: Spark SQL parses `100.0` as a DECIMAL literal (DuckDB
+    # parses it as DOUBLE) — an explicit CAST keeps both engines in DOUBLE
+    return F.expr(
+        f"CAST({S} * {10**digits} + (({r} + {unit // 2}) div {unit}) AS DOUBLE)"
+        f" / CAST({10**digits} AS DOUBLE)"
+    )
+
+
+def money_avg_col(name: str, n: str, digits: int = 4) -> Column:
+    """Finished round(sum(x)/n, digits): exact components recombined with the
+    identical double expression on both engines (`n` = SQL expr for the row
+    count). SQL twin: money_avg_sql."""
+    S, r = _money_S_r(name)
+    return F.expr(
+        f"floor((CAST({S} AS DOUBLE) + {r} / CAST({FRAC} AS DOUBLE)) / ({n})"
+        f" * {10**digits} + CAST(0.5 AS DOUBLE))"
+        f" / CAST({10**digits} AS DOUBLE)"
+    )
+
+
+def money_parts_sql(expr: str, name: str) -> str:
+    """DuckDB twin of money_parts (inner-query select list fragment)."""
+    return (
+        f"CAST(sum(CAST(floor({expr}) AS BIGINT)) AS BIGINT) AS __{name}_i, "
+        f"CAST(sum(CAST(floor((({expr}) - floor({expr})) * {FRAC} + 0.5) AS BIGINT)) AS BIGINT)"
+        f" AS __{name}_f"
+    )
+
+
+def _money_S_r_sql(name: str) -> tuple[str, str]:
+    return (
+        f"(__{name}_i + __{name}_f // {FRAC})",
+        f"(__{name}_f % {FRAC})",
+    )
+
+
+def money_sum_sql(name: str, digits: int = 2) -> str:
+    """DuckDB twin of money_sum_col (outer-query fragment, unaliased)."""
+    S, r = _money_S_r_sql(name)
+    unit = 10 ** (6 - digits)
+    return (
+        f"CAST(({S} * {10**digits} + ({r} + {unit // 2}) // {unit}) AS DOUBLE)"
+        f" / {10**digits}.0"
+    )
+
+
+def money_avg_sql(name: str, n_expr: str, digits: int = 4) -> str:
+    """DuckDB twin of money_avg_col (outer-query fragment, unaliased)."""
+    S, r = _money_S_r_sql(name)
+    return (
+        f"floor((CAST({S} AS DOUBLE) + {r} / {float(FRAC)}) / ({n_expr})"
+        f" * {10**digits} + 0.5) / {10**digits}.0"
+    )
+
+
 def rsum_sql(expr: str, digits: int = 2) -> str:
     """DuckDB twin of rsum (same quantization grid)."""
     return f"CAST(round(sum(CAST(({expr}) AS DECIMAL(18,6))), {digits}) AS DOUBLE)"

@@ -159,3 +159,43 @@ def test_connected_components_closes_chains(spark):
     )
     got = {r.node: r.comp for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 6, 8: 6, 9: 6}
+
+
+def test_money_split_sum_equals_decimal_kernel(spark):
+    """The split-long money kernel (functions.numeric.money_parts) must yield
+    the same finished values as the DECIMAL(18,6) kernel for data on a ≤6dp
+    grid — including rows engineered to land on .5 rounding boundaries of the
+    2dp finish (sum ...005) and sub-cent fractions that only an exact 6dp
+    accumulation can carry."""
+    from pyspark.sql import functions as F
+
+    from nocouncil_etl_spark.functions.numeric import (
+        money_avg_col,
+        money_parts,
+        money_sum_col,
+        ravg,
+        rsum,
+    )
+
+    rows = [
+        ("a", 0.005), ("a", 10.0), ("a", 3.141592),      # sum 13.146592
+        ("b", 0.004999), ("b", 0.000001), ("b", 2.125),  # sum 2.13 exactly on .005? 2.130000
+        ("c", 999999.999999), ("c", 0.000001),           # carry across the int boundary
+        ("d", 0.015), ("d", 0.025),                      # 0.04, each addend a 2dp tie
+    ]
+    df = spark.createDataFrame(rows, "k string, x double")
+    split = (
+        df.groupBy("k")
+        .agg(*money_parts("x", "x"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "k",
+            money_sum_col("x").alias("s2"),
+            money_avg_col("x", "n").alias("a4"),
+        )
+    )
+    dec = df.groupBy("k").agg(
+        rsum("x").alias("s2"), ravg("x").alias("a4")
+    )
+    got = {r.k: (r.s2, r.a4) for r in split.collect()}
+    want = {r.k: (r.s2, r.a4) for r in dec.collect()}
+    assert got == want, f"{got} != {want}"
