@@ -164,6 +164,69 @@ class Engine:
 
         return connected_components(pairs, src=src, dst=dst)
 
+    # --- LLM ops (E6/E7/E8) -------------------------------------------------
+
+    def _llm(self, backend: str | None):
+        from nocouncil_etl_spark.operators.backends import (
+            LLM_STUB,
+            llm_config,
+            resolve_backend,
+        )
+
+        if backend is None:
+            backend = resolve_backend(self.spark, "llmBackend", LLM_STUB)
+        return backend, llm_config(self.spark)
+
+    def summarize(
+        self, df: DataFrame, backend: str | None = None
+    ) -> DataFrame:
+        """E6 LLM-map summarize over (doc_id, text); backend = 'stub'
+        (deterministic extractive default) or 'ollama' (HTTP, llama3.2 —
+        the reference's summarize.py:160-163 surface), resolved from session
+        conf spark.nocouncil_etl_spark.llmBackend when not given. Same plan
+        either way; failures land in the error column."""
+        from nocouncil_etl_spark.operators.backends import make_summarize_map
+        from nocouncil_etl_spark.operators.models import SUMMARIZE_SCHEMA
+
+        backend, cfg = self._llm(backend)
+        return df.select("doc_id", "text").mapInPandas(
+            make_summarize_map(backend, cfg), schema=SUMMARIZE_SCHEMA
+        )
+
+    def extract_entities(
+        self, df: DataFrame, backend: str | None = None
+    ) -> DataFrame:
+        """E7 entity extraction over (doc_id, text): regex stub or LLM with
+        regex-validated output; same schema and quarantine contract."""
+        from nocouncil_etl_spark.operators.backends import make_extract_map
+        from nocouncil_etl_spark.operators.models import EXTRACT_SCHEMA
+
+        backend, cfg = self._llm(backend)
+        return df.select("doc_id", "text").mapInPandas(
+            make_extract_map(backend, cfg), schema=EXTRACT_SCHEMA
+        )
+
+    def tree_summarize(
+        self,
+        df: DataFrame,
+        key: str,
+        pos: str,
+        value: str,
+        fan_in: int = 4,
+        backend: str | None = None,
+    ) -> DataFrame:
+        """E8 bounded-fan-in reduce; the combiner is JVM array_join (stub) or
+        an LLM merge of partial summaries (ollama) — each merge prompt stays
+        ≤ fan_in items, the fix for the reference's unbounded concat."""
+        from nocouncil_etl_spark.operators.backends import make_reduce_combine
+        from nocouncil_etl_spark.operators.treereduce import tree_reduce
+
+        backend, cfg = self._llm(backend)
+        return tree_reduce(
+            df, key=key, pos=pos, value=value, fan_in=fan_in,
+            combine=make_reduce_combine(backend, cfg),
+        )
+
     # --- text ---------------------------------------------------------------
 
     def text_quality(self, df: DataFrame, text_col: str) -> DataFrame:

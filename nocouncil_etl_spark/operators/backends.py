@@ -27,11 +27,14 @@ absent.
 
 from __future__ import annotations
 
+import json
+import re
 from collections.abc import Callable, Iterator
+from dataclasses import dataclass
 from typing import Any
 
 import pandas as pd
-from pyspark.sql import SparkSession
+from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -47,6 +50,9 @@ ST_DIM = 384
 TRANSCRIBE_FAKE = "fake"
 TRANSCRIBE_WHISPER = "whisper"
 WHISPER_MODEL = "base"  # transcribe_council.py:110-111
+
+LLM_STUB = "stub"
+LLM_OLLAMA = "ollama"
 
 
 def resolve_backend(spark: SparkSession, kind: str, default: str) -> str:
@@ -185,4 +191,245 @@ def make_transcribe_map(
     raise ValueError(
         f"unknown transcribe backend {backend!r}; expected "
         f"{TRANSCRIBE_FAKE!r} or {TRANSCRIBE_WHISPER!r}"
+    )
+
+
+# --- LLM (summarize E6 / extract E7 / reduce E8) ------------------------------
+#
+# The reference's central model call is an ollama-served LLM
+# (summarize.py:160-163: ollama HTTP, model llama3.2, temperature 0.001,
+# max_tokens 20000), consumed by the summarizer/extractors at
+# summarize.py:122,131,147. The production twin here speaks the same ollama
+# /api/chat HTTP surface via the stdlib (no client package needed), with a
+# per-executor keep-alive connection (the process-global-model pattern) and
+# per-row error quarantine (skip-and-log, summarize.py:185-186): a down or
+# misconfigured server yields rows with the error column set, never a failed
+# stage. The deterministic stub stays the default and the oracle path.
+
+
+@dataclass(frozen=True)
+class LlmConfig:
+    """Config surface of summarize.py:160-163, resolved from session conf:
+
+        spark.nocouncil_etl_spark.llmBackend        stub | ollama
+        spark.nocouncil_etl_spark.llm.baseUrl       default http://localhost:11434
+        spark.nocouncil_etl_spark.llm.model         default llama3.2
+        spark.nocouncil_etl_spark.llm.temperature   default 0.001
+        spark.nocouncil_etl_spark.llm.maxTokens     default 20000
+    """
+
+    base_url: str = "http://localhost:11434"
+    model: str = "llama3.2"
+    temperature: float = 0.001
+    max_tokens: int = 20000
+    timeout: float = 120.0
+
+
+def llm_config(spark: SparkSession) -> LlmConfig:
+    d = LlmConfig()
+    g = lambda k, v: spark.conf.get(CONF_PREFIX + "llm." + k, str(v))  # noqa: E731
+    return LlmConfig(
+        base_url=g("baseUrl", d.base_url),
+        model=g("model", d.model),
+        temperature=float(g("temperature", d.temperature)),
+        max_tokens=int(g("maxTokens", d.max_tokens)),
+        timeout=float(g("timeout", d.timeout)),
+    )
+
+
+def _llm_connection(base_url: str, timeout: float):
+    """Per-executor keep-alive HTTP connection (lazy singleton per base_url)."""
+    key = ("llm_conn", base_url)
+    conn = _SINGLETONS.get(key)
+    if conn is None:
+        import http.client
+        from urllib.parse import urlparse
+
+        u = urlparse(base_url)
+        cls = (
+            http.client.HTTPSConnection
+            if u.scheme == "https"
+            else http.client.HTTPConnection
+        )
+        conn = cls(u.netloc, timeout=timeout)
+        _SINGLETONS[key] = conn
+    return conn
+
+
+def ollama_chat(cfg: LlmConfig, prompt: str) -> str:
+    """One /api/chat round trip (non-streaming). Retries once through a fresh
+    connection when the kept-alive socket has gone stale; other failures
+    propagate to the caller's per-row quarantine."""
+    body = json.dumps(
+        {
+            "model": cfg.model,
+            "messages": [{"role": "user", "content": prompt}],
+            "stream": False,
+            # ollama option names: num_predict is max_tokens
+            "options": {
+                "temperature": cfg.temperature,
+                "num_predict": cfg.max_tokens,
+            },
+        }
+    )
+    for attempt in (0, 1):
+        conn = _llm_connection(cfg.base_url, cfg.timeout)
+        try:
+            conn.request(
+                "POST", "/api/chat", body, {"Content-Type": "application/json"}
+            )
+            resp = conn.getresponse()
+            data = resp.read()
+            if resp.status != 200:
+                raise RuntimeError(
+                    f"ollama {cfg.base_url} returned HTTP {resp.status}: "
+                    f"{data[:200]!r}"
+                )
+            return json.loads(data)["message"]["content"]
+        except (ConnectionError, OSError, json.JSONDecodeError):
+            _SINGLETONS.pop(("llm_conn", cfg.base_url), None)
+            try:
+                conn.close()
+            except Exception:
+                pass
+            if attempt:
+                raise
+    raise AssertionError("unreachable")
+
+
+_SUMMARIZE_PROMPT = (
+    "Summarize the following document in one short paragraph, then list up "
+    "to 3 notable quoted phrases, as JSON with keys \"summary\" and "
+    "\"quotes\".\n\n"
+)
+
+_EXTRACT_PROMPT = (
+    "List every docket number mentioned in the following document as a "
+    "comma-separated list of integers, nothing else.\n\n"
+)
+
+
+def _parse_summary(content: str) -> tuple[str, list[str]]:
+    """LLM output → (summary, quotes); tolerant of non-JSON replies (the
+    dspy-signature analogue: structure requested, output still validated)."""
+    try:
+        obj = json.loads(content)
+        if isinstance(obj, dict):
+            quotes = obj.get("quotes") or []
+            return str(obj.get("summary", "")), [str(q) for q in quotes]
+    except json.JSONDecodeError:
+        pass
+    return content.strip(), []
+
+
+def make_summarize_map(
+    backend: str = LLM_STUB, cfg: LlmConfig | None = None
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """mapInPandas kernel (SUMMARIZE_SCHEMA out) for the chosen LLM backend.
+    Identical plan shape either way; the stub is the oracle path."""
+    if backend == LLM_STUB:
+        from nocouncil_etl_spark.operators.models import summarize_map
+
+        return summarize_map
+
+    if backend == LLM_OLLAMA:
+        cfg = cfg or LlmConfig()
+
+        def llm_summarize_map(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    try:
+                        content = ollama_chat(cfg, _SUMMARIZE_PROMPT + (text or ""))
+                        summary, quotes = _parse_summary(content)
+                        rows.append(
+                            (doc_id, summary, quotes, len((text or "").split(" ")), None)
+                        )
+                    except Exception as exc:  # quarantine, never fail the stage
+                        rows.append(
+                            (doc_id, None, None, None, f"{type(exc).__name__}: {exc}")
+                        )
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "summary", "quotes", "n_words", "error"]
+                )
+
+        return llm_summarize_map
+
+    raise ValueError(
+        f"unknown llm backend {backend!r}; expected {LLM_STUB!r} or {LLM_OLLAMA!r}"
+    )
+
+
+def make_extract_map(
+    backend: str = LLM_STUB, cfg: LlmConfig | None = None
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """mapInPandas kernel (EXTRACT_SCHEMA out): docket-number extraction.
+    Stub = deterministic regex twin (the oracle path); ollama = LLM prompt
+    whose reply is still regex-validated, so malformed model output degrades
+    to an empty list, not bad data."""
+    if backend == LLM_STUB:
+        from nocouncil_etl_spark.operators.models import extract_map
+
+        return extract_map
+
+    if backend == LLM_OLLAMA:
+        cfg = cfg or LlmConfig()
+
+        def llm_extract_map(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    try:
+                        content = ollama_chat(cfg, _EXTRACT_PROMPT + (text or ""))
+                        dockets = ",".join(re.findall(r"[0-9]+", content))
+                        rows.append((doc_id, dockets, None))
+                    except Exception as exc:
+                        rows.append((doc_id, None, f"{type(exc).__name__}: {exc}"))
+                yield pd.DataFrame(rows, columns=["doc_id", "dockets", "error"])
+
+        return llm_extract_map
+
+    raise ValueError(
+        f"unknown llm backend {backend!r}; expected {LLM_STUB!r} or {LLM_OLLAMA!r}"
+    )
+
+
+def make_reduce_combine(
+    backend: str = LLM_STUB, cfg: LlmConfig | None = None
+) -> Callable[[Column], Column]:
+    """Combiner for tree_reduce (E8): ordered array column → one value.
+    Stub = JVM array_join (whole-stage codegen, the oracle path); ollama =
+    Arrow pandas_udf that merges the partial summaries through the LLM —
+    bounded fan-in keeps every merge prompt small (the fix for the
+    reference's unbounded concat at summarize.py:91-97,147). LLM failures
+    degrade to the deterministic join so the reduce still converges."""
+    if backend == LLM_STUB:
+        return lambda arr: F.array_join(arr, " ")
+
+    if backend == LLM_OLLAMA:
+        cfg = cfg or LlmConfig()
+
+        @F.pandas_udf(T.StringType())
+        def llm_merge(parts: pd.Series) -> pd.Series:
+            def merge(items) -> str:
+                joined = "\n\n".join(items)
+                try:
+                    return ollama_chat(
+                        cfg,
+                        "Merge these partial summaries into one coherent "
+                        "summary:\n\n" + joined,
+                    )
+                except Exception:
+                    return " ".join(items)
+
+            return parts.map(merge)
+
+        return lambda arr: llm_merge(arr)
+
+    raise ValueError(
+        f"unknown llm backend {backend!r}; expected {LLM_STUB!r} or {LLM_OLLAMA!r}"
     )

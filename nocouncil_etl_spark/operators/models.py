@@ -145,6 +145,37 @@ def summarize_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             )
 
 
+# --- entity extraction stub (E7) ----------------------------------------------
+
+EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dockets", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+DOCKET_PATTERN = r"docket ([0-9]+)"
+
+
+def extract_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """E7 stub as mapInPandas: the deterministic regex twin of the LLM
+    signature extractors (summarize.py:27-55,122). Same schema and per-row
+    quarantine contract as the production LLM backend
+    (backends.make_extract_map), so the seam swaps kernels only."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "dockets": pdf["text"]
+                .fillna("")
+                .str.findall(DOCKET_PATTERN)
+                .str.join(","),
+                "error": np.full(len(pdf), None, dtype=object),
+            }
+        )
+
+
 # --- transcription stub (E9) --------------------------------------------------
 
 SEGMENT_BYTES = 64

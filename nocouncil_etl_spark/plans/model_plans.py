@@ -18,7 +18,6 @@ from nocouncil_etl_spark.operators.models import (
     SUMMARY_WORDS,
     TRANSCRIBE_SCHEMA,
     embed_text_udf,
-    summarize_map,
     transcribe_map,
 )
 from nocouncil_etl_spark.operators.multimodal import (
@@ -93,9 +92,22 @@ FROM t
 def model_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6: LLM-map summarize as mapInPandas with typed struct output and an
     error column (ChainOfThought(Summary) at summarize.py:77-89,131-133;
-    skip-and-log at :185-186). Deterministic extractive backend."""
+    skip-and-log at :185-186). Backend resolved from session conf
+    (spark.nocouncil_etl_spark.llmBackend); the deterministic extractive stub
+    is the default and the oracle path — the ollama production twin
+    (summarize.py:160-163 surface) runs the identical plan."""
+    from nocouncil_etl_spark.operators.backends import (
+        LLM_STUB,
+        llm_config,
+        make_summarize_map,
+        resolve_backend,
+    )
+
+    backend = resolve_backend(spark, "llmBackend", LLM_STUB)
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    out = docs.mapInPandas(summarize_map, schema=SUMMARIZE_SCHEMA)
+    out = docs.mapInPandas(
+        make_summarize_map(backend, llm_config(spark)), schema=SUMMARIZE_SCHEMA
+    )
     return out.select(
         "doc_id",
         "summary",
