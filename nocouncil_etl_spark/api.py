@@ -109,6 +109,45 @@ class Engine:
         }[strategy]
         return fn(queries, corpus, k, **cols)
 
+    def build_index(
+        self, corpus: DataFrame, id_col: str, vec_col: str, path: str,
+        version: int = 0,
+    ) -> tuple[DataFrame, DataFrame]:
+        """K4 grown up: compute signatures/norms/coarse cells ONCE and publish
+        the parquet index artifact (+ centroid sidecar) — the write-once HNSW
+        build of vectorize.py:119-123, shippable to serving like
+        sample_cron_job.sh's chroma_db tar. Returns (index, centroids) read
+        back from the published files."""
+        from nocouncil_etl_spark.operators.ann_index import (
+            index_vectors,
+            publish_vector_index,
+        )
+
+        return publish_vector_index(
+            index_vectors(corpus, id_col, vec_col, version), path
+        )
+
+    def search_index(
+        self,
+        queries: DataFrame,
+        path: str,
+        k: int = 10,
+        strategy: str = "lsh",
+        nprobe: int = 2,
+        **cols,
+    ) -> DataFrame:
+        """Serving-side top-k against a published index: reads the artifact,
+        never the corpus; query-side signatures only."""
+        from nocouncil_etl_spark.operators.ann_index import (
+            knn_from_index,
+            read_vector_index,
+        )
+
+        idx, cent = read_vector_index(self.spark, path)
+        return knn_from_index(
+            queries, idx, cent, k, strategy=strategy, nprobe=nprobe, **cols
+        )
+
     # --- curation (training-data ops) ---------------------------------------
 
     @staticmethod

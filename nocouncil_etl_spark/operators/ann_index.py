@@ -1,0 +1,247 @@
+"""Materialized ANN index (SURVEY.md §2.2 K4 grown up; north-star similarity
+search at scale).
+
+The reference persists its HNSW index once and ships the artifact to serving
+(vectorize.py:119-123 builds the chroma collection; sample_cron_job.sh:10
+tars ``chroma_db`` for deployment). At 100 TB the index build is the
+expensive step, so it must be write-once: signatures, norms, and
+coarse-quantizer assignments are computed when a vector ENTERS the index —
+never at query time. The artifact is two parquet tables:
+
+  index/      (id, vec, norm, bucket, buckets, ivf_part, version)
+  centroids/  (ivf_part, cv)            -- coarse-cell means, the sidecar
+
+- ``bucket``   single-table LSH signature (similarity.HYPERPLANES)
+- ``buckets``  L multi-table signatures ('t#bits', OR-amplified recall)
+- ``ivf_part`` coarse quantizer cell (the single-table signature doubles as
+  the coarse cell — a deterministic, data-independent quantizer, so
+  incremental upserts never invalidate existing assignments the way
+  re-trained k-means centroids would)
+- ``norm``     L2 norm, so query-time scoring is one dot product per pair
+
+``knn_from_index`` computes signatures for the QUERY side only (tiny) and
+equi-joins against the precomputed columns — the corpus is never rescanned
+and no signature is recomputed (asserted by plan in tests). Incremental
+growth is ``upsert_vector_index``: index only the incoming batch, then
+keep-latest merge by id (the engine twin of collection.add upsert semantics
+at article_vectorize.py:262-266).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+import numpy as np
+import pandas as pd
+
+from nocouncil_etl_spark.functions.numeric import ravg
+from nocouncil_etl_spark.functions.vectors import as_double, cosine, dot, l2_norm
+from nocouncil_etl_spark.operators.similarity import (
+    LSH_MULTI_PLANES,
+    LSH_MULTI_TABLES,
+    _MULTI_MAT,
+    _PLANES_MAT,
+    attach_signature,
+)
+
+INDEX_COLS = ["id", "vec", "norm", "bucket", "buckets", "ivf_part", "version"]
+
+# Both signature kinds from ONE matmul: single-table planes stacked on top of
+# the L multi-table planes.
+_ALL_PLANES = np.vstack([_PLANES_MAT, _MULTI_MAT])
+_N_SINGLE = _PLANES_MAT.shape[0]
+
+
+def _index_sig_map(batches):
+    for pdf in batches:
+        if len(pdf) == 0:
+            pdf["bucket"] = []
+            pdf["buckets"] = []
+            yield pdf
+            continue
+        mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+        signs = mat @ _ALL_PLANES.T >= 0
+        pdf["bucket"] = [
+            "".join("1" if b else "0" for b in row[:_N_SINGLE]) for row in signs
+        ]
+        pdf["buckets"] = [
+            [
+                f"{t}#"
+                + "".join(
+                    "1" if b else "0"
+                    for b in row[
+                        _N_SINGLE + t * LSH_MULTI_PLANES :
+                        _N_SINGLE + (t + 1) * LSH_MULTI_PLANES
+                    ]
+                )
+                for t in range(LSH_MULTI_TABLES)
+            ]
+            for row in signs
+        ]
+        yield pdf
+
+
+def index_vectors(
+    df: DataFrame, id_col: str, vec_col: str, version: int = 0
+) -> DataFrame:
+    """Index one batch: all per-vector derived columns in a single narrow
+    pass — ONE Arrow exchange computes both signature kinds via one stacked
+    matmul; norm stays the JVM fold expression (oracle-exact)."""
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        as_double(vec_col).alias("vec"),
+    )
+    signed = base.mapInPandas(
+        _index_sig_map,
+        "id long, vec array<double>, bucket string, buckets array<string>",
+    )
+    return (
+        signed.withColumn("norm", l2_norm("vec"))
+        .withColumn("ivf_part", F.col("bucket"))
+        .withColumn("version", F.lit(version).cast("long"))
+    )
+
+
+def build_centroids(index: DataFrame) -> DataFrame:
+    """Coarse-cell mean vectors. Exact decimal per-dim means rounded 6dp
+    (combine-order-independent — same kernel as knn_ivf_probe), so a rebuilt
+    sidecar is bit-identical regardless of partitioning."""
+    return (
+        index.select("ivf_part", F.posexplode("vec").alias("pos", "x"))
+        .groupBy("ivf_part", "pos")
+        .agg(ravg("x", 6).alias("m"))
+        .groupBy("ivf_part")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+            ).alias("cv")
+        )
+    )
+
+
+def build_vector_index(
+    corpus: DataFrame, id_col: str = "c_id", vec_col: str = "c_vec", version: int = 0
+) -> tuple[DataFrame, DataFrame]:
+    """Full build: (index, centroids)."""
+    index = index_vectors(corpus, id_col, vec_col, version)
+    return index, build_centroids(index)
+
+
+def upsert_vector_index(
+    index: DataFrame, incoming: DataFrame, id_col: str, vec_col: str, version: int
+) -> DataFrame:
+    """Incremental growth: index ONLY the incoming batch (the expensive
+    signature pass touches new vectors alone), then keep-latest merge by id.
+    One hash-partitioned window over (id) — no corpus re-signature. Rebuild
+    the centroid sidecar with build_centroids when drift matters; cell
+    membership itself never changes (data-independent quantizer)."""
+    fresh = index_vectors(incoming, id_col, vec_col, version)
+    merged = index.select(*INDEX_COLS).unionByName(fresh.select(*INDEX_COLS))
+    w = Window.partitionBy("id").orderBy(F.col("version").desc())
+    return (
+        merged.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def write_vector_index(index: DataFrame, centroids: DataFrame, path: str) -> None:
+    """Persist the artifact (overwrite = atomic publish of a new epoch)."""
+    index.write.mode("overwrite").parquet(f"{path}/index")
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def publish_vector_index(index: DataFrame, path: str) -> tuple[DataFrame, DataFrame]:
+    """Write-once publish: the index parquet lands first, then the centroid
+    sidecar is derived from the PUBLISHED files — so the signature pass runs
+    exactly once regardless of how many readers the lineage has (writing
+    index and centroids from the same unpersisted lineage would sign the
+    corpus twice). Returns the stored (index, centroids)."""
+    spark = index.sparkSession
+    index.write.mode("overwrite").parquet(f"{path}/index")
+    stored = spark.read.parquet(f"{path}/index")
+    build_centroids(stored).write.mode("overwrite").parquet(f"{path}/centroids")
+    return stored, spark.read.parquet(f"{path}/centroids")
+
+
+def read_vector_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    return (
+        spark.read.parquet(f"{path}/index"),
+        spark.read.parquet(f"{path}/centroids"),
+    )
+
+
+def _topk(scored: DataFrame, k: int, q_id: str) -> DataFrame:
+    w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col("c_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def knn_from_index(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: DataFrame | None = None,
+    k: int = 5,
+    strategy: str = "lsh",
+    nprobe: int = 2,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+) -> DataFrame:
+    """Top-k against the materialized index. Signature/norm work happens on
+    the query side only; the index side is a pure parquet scan pruned to
+    (id, vec, norm, <join key>). Results are identical to the corresponding
+    corpus-side strategy (knn_lsh / knn_lsh_multi / knn_ivf_probe), so the
+    same oracles apply."""
+    sim = F.when(
+        F.col("_qn") * F.col("norm") != 0,
+        dot(q_vec, "vec") / (F.col("_qn") * F.col("norm")),
+    )
+
+    if strategy == "lsh":
+        q = attach_signature(queries, q_vec).withColumn("_qn", l2_norm(q_vec))
+        pairs = index.join(F.broadcast(q), on="bucket").filter(
+            F.col(q_id) != F.col("id")
+        )
+    elif strategy == "lsh_multi":
+        q = (
+            attach_signature(queries, q_vec, multi=True)
+            .withColumn("bucket", F.explode("buckets"))
+            .drop("buckets")
+            .withColumn("_qn", l2_norm(q_vec))
+        )
+        pairs = (
+            index.select("id", "vec", "norm", F.explode("buckets").alias("bucket"))
+            .join(F.broadcast(q), on="bucket")
+            .filter(F.col(q_id) != F.col("id"))
+            .dropDuplicates([q_id, "id"])
+        )
+    elif strategy == "ivf":
+        if centroids is None:
+            raise ValueError("strategy='ivf' needs the centroids sidecar")
+        probes = (
+            queries.crossJoin(F.broadcast(centroids))
+            .withColumn("_csim", F.round(cosine(q_vec, "cv"), 6))
+            .withColumn(
+                "_crk",
+                F.row_number().over(
+                    Window.partitionBy(q_id).orderBy(
+                        F.col("_csim").desc_nulls_last(), F.col("ivf_part")
+                    )
+                ),
+            )
+            .filter(F.col("_crk") <= nprobe)
+            .select(q_id, q_vec, "ivf_part")
+            .withColumn("_qn", l2_norm(q_vec))
+        )
+        pairs = index.join(F.broadcast(probes), on="ivf_part").filter(
+            F.col(q_id) != F.col("id")
+        )
+    else:
+        raise ValueError(
+            f"unknown index strategy {strategy!r}; expected lsh | lsh_multi | ivf"
+        )
+
+    scored = pairs.select(
+        q_id, F.col("id").alias("c_id"), F.round(sim, 6).alias("sim")
+    )
+    return _topk(scored, k, q_id)

@@ -19,6 +19,7 @@ All kernels are pure column expressions (functions/vectors.py) — no UDFs.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
 from decimal import ROUND_HALF_UP, Decimal
 
 import numpy as np
@@ -106,6 +107,54 @@ def lsh_multi_signature_udf(vecs: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def attach_signature(df: DataFrame, vec_col: str, multi: bool = False) -> DataFrame:
+    """Append the LSH bucket column(s) via ONE mapInPandas pass.
+
+    Why not the pandas_udf expression: a join key produced by a Python UDF
+    expression gets re-extracted by ExtractPythonUDFs for the join's inferred
+    isnotnull filter AND for the output projection — two ArrowEvalPython
+    nodes, i.e. the whole side is signed twice (measured; the corpus side of
+    an LSH join is the big side, so that's 2× the dominant cost). A
+    mapInPandas node is a single unsplittable map: the optimizer filters on
+    its output column instead of duplicating the kernel. Same numpy matmul
+    kernel, same values, same oracle."""
+    fields = [f'{f.name} {f.dataType.simpleString()}' for f in df.schema.fields]
+    out_col = "buckets" if multi else "bucket"
+    out_type = "array<string>" if multi else "string"
+    schema = ", ".join([*fields, f"{out_col} {out_type}"])
+
+    def add_sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[out_col] = []
+                yield pdf
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if multi:
+                signs = mat @ _MULTI_MAT.T >= 0
+                pdf[out_col] = [
+                    [
+                        f"{t}#"
+                        + "".join(
+                            "1" if b else "0"
+                            for b in row[
+                                t * LSH_MULTI_PLANES : (t + 1) * LSH_MULTI_PLANES
+                            ]
+                        )
+                        for t in range(LSH_MULTI_TABLES)
+                    ]
+                    for row in signs
+                ]
+            else:
+                signs = mat @ _PLANES_MAT.T >= 0
+                pdf[out_col] = [
+                    "".join("1" if b else "0" for b in row) for row in signs
+                ]
+            yield pdf
+
+    return df.mapInPandas(add_sig, schema)
+
+
 def knn_exact(
     queries: DataFrame,
     corpus: DataFrame,
@@ -172,13 +221,11 @@ def knn_lsh(
     q_vec: str = "q_vec",
     c_vec: str = "c_vec",
 ) -> DataFrame:
-    """LSH ANN: pair only vectors sharing the hyperplane sign signature."""
-    q = queries.withColumn("bucket", lsh_signature_udf(q_vec)).withColumn(
-        "_qn", l2_norm(q_vec)
-    )
-    c = corpus.withColumn("bucket", lsh_signature_udf(c_vec)).withColumn(
-        "_cn", l2_norm(c_vec)
-    )
+    """LSH ANN: pair only vectors sharing the hyperplane sign signature.
+    Signatures attach via one mapInPandas pass per side — see
+    attach_signature for why not the UDF-expression form (double eval)."""
+    q = attach_signature(queries, q_vec).withColumn("_qn", l2_norm(q_vec))
+    c = attach_signature(corpus, c_vec).withColumn("_cn", l2_norm(c_vec))
     pairs = c.join(F.broadcast(q), on="bucket").filter(F.col(q_id) != F.col(c_id))
     sim = F.when(
         F.col("_qn") * F.col("_cn") != 0,
@@ -205,12 +252,18 @@ def knn_lsh_multi(
     key, pair-dedup, verify — so the 100 TB story is the single-table one
     ×L, never quadratic. The recall-vs-candidates trade is measured in
     SCALE.md and property-tested against the exact kernel."""
-    q = queries.withColumn(
-        "bucket", F.explode(lsh_multi_signature_udf(q_vec))
-    ).withColumn("_qn", l2_norm(q_vec))
-    c = corpus.withColumn(
-        "bucket", F.explode(lsh_multi_signature_udf(c_vec))
-    ).withColumn("_cn", l2_norm(c_vec))
+    q = (
+        attach_signature(queries, q_vec, multi=True)
+        .withColumn("bucket", F.explode("buckets"))
+        .drop("buckets")
+        .withColumn("_qn", l2_norm(q_vec))
+    )
+    c = (
+        attach_signature(corpus, c_vec, multi=True)
+        .withColumn("bucket", F.explode("buckets"))
+        .drop("buckets")
+        .withColumn("_cn", l2_norm(c_vec))
+    )
     pairs = (
         c.join(F.broadcast(q), on="bucket")
         .filter(F.col(q_id) != F.col(c_id))

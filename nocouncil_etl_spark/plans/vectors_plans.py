@@ -294,6 +294,112 @@ def vec_knn_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("q_id", "c_id", "sim", "rk")
 
 
+def _index_scratch(sf_dir: str) -> str:
+    """Repo-local scratch path for the materialized index artifact, keyed by
+    sf so concurrent scales never collide (.scratch/ is gitignored)."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(repo, ".scratch", f"vec_index_{tag}")
+
+
+@query("vec_knn_from_index", oracle=f"""
+WITH b AS ({_BUCKET_SQL}),
+scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS c_id, {_COS} AS sim
+  FROM (SELECT * FROM b WHERE vec_id % {QUERY_MOD} = 0) a
+  JOIN b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+)
+SELECT q_id, c_id, sim, rk FROM (
+  SELECT q_id, c_id, sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rk
+  FROM scored
+) WHERE rk <= {K}
+""")
+def vec_knn_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3/K4 materialized-index path: build → persist parquet → read → search
+    (operators/ann_index.py; the write-once HNSW artifact of
+    vectorize.py:119-123 + sample_cron_job.sh:10 ship-to-serving). Query-time
+    signatures are computed for the query side only — the index scan carries
+    precomputed bucket/norm columns, so results (and the oracle) are
+    identical to vec_knn_lsh while the corpus is never re-signed."""
+    from nocouncil_etl_spark.operators.ann_index import (
+        index_vectors,
+        knn_from_index,
+        publish_vector_index,
+    )
+
+    queries, corpus = _query_corpus(spark, sf_dir)
+    path = _index_scratch(sf_dir)
+    idx, cent = publish_vector_index(
+        index_vectors(corpus.drop("label"), "c_id", "c_vec"), path
+    )
+    return knn_from_index(
+        queries.drop("label"), idx, cent, K, strategy="lsh"
+    ).select("q_id", "c_id", "sim", "rk")
+
+
+@query("vec_knn_from_index_ivf", oracle=f"""
+WITH b AS ({_BUCKET_SQL}),
+cexp AS (
+  SELECT bucket AS ivf_part, unnest(v) AS x,
+         CAST(unnest(range(0, len(v))) AS INT) AS pos
+  FROM b
+),
+cent AS (
+  SELECT ivf_part, pos,
+         round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(x), 6) AS m
+  FROM cexp GROUP BY 1, 2
+),
+centv AS (SELECT ivf_part, list(m ORDER BY pos) AS cv FROM cent GROUP BY ivf_part),
+probes AS (
+  SELECT q_id, ivf_part FROM (
+    SELECT a.vec_id AS q_id, c.ivf_part,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round(list_dot_product(a.v, c.cv)
+                            / (sqrt(list_dot_product(a.v, a.v))
+                               * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                      c.ivf_part
+           ) AS crk
+    FROM (SELECT * FROM b WHERE vec_id % {QUERY_MOD} = 0) a CROSS JOIN centv c
+  ) WHERE crk <= 2
+),
+scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS c_id, {_COS} AS sim
+  FROM (SELECT * FROM b WHERE vec_id % {QUERY_MOD} = 0) a
+  JOIN probes p ON p.q_id = a.vec_id
+  JOIN b ON b.bucket = p.ivf_part AND b.vec_id <> a.vec_id
+)
+SELECT q_id, c_id, sim, rk FROM (
+  SELECT q_id, c_id, sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rk
+  FROM scored
+) WHERE rk <= {K}
+""")
+def vec_knn_from_index_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3/K4 materialized-IVF path: the index's coarse cells (ivf_part =
+    deterministic LSH signature, so upserts never invalidate assignments)
+    plus the persisted centroid sidecar; queries rank cells by centroid
+    cosine and probe the top 2. Centroids come from the artifact — no
+    centroid recomputation at query time."""
+    from nocouncil_etl_spark.operators.ann_index import (
+        index_vectors,
+        knn_from_index,
+        publish_vector_index,
+    )
+
+    queries, corpus = _query_corpus(spark, sf_dir)
+    path = _index_scratch(sf_dir) + "_ivf"
+    idx, cent = publish_vector_index(
+        index_vectors(corpus.drop("label"), "c_id", "c_vec"), path
+    )
+    return knn_from_index(
+        queries.drop("label"), idx, cent, K, strategy="ivf", nprobe=2
+    ).select("q_id", "c_id", "sim", "rk")
+
+
 @query(
     "vec_neardup_cosine",
     oracle=f"""

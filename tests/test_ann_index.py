@@ -1,0 +1,141 @@
+"""Materialized ANN index (operators/ann_index.py): the artifact is
+write-once — query-time plans scan the parquet index and recompute NO
+signatures or centroids on the corpus side — and incremental upserts index
+only the incoming batch with keep-latest semantics.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from nocouncil_etl_spark.operators.ann_index import (
+    build_centroids,
+    build_vector_index,
+    knn_from_index,
+    read_vector_index,
+    upsert_vector_index,
+    write_vector_index,
+)
+from nocouncil_etl_spark.operators.similarity import knn_lsh
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(round(x, 6)) for x in rng.standard_normal(64)])
+        for i in range(300)
+    ]
+    return spark.createDataFrame(rows, "c_id long, c_vec array<double>").cache()
+
+
+@pytest.fixture(scope="module")
+def artifact(spark, corpus, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("annidx") / "v1")
+    index, centroids = build_vector_index(corpus)
+    write_vector_index(index, centroids, path)
+    return path
+
+
+def _queries(corpus):
+    return corpus.filter(F.col("c_id") % 50 == 0).select(
+        F.col("c_id").alias("q_id"), F.col("c_vec").alias("q_vec")
+    )
+
+
+def test_index_search_matches_corpus_side_lsh(spark, corpus, artifact):
+    """Same results as knn_lsh over the raw corpus — the index only moves
+    WHERE the signatures are computed, never what they are."""
+    idx, cent = read_vector_index(spark, artifact)
+    got = {
+        (r.q_id, r.rk): (r.c_id, r.sim)
+        for r in knn_from_index(_queries(corpus), idx, cent, 5, "lsh").collect()
+    }
+    want = {
+        (r.q_id, r.rk): (r.c_id, r.sim)
+        for r in knn_lsh(_queries(corpus), corpus, 5).collect()
+    }
+    assert got == want and got
+
+
+def test_index_plan_has_no_corpus_side_signature_udf(spark, corpus, artifact):
+    """The read-side plan scans the index parquet; the only Python eval is
+    the (tiny) query side's signature pass — lsh: exactly one MapInPandas;
+    ivf: zero Python at all (centroid ranking is pure expressions over the
+    sidecar). No ArrowEvalPython anywhere — the UDF-expression form would be
+    double-evaluated around the join's isnotnull filter."""
+    idx, cent = read_vector_index(spark, artifact)
+    q = _queries(corpus)
+
+    lsh_plan = _plan(knn_from_index(q, idx, cent, 5, "lsh"))
+    assert lsh_plan.count(") MapInPandas") == 1
+    assert "ArrowEvalPython" not in lsh_plan
+    assert "Scan parquet" in lsh_plan
+
+    ivf_plan = _plan(knn_from_index(q, idx, cent, 5, "ivf"))
+    assert "ArrowEvalPython" not in ivf_plan
+    assert "MapInPandas" not in ivf_plan
+    assert "Scan parquet" in ivf_plan
+
+
+def test_index_scan_prunes_unused_columns(spark, corpus, artifact):
+    """Column pruning reaches the index scan: the lsh path must not read the
+    multi-table `buckets` array (the widest column) from parquet."""
+    idx, cent = read_vector_index(spark, artifact)
+    plan = _plan(knn_from_index(_queries(corpus), idx, cent, 5, "lsh"))
+    scan = next(
+        block
+        for block in plan.split("\n\n")
+        if "Scan parquet" in block and "ReadSchema" in block
+    )
+    schema_line = next(ln for ln in scan.splitlines() if "ReadSchema" in ln)
+    assert "buckets" not in schema_line
+    assert "bucket" in schema_line and "norm" in schema_line
+
+
+def test_upsert_indexes_only_incoming_and_keeps_latest(spark, corpus, artifact):
+    """Upsert: new ids appear, replaced ids take the newest vector, untouched
+    rows keep their original signature columns — and search over the merged
+    index finds the planted near-duplicate of a query vector."""
+    idx, cent = read_vector_index(spark, artifact)
+
+    # vec 0 gets a near-identical twin at id 9000; id 5 gets replaced
+    base = {r.c_id: r.c_vec for r in corpus.filter(F.col("c_id").isin(0, 5)).collect()}
+    twin = [x + (0.001 if i == 0 else 0.0) for i, x in enumerate(base[0])]
+    incoming = spark.createDataFrame(
+        [(9000, twin), (5, base[0])], "c_id long, c_vec array<double>"
+    )
+    merged = upsert_vector_index(idx, incoming, "c_id", "c_vec", version=1)
+
+    assert merged.count() == 301  # 300 originals + 1 new, id 5 replaced
+    v5 = merged.filter(F.col("id") == 5).first()
+    assert v5.version == 1 and v5.vec == base[0]
+    untouched = merged.filter(F.col("id") == 7).first()
+    assert untouched.version == 0
+
+    q = spark.createDataFrame([(0, base[0])], "q_id long, q_vec array<double>")
+    hits = knn_from_index(q, merged, build_centroids(merged), 5, "lsh").collect()
+    assert 9000 in {r.c_id for r in hits}  # the twin shares the bucket → found
+    top = min(hits, key=lambda r: r.rk)
+    assert top.sim >= 0.999
+
+
+def test_unknown_strategy_and_missing_sidecar_rejected(spark, corpus, artifact):
+    idx, cent = read_vector_index(spark, artifact)
+    with pytest.raises(ValueError, match="unknown index strategy"):
+        knn_from_index(_queries(corpus), idx, cent, 5, "hnsw")
+    with pytest.raises(ValueError, match="centroids sidecar"):
+        knn_from_index(_queries(corpus), idx, None, 5, "ivf")
