@@ -253,9 +253,9 @@ def connected_components(
     Each level is one equi-join + min-aggregate; the driver loop stops when
     a fixpoint is reached (one `limit(1).count()` probe per level). Dedup
     graphs have tiny diameters (clusters are near-cliques), so iterations
-    ≈ 2-4 in practice; `max_iters` bounds pathological chains. Labels are
-    persisted per level and the previous level dropped, so lineage and
-    cache stay O(1) in iteration count."""
+    ≈ 2-4 in practice; `max_iters` bounds pathological chains — and raises
+    if the bound is hit before the fixpoint, because unconverged labels are
+    silently WRONG clusters (a split chain looks valid downstream)."""
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -286,8 +286,13 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge within max_iters={max_iters} "
+        "(graph diameter exceeds the bound); the partial labels would be "
+        "silently-wrong split clusters. Raise max_iters — levels needed ≈ "
+        "graph diameter, which for near-dup clusters (near-cliques) is 2-4."
+    )
 
 
 def lsh_near_duplicates(

@@ -157,7 +157,11 @@ def features_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     integer stats leave Python (sums, max); derived floats (mean) are
     computed and rounded JVM-side so rounding rules stay in the one engine
     pair that is parity-tested. A real extractor would swap the kernel for
-    an image/audio model embedding; the batch plumbing is identical."""
+    an image/audio model embedding; the batch plumbing is identical.
+
+    Null/absent content degrades per row to zero stats (the module's
+    poison-row-degrades-alone contract, like decode_map) — a None must
+    never fail the whole stage."""
     for pdf in batches:
         stats = [
             (
@@ -165,7 +169,7 @@ def features_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 int(np.frombuffer(b, np.uint8).sum()),
                 int(np.frombuffer(b, np.uint8).max()) if len(b) else 0,
             )
-            for b in pdf["content"]
+            for b in (c or b"" for c in pdf["content"])
         ]
         lens = np.array([s[0] for s in stats], dtype=np.int64)
         yield pd.DataFrame(

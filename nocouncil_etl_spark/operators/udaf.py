@@ -23,12 +23,15 @@ def mean_pool(
     quantized to the DECIMAL(18,6) grid (×1e6 → int64) and summed exactly,
     so the pooled mean is identical whatever order rows reach the group —
     the applyInPandas analogue of functions.numeric's decimal sums, and the
-    same grid the SQL oracle uses."""
+    same grid the SQL oracle uses. Quantization is HALF_UP like the oracle's
+    DECIMAL cast (np.round is half-even: a component landing on a .5e-6
+    boundary would pool differently from the oracle)."""
     schema = f"{key} long, " + ", ".join(f"p{i} double" for i in range(out_dims))
 
     def pool(pdf: pd.DataFrame) -> pd.DataFrame:
         mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-        q = np.round(mat * 1e6).astype(np.int64)  # exact integer micro-grid
+        # exact integer micro-grid, HALF_UP (away from zero) at .5 boundaries
+        q = (np.sign(mat) * np.floor(np.abs(mat) * 1e6 + 0.5)).astype(np.int64)
         pooled = (q.sum(axis=0) / 1e6) / len(q)
         row = {key: pdf[key].iloc[0]}
         row.update({f"p{i}": float(pooled[i]) for i in range(out_dims)})

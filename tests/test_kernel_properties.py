@@ -161,6 +161,55 @@ def test_connected_components_closes_chains(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 6, 8: 6, 9: 6}
 
 
+def test_connected_components_raises_when_unconverged(spark):
+    """A chain whose diameter exceeds max_iters must raise, not return
+    silently-wrong split clusters (ADVICE r2)."""
+    import pytest
+
+    from nocouncil_etl_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=2)
+
+
+def test_features_map_quarantines_null_content(spark):
+    """A None binary value degrades to zero stats per row — never fails the
+    stage (ADVICE r2: the module's poison-row contract)."""
+    from nocouncil_etl_spark.operators.multimodal import (
+        FEATURES_SCHEMA,
+        features_map,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"ab"), (2, None), (3, b"")], "doc_id long, content binary"
+    )
+    got = {
+        r.doc_id: (r.byte_len, r.sum_bytes, r.max_byte, r.n_frames)
+        for r in df.mapInPandas(features_map, FEATURES_SCHEMA).collect()
+    }
+    assert got[1] == (2, ord("a") + ord("b"), ord("b"), 1)
+    assert got[2] == (0, 0, 0, 1)
+    assert got[3] == (0, 0, 0, 1)
+
+
+def test_mean_pool_half_up_at_boundary(spark):
+    """Components on a .5e-6 boundary quantize HALF_UP like the oracle's
+    DECIMAL(18,6) cast — np.round's half-even would pool 2.5e-6 down to 2
+    micro-units (ADVICE r2)."""
+    from nocouncil_etl_spark.operators.udaf import mean_pool
+
+    df = spark.createDataFrame(
+        [(1, [2.5e-6, -2.5e-6]), (1, [2.5e-6, -2.5e-6])],
+        "k long, v array<double>",
+    )
+    row = mean_pool(df, key="k", vec_col="v", out_dims=2).first()
+    assert row.p0 == 3e-6  # HALF_UP: 2.5 → 3 micro-units
+    assert row.p1 == -3e-6  # away from zero, not toward even
+
+
 def test_money_split_sum_equals_decimal_kernel(spark):
     """The split-long money kernel (functions.numeric.money_parts) must yield
     the same finished values as the DECIMAL(18,6) kernel for data on a ≤6dp
