@@ -245,6 +245,27 @@ class Engine:
             make_extract_map(backend, cfg), schema=EXTRACT_SCHEMA
         )
 
+    def extract_html(
+        self, df: DataFrame, backend: str | None = None
+    ) -> DataFrame:
+        """S7/E10 content extraction over (doc_id, html): 'fake' (stdlib
+        tag-stripper, deterministic default) or 'cascade' (trafilatura →
+        bs4 → stdlib, first-success-wins — the production twin of
+        newscrawler.py:187-299), resolved from session conf
+        spark.nocouncil_etl_spark.extractBackend when not given."""
+        from nocouncil_etl_spark.operators.backends import (
+            HTML_EXTRACT_FAKE,
+            HTML_EXTRACT_SCHEMA,
+            make_extract_html_map,
+            resolve_backend,
+        )
+
+        if backend is None:
+            backend = resolve_backend(self.spark, "extractBackend", HTML_EXTRACT_FAKE)
+        return df.select("doc_id", "html").mapInPandas(
+            make_extract_html_map(backend), schema=HTML_EXTRACT_SCHEMA
+        )
+
     def tree_summarize(
         self,
         df: DataFrame,

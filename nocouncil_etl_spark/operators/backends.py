@@ -194,6 +194,105 @@ def make_transcribe_map(
     )
 
 
+# --- HTML content extraction (S7/E10) -----------------------------------------
+#
+# The reference's extractor is a trafilatura → selenium → BeautifulSoup
+# cascade with real HTTP + boilerplate removal (newscrawler.py:187-299). The
+# deterministic expression cascade (plans/extract_plans.extract_cascade) is
+# the oracle path; this seam supplies the production twin: a mapInPandas
+# kernel that runs real extractors per row, first-success-wins, recording
+# which extractor won and quarantining per-row failures. trafilatura and
+# bs4 are public packages, import-guarded per extractor — an absent package
+# just drops that rung of the cascade (selenium is deliberately out: it
+# needs a browser runtime, not a pip install; its rung degrades to bs4,
+# same coalesce semantics). The final rung is a stdlib tag-stripper, so the
+# cascade always produces SOMETHING — matching the reference's "use the
+# roughest extraction rather than drop the article" behavior.
+
+HTML_EXTRACT_FAKE = "fake"
+HTML_EXTRACT_CASCADE = "cascade"
+
+HTML_EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("extractor", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+_TAG_RE = re.compile(
+    r"<(script|style)\b.*?</\1\s*>|<!--.*?-->|<[^>]+>", re.DOTALL | re.IGNORECASE
+)
+
+
+def strip_tags(html: str) -> str:
+    """Stdlib last-resort extractor: drop script/style/comments, strip tags,
+    unescape entities, collapse whitespace. Deterministic."""
+    import html as html_mod
+
+    text = _TAG_RE.sub(" ", html or "")
+    return " ".join(html_mod.unescape(text).split())
+
+
+def _try_trafilatura(html: str) -> str | None:
+    try:
+        import trafilatura
+    except ImportError:
+        return None
+    return trafilatura.extract(html)  # None on failure → next rung
+
+
+def _try_bs4(html: str) -> str | None:
+    try:
+        from bs4 import BeautifulSoup
+    except ImportError:
+        return None
+    text = BeautifulSoup(html, "html.parser").get_text(" ", strip=True)
+    return text or None
+
+
+def make_extract_html_map(
+    backend: str = HTML_EXTRACT_FAKE,
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """mapInPandas kernel (HTML_EXTRACT_SCHEMA out) over (doc_id, html).
+
+    'fake' = the stdlib tag-stripper only (deterministic, runs anywhere —
+    the test/oracle twin); 'cascade' = trafilatura → bs4 → stdlib,
+    first-success-wins with the winner recorded, per-row quarantine."""
+    if backend == HTML_EXTRACT_FAKE:
+        rungs = [("builtin", strip_tags)]
+    elif backend == HTML_EXTRACT_CASCADE:
+        rungs = [
+            ("trafilatura", _try_trafilatura),
+            ("bs4", _try_bs4),
+            ("builtin", strip_tags),
+        ]
+    else:
+        raise ValueError(
+            f"unknown html extract backend {backend!r}; expected "
+            f"{HTML_EXTRACT_FAKE!r} or {HTML_EXTRACT_CASCADE!r}"
+        )
+
+    def extract_html_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                try:
+                    content, winner = None, None
+                    for name, fn in rungs:
+                        content = fn(html or "")
+                        if content:
+                            winner = name
+                            break
+                    rows.append((doc_id, content or "", winner or "none", None))
+                except Exception as exc:  # quarantine, never fail the stage
+                    rows.append((doc_id, None, None, f"{type(exc).__name__}: {exc}"))
+            yield pd.DataFrame(rows, columns=["doc_id", "content", "extractor", "error"])
+
+    return extract_html_map
+
+
 # --- LLM (summarize E6 / extract E7 / reduce E8) ------------------------------
 #
 # The reference's central model call is an ollama-served LLM

@@ -54,3 +54,41 @@ def extract_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(t_traf, t_sel, t_bs4).alias("content"),
         extractor.alias("extractor"),
     )
+
+
+@query(
+    "extract_html_real",
+    oracle="""
+SELECT doc_id, text AS content, 'builtin' AS extractor,
+       CAST(NULL AS VARCHAR) AS error
+FROM documents
+""",
+)
+def extract_html_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/E10 through the REAL extraction seam: wrap each document in HTML
+    (tags + script/style/comment noise), run the mapInPandas extractor
+    cascade (operators/backends.make_extract_html_map — production rungs are
+    trafilatura/bs4, import-guarded), and recover exactly the original text
+    via the stdlib rung. The corpus is entity-free and single-spaced
+    (checked), so extraction is the identity — the oracle pins the full
+    plumbing without reimplementing the stripper in SQL."""
+    from nocouncil_etl_spark.operators.backends import (
+        HTML_EXTRACT_FAKE,
+        HTML_EXTRACT_SCHEMA,
+        make_extract_html_map,
+        resolve_backend,
+    )
+
+    backend = resolve_backend(spark, "extractBackend", HTML_EXTRACT_FAKE)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><style>p{}</style></head><body>"
+                  "<script>var x=1;</script><!-- boilerplate --><p>"),
+            "text",
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+    return docs.mapInPandas(
+        make_extract_html_map(backend), schema=HTML_EXTRACT_SCHEMA
+    )

@@ -70,6 +70,62 @@ def test_transcribe_fake_backend_is_default_kernel(spark, sf_dir):
     assert make_transcribe_map(TRANSCRIBE_FAKE) is transcribe_map
 
 
+def test_extract_html_fake_and_cascade(spark):
+    """The stdlib rung extracts deterministically; the cascade degrades to
+    the first AVAILABLE extractor (trafilatura/bs4 absent in this image →
+    'builtin' wins) with per-row quarantine instead of stage failure. Plan
+    identity fake↔cascade: one MapInPandas either way."""
+    from nocouncil_etl_spark.operators.backends import (
+        HTML_EXTRACT_CASCADE,
+        HTML_EXTRACT_FAKE,
+        HTML_EXTRACT_SCHEMA,
+        make_extract_html_map,
+        strip_tags,
+    )
+
+    html = (
+        "<html><head><style>p{color:red}</style></head>"
+        "<body><script>var x=1;</script><p>Hello &amp; <b>world</b></p>"
+        "<!-- c --></body></html>"
+    )
+    assert strip_tags(html) == "Hello & world"
+
+    df = spark.createDataFrame(
+        [(1, html), (2, None), (3, "")], "doc_id long, html string"
+    )
+    for backend in (HTML_EXTRACT_FAKE, HTML_EXTRACT_CASCADE):
+        rows = {
+            r.doc_id: r
+            for r in df.mapInPandas(
+                make_extract_html_map(backend), HTML_EXTRACT_SCHEMA
+            ).collect()
+        }
+        try:
+            import trafilatura  # noqa: F401
+
+            has_traf = True
+        except ImportError:
+            has_traf = False
+        expected = (
+            "trafilatura"
+            if (backend == HTML_EXTRACT_CASCADE and has_traf)
+            else "builtin"
+        )
+        assert rows[1].extractor == expected
+        if expected == "builtin":
+            assert rows[1].content == "Hello & world"
+        assert rows[2].extractor == "none" and rows[2].error is None
+
+    plans = {
+        b: _plan(df.mapInPandas(make_extract_html_map(b), HTML_EXTRACT_SCHEMA))
+        for b in (HTML_EXTRACT_FAKE, HTML_EXTRACT_CASCADE)
+    }
+    assert plans[HTML_EXTRACT_FAKE] == plans[HTML_EXTRACT_CASCADE]
+
+    with pytest.raises(ValueError, match="unknown html extract backend"):
+        make_extract_html_map("lynx")
+
+
 def test_embed_st_execution_matches_contract(spark):
     """Real-model execution: normalized 384-d vectors. Skips unless
     sentence-transformers is installed (not in this image)."""
