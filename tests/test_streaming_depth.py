@@ -13,6 +13,7 @@ from nocouncil_etl_spark.streaming.windows import (
     read_events_stream,
     run_to_memory,
     sliding_agg,
+    tumbling_agg,
 )
 
 
@@ -161,3 +162,136 @@ def test_stream_session_window_append_finalizes_under_watermark(spark, sf_dir):
 def expect_end_before(key, horizon_us):
     _, _, session_end_us = key
     return session_end_us < horizon_us
+
+
+# --- arrival-permutation property (VERDICT r2 #8) -----------------------------
+#
+# Watermark correctness property: for ANY arrival order of events whose
+# event-time span (60 min) never exceeds the watermark delay (1 h), no event
+# can be late-dropped — the watermark trails max_seen by a full hour, so it
+# never passes a still-outstanding window while main-phase data is in flight.
+# After a far-future flush event advances the watermark past every main
+# window, the append-mode streaming output must equal the batch twin EXACTLY
+# (minus the flush's own still-open window), independent of the permutation.
+
+_PERM_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+_FLUSH_ID = 999_999
+
+
+def _write_arrival(spark, src: str, batches) -> None:
+    """One parquet file-group per micro-batch, mtimes forced increasing so
+    the file source replays exactly this arrival order."""
+    import os
+
+    seen: set[str] = set()
+    for ci, rows in enumerate(batches):
+        spark.createDataFrame(rows, _PERM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        t = 1_700_000_000 + ci * 10
+        for name in os.listdir(src):
+            p = os.path.join(src, name)
+            if name not in seen and name.endswith(".parquet"):
+                os.utime(p, (t, t))
+                seen.add(name)
+
+
+def _stream_arrival(spark, src: str):
+    return (
+        spark.readStream.schema(_PERM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+    )
+
+
+def _arrival_case(spark, events, order, check):
+    import shutil
+    import tempfile
+
+    from datetime import datetime, timedelta
+
+    base = datetime(2025, 1, 1)
+    rows = [
+        (i, base + timedelta(minutes=m), u, "e", 1.0) for i, (u, m) in enumerate(events)
+    ]
+    flush = (_FLUSH_ID, base + timedelta(days=2), 99, "flush", 0.0)
+    batches = [[rows[j] for j in order[i : i + 4]] for i in range(0, len(rows), 4)]
+    batches.append([flush])
+
+    src = tempfile.mkdtemp(prefix="permstream_")
+    try:
+        _write_arrival(spark, src, batches)
+        batch_df = spark.createDataFrame(rows + [flush], _PERM_SCHEMA)
+        check(_stream_arrival(spark, src), batch_df)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _EVENTS = st.lists(
+        st.tuples(
+            st.integers(1, 3),
+            st.floats(0, 60, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=6,
+        max_size=20,
+    )
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(data=st.data())
+    def test_tumbling_matches_batch_under_arrival_permutation(spark, data):
+        events = data.draw(_EVENTS)
+        order = data.draw(st.permutations(range(len(events))))
+
+        def check(stream, batch_df):
+            got = {
+                (r.w_start_us, r.event_type): (r.n, r.total)
+                for r in run_to_memory(tumbling_agg(stream), mode="append").collect()
+            }
+            expect = {
+                (r.w_start_us, r.event_type): (r.n, r.total)
+                for r in tumbling_agg(batch_df).collect()
+                if r.event_type != "flush"  # flush window still open at EOS
+            }
+            assert got == expect, f"arrival order changed the result: {order}"
+
+        _arrival_case(spark, events, order, check)
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(data=st.data())
+    def test_sessions_match_batch_under_arrival_permutation(spark, data):
+        from nocouncil_etl_spark.streaming.windows import session_agg
+
+        events = data.draw(_EVENTS)
+        order = data.draw(st.permutations(range(len(events))))
+
+        def check(stream, batch_df):
+            got = {
+                (r.user_id, r.session_start_us, r.session_end_us): r.n_events
+                for r in run_to_memory(
+                    session_agg(stream, gap="5 minutes"), mode="append"
+                ).collect()
+            }
+            expect = {
+                (r.user_id, r.session_start_us, r.session_end_us): r.n_events
+                for r in session_agg(batch_df, gap="5 minutes").collect()
+                if r.user_id != 99  # the flush user's session never closes
+            }
+            assert got == expect, f"arrival order changed the sessions: {order}"
+
+        _arrival_case(spark, events, order, check)
+
+except ImportError:  # pragma: no cover - hypothesis is baked into this image
+    pass
