@@ -35,6 +35,7 @@ HEADLINE: list[str] = [
     "vec_knn_blocked",       # blocked-matmul exact top-k (Arrow + numpy)
     "vec_knn_lsh",           # LSH-bucketed ANN
     "vec_knn_lsh_multi",     # OR-amplified multi-table ANN (the recall path)
+    "vec_knn_from_index",    # materialized-index serving path (build+publish+search)
     "model_embed_hashproj",  # Arrow pandas_udf path
     "text_quality",          # HOF-heavy text scoring
     "curation_e2e",          # full training-data curation DAG (north star)

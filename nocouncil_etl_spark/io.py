@@ -57,8 +57,14 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         raise KeyError(f"unknown table {table!r}; expected one of {TABLES}")
     tune(spark)
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long nanos (see session.RUNTIME_CONFS);
-        # truncate to micros — identical to DuckDB's read of the same file.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if table == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) read as long nanos (see session.RUNTIME_CONFS);
+            # truncate to micros — identical to DuckDB's read of the same file.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            # µs-precision files from other writers surface as NTZ; the
+            # session tz is pinned UTC, so the wall-clock cast is lossless
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
