@@ -151,6 +151,50 @@ def model_extract_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "model_extract_entities_real",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         text || ' docket ' || (doc_id % 50) || ' ref docket ' || (doc_id % 7) AS body
+  FROM documents
+)
+SELECT doc_id,
+       array_to_string(regexp_extract_all(body, 'docket ([0-9]+)', 1), ',') AS dockets,
+       CAST(NULL AS VARCHAR) AS error
+FROM t
+""",
+)
+def model_extract_entities_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 through the REAL extraction seam: the same docket synthesis as
+    model_extract_entities, but extraction runs in the mapInPandas kernel
+    behind spark.nocouncil_etl_spark.llmBackend (stub = regex twin, the
+    oracle path; ollama = LLM with regex-validated replies) — so the
+    production swap is one conf flip with this query as its parity pin."""
+    from nocouncil_etl_spark.operators.backends import (
+        LLM_STUB,
+        llm_config,
+        make_extract_map,
+        resolve_backend,
+    )
+    from nocouncil_etl_spark.operators.models import EXTRACT_SCHEMA
+
+    backend = resolve_backend(spark, "llmBackend", LLM_STUB)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.lit(" docket "),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(" ref docket "),
+            (F.col("doc_id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    return docs.mapInPandas(
+        make_extract_map(backend, llm_config(spark)), schema=EXTRACT_SCHEMA
+    )
+
+
+@query(
     "model_tree_reduce",
     oracle="""
 SELECT user_id, string_agg(event_type, ' ' ORDER BY ts, event_id) AS reduced

@@ -142,3 +142,45 @@ def incr_new_since_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.min("ts")).alias("first_new_us"),
         )
     )
+
+
+_ATTRIBUTION_ORACLE = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us,
+       round(p.value, 2) AS amount
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
+@query("stream_join_attribution_batch", oracle=_ATTRIBUTION_ORACLE)
+def stream_join_attribution_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5+ batch twin of the stream-stream attribution join: purchases
+    matched to same-user clicks within the preceding 30 minutes. The equi
+    key (user_id) carries the shuffle; the time-range condition is a
+    residual — in streaming form it also BOUNDS the join state."""
+    from nocouncil_etl_spark.streaming.windows import attribution_join
+
+    ev = load(spark, sf_dir, "events")
+    return attribution_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+
+
+@query("stream_join_attribution", oracle=_ATTRIBUTION_ORACLE)
+def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5+ REAL stream-stream inner join: both sides are watermarked file
+    streams; the range condition + watermarks bound per-key state, and the
+    inner join emits exactly the batch twin's rows (same oracle)."""
+    from nocouncil_etl_spark.streaming.windows import attribution_join
+
+    events = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    out = attribution_join(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+    )
+    return run_to_memory(out, mode="append")

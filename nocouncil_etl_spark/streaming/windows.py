@@ -98,6 +98,43 @@ def sliding_agg(events: DataFrame, width: str = "10 minutes", slide: str = "5 mi
     )
 
 
+def attribution_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream (or batch-batch) inner join: attribute each purchase to
+    the same user's clicks in the preceding 30 minutes. The identical
+    expression runs as a watermarked stream-stream join (state bounded by
+    the time-range condition + watermarks) or as a plain range join in
+    batch — the batch twin is the oracle.
+
+    At scale: the equi key (user_id) partitions both sides; the range
+    condition bounds state retention per key, so join state is
+    O(events-per-user-per-30min), not O(stream)."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("amount"),
+    )
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        F.round("amount", 2).alias("amount"),
+    )
+
+
 def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """session_window merge (open interval [ts, ts+gap)); end = last_ts + gap."""
     return (
