@@ -104,3 +104,57 @@ def test_q8_single_fact_shuffle(spark, sf_dir):
     shuffles = p.count("SortMergeJoin") + p.count("ShuffledHashJoin")
     assert shuffles <= 1, p
     assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_q9_star_join_broadcasts_all_dims(spark, sf_dir):
+    """Q9: part/supplier/nation all broadcast — lineitem is the only big
+    side, so the star join has NO fact-fact shuffle joins at all."""
+    p = plan_of(REGISTRY["tpch_q9_profit"].fn(spark, sf_dir), mode="simple")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_scalar_subqueries_broadcast_not_collect(spark, sf_dir):
+    """Q11/Q15: the global-total / global-max scalar lands via a 1-row
+    broadcast join — never a driver round-trip, never a nested-loop over
+    data-sized sides (the BNLJ present IS the 1-row broadcast)."""
+    for name in ("tpch_q11_important_parts", "tpch_q15_top_supplier"):
+        p = plan_of(REGISTRY[name].fn(spark, sf_dir), mode="simple")
+        assert "BroadcastExchange" in p, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark, sf_dir):
+    p = plan_of(REGISTRY["tpch_q16_supplier_counts"].fn(spark, sf_dir), mode="simple")
+    assert "LeftAnti, BuildRight" in p or "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q19_disjunctive_single_join(spark, sf_dir):
+    """Q19: the three OR blocks must evaluate over ONE join of lineitem to
+    the broadcast part dim — not a union of three scans."""
+    p = plan_of(REGISTRY["tpch_q19_disjunctive"].fn(spark, sf_dir), mode="simple")
+    assert p.count("Scan parquet") <= 2  # lineitem + part, once each
+    assert "Union" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_q21_self_joins_are_semi_and_anti(spark, sf_dir):
+    """Q21: EXISTS → LeftSemi, NOT EXISTS → LeftAnti, both hash joins on the
+    order key (the non-equi supplier residual rides along) — no nested-loop
+    self-pairing of the fact."""
+    p = plan_of(REGISTRY["tpch_q21_waiting_orders"].fn(spark, sf_dir), mode="simple")
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_index_search_scans_only_index_columns(spark, sf_dir):
+    """vec_knn_from_index: the serving-side plan reads the published index
+    parquet (bucket/norm precomputed) and prunes the wide multi-table
+    buckets array on the single-table path."""
+    p = plan_of(REGISTRY["vec_knn_from_index"].fn(spark, sf_dir))
+    assert "ArrowEvalPython" not in p  # no signature UDF anywhere
+    scan_lines = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    idx_lines = [ln for ln in scan_lines if "bucket" in ln]
+    assert idx_lines and all("buckets" not in ln for ln in idx_lines)
