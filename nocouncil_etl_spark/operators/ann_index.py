@@ -38,11 +38,11 @@ import pandas as pd
 from nocouncil_etl_spark.functions.numeric import ravg
 from nocouncil_etl_spark.functions.vectors import as_double, cosine, dot, l2_norm
 from nocouncil_etl_spark.operators.similarity import (
-    LSH_MULTI_PLANES,
-    LSH_MULTI_TABLES,
     _MULTI_MAT,
     _PLANES_MAT,
     attach_signature,
+    bits_key,
+    multi_bucket_keys,
 )
 
 INDEX_COLS = ["id", "vec", "norm", "bucket", "buckets", "ivf_part", "version"]
@@ -62,23 +62,8 @@ def _index_sig_map(batches):
             continue
         mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
         signs = mat @ _ALL_PLANES.T >= 0
-        pdf["bucket"] = [
-            "".join("1" if b else "0" for b in row[:_N_SINGLE]) for row in signs
-        ]
-        pdf["buckets"] = [
-            [
-                f"{t}#"
-                + "".join(
-                    "1" if b else "0"
-                    for b in row[
-                        _N_SINGLE + t * LSH_MULTI_PLANES :
-                        _N_SINGLE + (t + 1) * LSH_MULTI_PLANES
-                    ]
-                )
-                for t in range(LSH_MULTI_TABLES)
-            ]
-            for row in signs
-        ]
+        pdf["bucket"] = [bits_key(row[:_N_SINGLE]) for row in signs]
+        pdf["buckets"] = [multi_bucket_keys(row, offset=_N_SINGLE) for row in signs]
         yield pdf
 
 
@@ -144,12 +129,6 @@ def upsert_vector_index(
         .filter(F.col("_rk") == 1)
         .drop("_rk")
     )
-
-
-def write_vector_index(index: DataFrame, centroids: DataFrame, path: str) -> None:
-    """Persist the artifact (overwrite = atomic publish of a new epoch)."""
-    index.write.mode("overwrite").parquet(f"{path}/index")
-    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
 def publish_vector_index(index: DataFrame, path: str) -> tuple[DataFrame, DataFrame]:

@@ -371,6 +371,8 @@ def ollama_chat(cfg: LlmConfig, prompt: str) -> str:
             },
         }
     )
+    import http.client
+
     for attempt in (0, 1):
         conn = _llm_connection(cfg.base_url, cfg.timeout)
         try:
@@ -385,7 +387,15 @@ def ollama_chat(cfg: LlmConfig, prompt: str) -> str:
                     f"{data[:200]!r}"
                 )
             return json.loads(data)["message"]["content"]
-        except (ConnectionError, OSError, json.JSONDecodeError):
+        # HTTPException covers BadStatusLine/CannotSendRequest — the garbled
+        # half of the stale-keep-alive modes (the clean-close half surfaces
+        # as RemoteDisconnected ⊂ ConnectionError)
+        except (
+            ConnectionError,
+            OSError,
+            http.client.HTTPException,
+            json.JSONDecodeError,
+        ):
             _SINGLETONS.pop(("llm_conn", cfg.base_url), None)
             try:
                 conn.close()

@@ -287,6 +287,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             return labels
+    labels.unpersist()  # don't leak the cached partial labels past the raise
     raise RuntimeError(
         f"connected_components did not converge within max_iters={max_iters} "
         "(graph diameter exceeds the bound); the partial labels would be "

@@ -62,6 +62,30 @@ def _plane_lit(plane: list[float]) -> Column:
     return F.array(*[F.lit(x) for x in plane])
 
 
+# The ONE place the signature encodings live (the SQL twins in
+# plans/vectors_plans.py are generated from the same constants): a bucket key
+# is the sign bits joined '1'/'0'; a multi-table key is 't#bits' so tables
+# can never collide in a bucket join.
+
+
+def bits_key(signs_row) -> str:
+    """Sign-bit row → bucket key string."""
+    return "".join("1" if b else "0" for b in signs_row)
+
+
+def multi_bucket_keys(signs_row, offset: int = 0) -> list[str]:
+    """Sign-bit row (L·P wide starting at ``offset``) → the L table keys."""
+    return [
+        f"{t}#"
+        + bits_key(
+            signs_row[
+                offset + t * LSH_MULTI_PLANES : offset + (t + 1) * LSH_MULTI_PLANES
+            ]
+        )
+        for t in range(LSH_MULTI_TABLES)
+    ]
+
+
 def lsh_signature(vec: Column | str) -> Column:
     """Sign-bit signature string, e.g. '10110010' — the LSH bucket key
     (expression form, for composition; hot path = lsh_signature_udf)."""
@@ -82,7 +106,7 @@ def lsh_signature_udf(vecs: pd.Series) -> pd.Series:
     dots are O(0.1-10), float64 noise is ~1e-15, so no boundary flips."""
     mat = np.vstack(vecs.to_numpy()).astype(np.float64)  # (N, D)
     signs = (mat @ _PLANES_MAT.T) >= 0  # (N, P)
-    return pd.Series(["".join("1" if b else "0" for b in row) for row in signs])
+    return pd.Series([bits_key(row) for row in signs])
 
 
 # (L·P, D) — all tables' planes stacked for one matmul per batch
@@ -97,14 +121,7 @@ def lsh_multi_signature_udf(vecs: pd.Series) -> pd.Series:
     't#bits' so different tables can never collide in the bucket join."""
     mat = np.vstack(vecs.to_numpy()).astype(np.float64)  # (N, D)
     signs = (mat @ _MULTI_MAT.T) >= 0  # (N, L·P)
-    out = []
-    for row in signs:
-        keys = []
-        for t in range(LSH_MULTI_TABLES):
-            bits = row[t * LSH_MULTI_PLANES : (t + 1) * LSH_MULTI_PLANES]
-            keys.append(f"{t}#" + "".join("1" if b else "0" for b in bits))
-        out.append(keys)
-    return pd.Series(out)
+    return pd.Series([multi_bucket_keys(row) for row in signs])
 
 
 def attach_signature(df: DataFrame, vec_col: str, multi: bool = False) -> DataFrame:
@@ -132,24 +149,10 @@ def attach_signature(df: DataFrame, vec_col: str, multi: bool = False) -> DataFr
             mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             if multi:
                 signs = mat @ _MULTI_MAT.T >= 0
-                pdf[out_col] = [
-                    [
-                        f"{t}#"
-                        + "".join(
-                            "1" if b else "0"
-                            for b in row[
-                                t * LSH_MULTI_PLANES : (t + 1) * LSH_MULTI_PLANES
-                            ]
-                        )
-                        for t in range(LSH_MULTI_TABLES)
-                    ]
-                    for row in signs
-                ]
+                pdf[out_col] = [multi_bucket_keys(row) for row in signs]
             else:
                 signs = mat @ _PLANES_MAT.T >= 0
-                pdf[out_col] = [
-                    "".join("1" if b else "0" for b in row) for row in signs
-                ]
+                pdf[out_col] = [bits_key(row) for row in signs]
             yield pdf
 
     return df.mapInPandas(add_sig, schema)

@@ -59,7 +59,9 @@ def extract_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "extract_html_real",
     oracle="""
-SELECT doc_id, text AS content, 'builtin' AS extractor,
+SELECT doc_id,
+       CASE WHEN text IS NULL OR trim(text) = '' THEN '' ELSE text END AS content,
+       CASE WHEN text IS NULL OR trim(text) = '' THEN 'none' ELSE 'builtin' END AS extractor,
        CAST(NULL AS VARCHAR) AS error
 FROM documents
 """,
@@ -71,7 +73,9 @@ def extract_html_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     trafilatura/bs4, import-guarded), and recover exactly the original text
     via the stdlib rung. The corpus is entity-free and single-spaced
     (checked), so extraction is the identity — the oracle pins the full
-    plumbing without reimplementing the stripper in SQL."""
+    plumbing without reimplementing the stripper in SQL. Degenerate rows
+    (null/whitespace-only text) extract to '' with extractor='none' on both
+    sides, so a future fixture with empty documents stays digest-green."""
     from nocouncil_etl_spark.operators.backends import (
         HTML_EXTRACT_FAKE,
         HTML_EXTRACT_SCHEMA,

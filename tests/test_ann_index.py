@@ -14,11 +14,11 @@ from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.operators.ann_index import (
     build_centroids,
-    build_vector_index,
+    index_vectors,
     knn_from_index,
+    publish_vector_index,
     read_vector_index,
     upsert_vector_index,
-    write_vector_index,
 )
 from nocouncil_etl_spark.operators.similarity import knn_lsh
 
@@ -45,8 +45,7 @@ def corpus(spark):
 @pytest.fixture(scope="module")
 def artifact(spark, corpus, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("annidx") / "v1")
-    index, centroids = build_vector_index(corpus)
-    write_vector_index(index, centroids, path)
+    publish_vector_index(index_vectors(corpus, "c_id", "c_vec"), path)
     return path
 
 

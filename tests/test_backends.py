@@ -100,20 +100,17 @@ def test_extract_html_fake_and_cascade(spark):
                 make_extract_html_map(backend), HTML_EXTRACT_SCHEMA
             ).collect()
         }
-        try:
-            import trafilatura  # noqa: F401
-
-            has_traf = True
-        except ImportError:
-            has_traf = False
-        expected = (
-            "trafilatura"
-            if (backend == HTML_EXTRACT_CASCADE and has_traf)
-            else "builtin"
-        )
-        assert rows[1].extractor == expected
-        if expected == "builtin":
+        if backend == HTML_EXTRACT_FAKE:
+            # the stdlib rung is fully deterministic
+            assert rows[1].extractor == "builtin"
             assert rows[1].content == "Hello & world"
+        else:
+            # cascade: whichever rung is installed wins (trafilatura may
+            # decline short fragments and fall through); the contract is
+            # first-SUCCESS-wins with non-empty output
+            assert rows[1].extractor in ("trafilatura", "bs4", "builtin")
+            assert rows[1].content
+        assert rows[1].error is None
         assert rows[2].extractor == "none" and rows[2].error is None
 
     plans = {
