@@ -65,6 +65,12 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
             assert n >= 0
         timings[name] = round(best, 3)
+        # isolate queries from each other: drop any leftover cache and let
+        # the JVM reclaim shuffle/broadcast heap, so a query's number
+        # reflects its own plan, not its predecessor's garbage (measured:
+        # late-list queries ran 1.5-3x their isolated time without this)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
