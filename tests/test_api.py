@@ -67,3 +67,58 @@ def test_engine_curation_surface(spark, sf_dir):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
     comp = {r.node: r.comp for r in eng.cluster_duplicates(pairs).collect()}
     assert comp == {1: 1, 2: 1, 3: 1}
+
+
+def test_engine_llm_and_extraction_surface(spark, sf_dir):
+    """Round-3 facade verbs: summarize / extract_entities / tree_summarize
+    (stub backends — same kernels the oracle-checked queries pin) and
+    extract_html through the cascade seam."""
+    from nocouncil_etl_spark.api import Engine
+
+    eng = Engine(spark)
+    docs = eng.table(sf_dir, "documents").limit(5)
+
+    summ = eng.summarize(docs)
+    assert summ.columns == ["doc_id", "summary", "quotes", "n_words", "error"]
+    assert summ.filter(F.col("error").isNotNull()).count() == 0
+
+    ents = eng.extract_entities(docs)
+    assert ents.columns == ["doc_id", "dockets", "error"]
+
+    ev = eng.table(sf_dir, "events").limit(200)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    items = ev.select(
+        "user_id", (F.row_number().over(w) - 1).alias("pos"),
+        F.col("event_type").alias("val"),
+    )
+    reduced = eng.tree_summarize(items, key="user_id", pos="pos", value="val")
+    assert reduced.count() == ev.select("user_id").distinct().count()
+
+    html = docs.select(
+        "doc_id", F.concat(F.lit("<p>"), "text", F.lit("</p>")).alias("html")
+    )
+    out = eng.extract_html(html)
+    assert out.filter(F.col("extractor") == "none").count() == 0
+
+
+def test_engine_index_surface(spark, sf_dir, tmp_path):
+    """build_index publishes the parquet artifact; search_index serves from
+    it without touching the corpus."""
+    from nocouncil_etl_spark.api import Engine
+
+    eng = Engine(spark)
+    e = eng.table(sf_dir, "embeddings")
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    path = str(tmp_path / "idx")
+    idx, cent = eng.build_index(corpus, "c_id", "c_vec", path)
+    assert idx.count() == corpus.count() and cent.count() > 0
+
+    queries = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    for strategy in ("lsh", "lsh_multi", "ivf"):
+        hits = eng.search_index(queries, path, k=3, strategy=strategy)
+        assert {"q_id", "c_id", "sim", "rk"} <= set(hits.columns)
+        assert hits.count() <= 2 * 3
