@@ -132,6 +132,52 @@ def test_upsert_indexes_only_incoming_and_keeps_latest(spark, corpus, artifact):
     assert top.sim >= 0.999
 
 
+def test_streaming_upsert_into_published_index(spark, corpus, artifact, tmp_path):
+    """The cron ship-to-serving loop as a stream: micro-batches of new
+    vectors upsert into the PUBLISHED artifact via foreachBatch (only the
+    incoming batch is signed), republishing each epoch; a search against the
+    final artifact finds the streamed-in twin of a query vector."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    live = str(tmp_path / "live")
+    shutil.copytree(artifact, live)
+
+    base = corpus.filter(F.col("c_id") == 0).first().c_vec
+    twin = [x + (0.0005 if i == 0 else 0.0) for i, x in enumerate(base)]
+    src = str(tmp_path / "incoming")
+    spark.createDataFrame(
+        [(9100, twin)], "c_id long, c_vec array<double>"
+    ).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("c_id long, c_vec array<double>").parquet(src)
+
+    def upsert(batch, epoch_id):
+        s = batch.sparkSession
+        idx, _ = read_vector_index(s, live)
+        merged = upsert_vector_index(idx, batch, "c_id", "c_vec", version=epoch_id + 1)
+        # stage then swap: never overwrite the artifact being read
+        publish_vector_index(merged, live + "_next")
+        shutil.rmtree(live)
+        shutil.move(live + "_next", live)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    idx, cent = read_vector_index(spark, live)
+    assert idx.count() == 301
+    queries = spark.createDataFrame([(0, base)], "q_id long, q_vec array<double>")
+    hits = knn_from_index(queries, idx, cent, 5, "lsh").collect()
+    assert 9100 in {r.c_id for r in hits}
+
+
 def test_unknown_strategy_and_missing_sidecar_rejected(spark, corpus, artifact):
     idx, cent = read_vector_index(spark, artifact)
     with pytest.raises(ValueError, match="unknown index strategy"):
