@@ -149,3 +149,53 @@ def vec_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "id", "version", F.round(F.element_at("v", 1), 6).alias("e0")
     )
+
+
+@query(
+    "io_markdown_roundtrip",
+    oracle="""
+SELECT doc_id, lang, source, text AS body
+FROM documents WHERE doc_id % 100 = 0
+""",
+)
+def io_markdown_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3+S3+S4 as one oracle-checked loop: render sampled documents to
+    frontmatter markdown (newscrawler.py:313-325), write ONE FILE PER RECORD
+    (partitionBy doc_id — the per-article file layout), whole-file scan the
+    corpus back and parse the frontmatter in codegen
+    (article_vectorize.py:75-154). Matching the direct-parquet oracle proves
+    the render → per-file write → glob scan → fence parse loop is lossless.
+    Sampled 1-in-100: the per-record-file layout is the contract under test,
+    not small-file throughput (SCALE.md: compact first at real scale)."""
+    import os
+    import tempfile
+
+    from nocouncil_etl_spark.sources.markdown import (
+        read_markdown_corpus,
+        render_markdown,
+    )
+
+    out = os.path.join(
+        tempfile.gettempdir(), "nocouncil_etl_spark_scratch", "md_corpus"
+    )
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0)
+    md = docs.select(
+        "doc_id",
+        render_markdown(
+            {
+                "doc_id": F.col("doc_id").cast("string"),
+                "lang": F.col("lang"),
+                "source": F.col("source"),
+            },
+            F.col("text"),
+        ).alias("value"),
+    )
+    md.write.mode("overwrite").partitionBy("doc_id").text(out)
+    corpus = read_markdown_corpus(spark, f"{out}/doc_id=*/")
+    return corpus.select(
+        F.col("meta")["doc_id"].cast("long").alias("doc_id"),
+        F.col("meta")["lang"].alias("lang"),
+        F.col("meta")["source"].alias("source"),
+        # the text sink appends one trailing line separator per record
+        F.regexp_replace("body", r"\n$", "").alias("body"),
+    )
