@@ -210,6 +210,46 @@ def test_mean_pool_half_up_at_boundary(spark):
     assert row.p1 == -3e-6  # away from zero, not toward even
 
 
+def test_money_split_sum_equals_decimal_kernel_hypothesis(spark):
+    """Property form: on ANY batch of non-negative values from the 6dp grid
+    (including .5-boundary landmines and values spanning 0..1e6), the
+    split-long kernel's finished sum/avg equal the decimal kernel's."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    from nocouncil_etl_spark.functions.numeric import (
+        money_avg_col,
+        money_parts,
+        money_sum_col,
+        ravg,
+        rsum,
+    )
+
+    grid = st.integers(0, 10**12).map(lambda m: m / 1e6)  # exact 6dp values
+
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(xs=st.lists(grid, min_size=1, max_size=40))
+    def check(xs):
+        df = spark.createDataFrame([("k", x) for x in xs], "k string, x double")
+        split = (
+            df.groupBy("k")
+            .agg(*money_parts("x", "x"), F.count(F.lit(1)).alias("n"))
+            .select(
+                money_sum_col("x").alias("s2"),
+                money_avg_col("x", "n").alias("a4"),
+            )
+            .first()
+        )
+        dec = df.groupBy("k").agg(
+            rsum("x").alias("s2"), ravg("x").alias("a4")
+        ).first()
+        assert (split.s2, split.a4) == (dec.s2, dec.a4), xs
+
+    check()
+
+
 def test_money_split_sum_equals_decimal_kernel(spark):
     """The split-long money kernel (functions.numeric.money_parts) must yield
     the same finished values as the DECIMAL(18,6) kernel for data on a ≤6dp
