@@ -35,7 +35,11 @@ HEADLINE: list[str] = [
     "vec_knn_blocked",       # blocked-matmul exact top-k (Arrow + numpy)
     "vec_knn_lsh",           # LSH-bucketed ANN
     "vec_knn_lsh_multi",     # OR-amplified multi-table ANN (the recall path)
-    "vec_knn_from_index",    # materialized-index serving path (build+publish+search)
+    "vec_knn_from_index",    # materialized-index cold path (build+publish+search)
+    "vec_knn_index_serve",   # serving path: manifest-validated artifact reuse
+                             # (first run publishes; best-of-2 reports the
+                             # artifact-read + query-side-signature time — the
+                             # 100 TB number, where the corpus is never re-signed)
     "model_embed_hashproj",  # Arrow pandas_udf path
     "text_quality",          # HOF-heavy text scoring
     "curation_e2e",          # full training-data curation DAG (north star)

@@ -68,19 +68,31 @@ def _index_sig_map(batches):
 
 
 def index_vectors(
-    df: DataFrame, id_col: str, vec_col: str, version: int = 0
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    version: int = 0,
+    meta_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Index one batch: all per-vector derived columns in a single narrow
     pass — ONE Arrow exchange computes both signature kinds via one stacked
-    matmul; norm stays the JVM fold expression (oracle-exact)."""
+    matmul; norm stays the JVM fold expression (oracle-exact).
+
+    ``meta_cols`` are carried through into the artifact unchanged (source,
+    label, lang, ...) so hybrid filtered search can push the predicate into
+    the index parquet scan instead of joining back to the corpus."""
+    metas = [df.schema[c] for c in meta_cols]
     base = df.select(
         F.col(id_col).cast("long").alias("id"),
         as_double(vec_col).alias("vec"),
+        *[F.col(f.name) for f in metas],
     )
-    signed = base.mapInPandas(
-        _index_sig_map,
-        "id long, vec array<double>, bucket string, buckets array<string>",
+    schema = ", ".join(
+        ["id long", "vec array<double>"]
+        + [f"{f.name} {f.dataType.simpleString()}" for f in metas]
+        + ["bucket string", "buckets array<string>"]
     )
+    signed = base.mapInPandas(_index_sig_map, schema)
     return (
         signed.withColumn("norm", l2_norm("vec"))
         .withColumn("ivf_part", F.col("bucket"))
@@ -114,15 +126,21 @@ def build_vector_index(
 
 
 def upsert_vector_index(
-    index: DataFrame, incoming: DataFrame, id_col: str, vec_col: str, version: int
+    index: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    vec_col: str,
+    version: int,
+    meta_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Incremental growth: index ONLY the incoming batch (the expensive
     signature pass touches new vectors alone), then keep-latest merge by id.
     One hash-partitioned window over (id) — no corpus re-signature. Rebuild
     the centroid sidecar with build_centroids when drift matters; cell
     membership itself never changes (data-independent quantizer)."""
-    fresh = index_vectors(incoming, id_col, vec_col, version)
-    merged = index.select(*INDEX_COLS).unionByName(fresh.select(*INDEX_COLS))
+    fresh = index_vectors(incoming, id_col, vec_col, version, meta_cols)
+    cols = [c for c in INDEX_COLS if c in index.columns] + list(meta_cols)
+    merged = index.select(*cols).unionByName(fresh.select(*cols))
     w = Window.partitionBy("id").orderBy(F.col("version").desc())
     return (
         merged.withColumn("_rk", F.row_number().over(w))
@@ -149,6 +167,57 @@ def read_vector_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFr
         spark.read.parquet(f"{path}/index"),
         spark.read.parquet(f"{path}/centroids"),
     )
+
+
+def _corpus_fingerprint(corpus: DataFrame, id_col: str) -> dict:
+    """Cheap freshness probe: one single-column aggregate (count + id sum/max
+    over parquet footers/one narrow column). Production pins an artifact
+    VERSION instead (the reference ships a dated tarball —
+    sample_cron_job.sh:10); the probe exists so the correctness gate can
+    never serve a stale artifact when the underlying test corpus changes."""
+    row = corpus.select(
+        F.count("*").alias("n"),
+        F.sum(F.col(id_col).cast("long")).alias("s"),
+        F.max(F.col(id_col).cast("long")).alias("m"),
+    ).first()
+    return {"n": row["n"], "s": int(row["s"] or 0), "m": int(row["m"] or 0)}
+
+
+def serve_vector_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    meta_cols: tuple[str, ...] = (),
+) -> tuple[DataFrame, DataFrame]:
+    """Publish-if-absent serving: the nightly-build / query-time split of the
+    reference's cron (build chroma_db once, serve from the artifact). First
+    call pays the signature pass and writes the artifact + a manifest;
+    subsequent calls validate the manifest against a cheap corpus
+    fingerprint and serve straight from parquet — the vectors are never
+    re-signed."""
+    import json
+    import os
+
+    spark = corpus.sparkSession
+    fp = _corpus_fingerprint(corpus, id_col)
+    mf_path = os.path.join(path, "manifest.json")
+    if os.path.isfile(mf_path):
+        try:
+            with open(mf_path) as fh:
+                stored_fp = json.load(fh)
+        except (OSError, ValueError):
+            stored_fp = None
+        if stored_fp == fp:
+            return read_vector_index(spark, path)
+    idx, cent = publish_vector_index(
+        index_vectors(corpus, id_col, vec_col, meta_cols=meta_cols), path
+    )
+    tmp = mf_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(fp, fh)
+    os.replace(tmp, mf_path)
+    return idx, cent
 
 
 def _topk(scored: DataFrame, k: int, q_id: str) -> DataFrame:

@@ -400,6 +400,80 @@ def vec_knn_from_index_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("q_id", "c_id", "sim", "rk")
 
 
+@query("vec_knn_index_serve", oracle=f"""
+WITH b AS ({_BUCKET_SQL}),
+scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS c_id, {_COS} AS sim
+  FROM (SELECT * FROM b WHERE vec_id % {QUERY_MOD} = 0) a
+  JOIN b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+)
+SELECT q_id, c_id, sim, rk FROM (
+  SELECT q_id, c_id, sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rk
+  FROM scored
+) WHERE rk <= {K}
+""")
+def vec_knn_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3/K4 SERVING path: publish-if-absent against a manifest-validated
+    artifact (operators/ann_index.serve_vector_index) — the query-time half
+    of the reference's nightly cron (sample_cron_job.sh:10 ships the built
+    chroma_db tarball; serving only ever reads it). First call builds; every
+    later call is a pure parquet scan + query-side signature, which is the
+    number that matters at 100 TB where the corpus is never re-signed.
+    Results identical to vec_knn_from_index (same artifact, same oracle)."""
+    from nocouncil_etl_spark.operators.ann_index import (
+        knn_from_index,
+        serve_vector_index,
+    )
+
+    queries, corpus = _query_corpus(spark, sf_dir)
+    idx, cent = serve_vector_index(
+        corpus.drop("label"), _index_scratch(sf_dir) + "_serve", "c_id", "c_vec"
+    )
+    return knn_from_index(
+        queries.drop("label"), idx, cent, K, strategy="lsh"
+    ).select("q_id", "c_id", "sim", "rk")
+
+
+@query("vec_knn_filtered", oracle=f"""
+WITH b AS ({_BUCKET_SQL}),
+scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS c_id, {_COS} AS sim
+  FROM (SELECT * FROM b WHERE vec_id % {QUERY_MOD} = 0) a
+  JOIN b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+  WHERE b.label < 5
+)
+SELECT q_id, c_id, sim, rk FROM (
+  SELECT q_id, c_id, sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rk
+  FROM scored
+) WHERE rk <= {K}
+""")
+def vec_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid filtered ANN: metadata predicate + vector search in one pass —
+    the 'search only docs where lang=en / source=X' shape every curation
+    pipeline needs. The index carries metadata columns (meta_cols), so the
+    predicate lands in the index parquet scan as a pushed filter (asserted
+    in tests/test_ann_index.py) instead of a join back to the corpus; the
+    candidate set shrinks BEFORE any scoring happens."""
+    from nocouncil_etl_spark.operators.ann_index import (
+        knn_from_index,
+        serve_vector_index,
+    )
+
+    queries, corpus = _query_corpus(spark, sf_dir)
+    idx, cent = serve_vector_index(
+        corpus,
+        _index_scratch(sf_dir) + "_meta",
+        "c_id",
+        "c_vec",
+        meta_cols=("label",),
+    )
+    return knn_from_index(
+        queries.drop("label"), idx.filter(F.col("label") < 5), cent, K, strategy="lsh"
+    ).select("q_id", "c_id", "sim", "rk")
+
+
 @query(
     "vec_neardup_cosine",
     oracle=f"""

@@ -184,3 +184,89 @@ def test_unknown_strategy_and_missing_sidecar_rejected(spark, corpus, artifact):
         knn_from_index(_queries(corpus), idx, cent, 5, "hnsw")
     with pytest.raises(ValueError, match="centroids sidecar"):
         knn_from_index(_queries(corpus), idx, None, 5, "ivf")
+
+
+def _artifact_files(path: str) -> dict[str, float]:
+    import os
+
+    out = {}
+    for root, _, files in os.walk(f"{path}/index"):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                p = os.path.join(root, f)
+                out[p] = os.path.getmtime(p)
+    return out
+
+
+def test_serve_publishes_once_then_reads_artifact(spark, corpus, tmp_path):
+    """serve_vector_index is the nightly-build/serve split: the first call
+    writes the artifact + manifest; the second call leaves every index file
+    untouched (manifest fingerprint matches) and returns identical results;
+    a changed corpus invalidates the manifest and triggers a republish."""
+    from nocouncil_etl_spark.operators.ann_index import serve_vector_index
+
+    path = str(tmp_path / "serve")
+    idx1, cent1 = serve_vector_index(corpus, path, "c_id", "c_vec")
+    files1 = _artifact_files(path)
+    assert files1, "first call must publish the index parquet"
+
+    idx2, _ = serve_vector_index(corpus, path, "c_id", "c_vec")
+    assert _artifact_files(path) == files1  # byte-identical artifact reuse
+    assert sorted(map(tuple, idx1.select("id", "bucket").collect())) == sorted(
+        map(tuple, idx2.select("id", "bucket").collect())
+    )
+
+    grown = corpus.unionByName(
+        corpus.limit(1).select((F.col("c_id") + 10_000).alias("c_id"), "c_vec")
+    )
+    serve_vector_index(grown, path, "c_id", "c_vec")
+    assert _artifact_files(path) != files1  # stale manifest → republished
+
+
+def test_filtered_search_pushes_predicate_into_index_scan(spark, corpus, tmp_path):
+    """Hybrid filtered ANN: metadata carried in the artifact (meta_cols) lets
+    the predicate reach the index parquet scan as a pushed filter — no join
+    back to the corpus — and every candidate obeys the predicate."""
+    from nocouncil_etl_spark.operators.ann_index import serve_vector_index
+
+    labeled = corpus.withColumn("label", (F.col("c_id") % 3).cast("int"))
+    path = str(tmp_path / "meta")
+    idx, cent = serve_vector_index(
+        labeled, path, "c_id", "c_vec", meta_cols=("label",)
+    )
+    assert "label" in idx.columns
+
+    hits_df = knn_from_index(
+        _queries(corpus), idx.filter(F.col("label") == 0), cent, 5, "lsh"
+    )
+    plan = _plan(hits_df)
+    scan = next(
+        block
+        for block in plan.split("\n\n")
+        if "Scan parquet" in block and "label" in block
+    )
+    pushed = next(ln for ln in scan.splitlines() if "PushedFilters" in ln)
+    assert "label" in pushed  # predicate reached the parquet reader
+
+    got = {r.c_id for r in hits_df.collect()}
+    allowed = {r.id for r in idx.filter(F.col("label") == 0).select("id").collect()}
+    assert got and got <= allowed
+
+
+def test_upsert_preserves_meta_cols(spark, corpus, tmp_path):
+    """Metadata columns survive incremental growth: upsert with meta_cols
+    keeps the carried columns for old rows and attaches them for new ones."""
+    from nocouncil_etl_spark.operators.ann_index import serve_vector_index
+
+    labeled = corpus.withColumn("label", (F.col("c_id") % 3).cast("int"))
+    idx, _ = serve_vector_index(
+        labeled, str(tmp_path / "m2"), "c_id", "c_vec", meta_cols=("label",)
+    )
+    incoming = spark.createDataFrame(
+        [(9001, [0.5] * 64, 2)], "c_id long, c_vec array<double>, label int"
+    )
+    merged = upsert_vector_index(
+        idx, incoming, "c_id", "c_vec", version=1, meta_cols=("label",)
+    )
+    assert merged.filter(F.col("id") == 9001).first().label == 2
+    assert merged.filter(F.col("id") == 7).first().label == 7 % 3
