@@ -111,12 +111,13 @@ class Engine:
 
     def build_index(
         self, corpus: DataFrame, id_col: str, vec_col: str, path: str,
-        version: int = 0,
+        version: int = 0, meta_cols: tuple[str, ...] = (),
     ) -> tuple[DataFrame, DataFrame]:
         """K4 grown up: compute signatures/norms/coarse cells ONCE and publish
         the parquet index artifact (+ centroid sidecar) — the write-once HNSW
         build of vectorize.py:119-123, shippable to serving like
-        sample_cron_job.sh's chroma_db tar. Returns (index, centroids) read
+        sample_cron_job.sh's chroma_db tar. ``meta_cols`` ride along into the
+        artifact for hybrid filtered search. Returns (index, centroids) read
         back from the published files."""
         from nocouncil_etl_spark.operators.ann_index import (
             index_vectors,
@@ -124,8 +125,18 @@ class Engine:
         )
 
         return publish_vector_index(
-            index_vectors(corpus, id_col, vec_col, version), path
+            index_vectors(corpus, id_col, vec_col, version, meta_cols), path
         )
+
+    def serve_index(
+        self, corpus: DataFrame, id_col: str, vec_col: str, path: str,
+        meta_cols: tuple[str, ...] = (),
+    ) -> tuple[DataFrame, DataFrame]:
+        """Publish-if-absent: build+publish on first call, manifest-validated
+        artifact reuse afterwards (operators/ann_index.serve_vector_index)."""
+        from nocouncil_etl_spark.operators.ann_index import serve_vector_index
+
+        return serve_vector_index(corpus, path, id_col, vec_col, meta_cols)
 
     def search_index(
         self,
@@ -134,16 +145,21 @@ class Engine:
         k: int = 10,
         strategy: str = "lsh",
         nprobe: int = 2,
+        where=None,
         **cols,
     ) -> DataFrame:
         """Serving-side top-k against a published index: reads the artifact,
-        never the corpus; query-side signatures only."""
+        never the corpus; query-side signatures only. ``where`` (a Column or
+        SQL string over index metadata columns) makes it a hybrid filtered
+        search — the predicate is pushed into the index parquet scan."""
         from nocouncil_etl_spark.operators.ann_index import (
             knn_from_index,
             read_vector_index,
         )
 
         idx, cent = read_vector_index(self.spark, path)
+        if where is not None:
+            idx = idx.filter(where)
         return knn_from_index(
             queries, idx, cent, k, strategy=strategy, nprobe=nprobe, **cols
         )

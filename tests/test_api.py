@@ -122,3 +122,27 @@ def test_engine_index_surface(spark, sf_dir, tmp_path):
         hits = eng.search_index(queries, path, k=3, strategy=strategy)
         assert {"q_id", "c_id", "sim", "rk"} <= set(hits.columns)
         assert hits.count() <= 2 * 3
+
+
+def test_engine_hybrid_serve_surface(spark, sf_dir, tmp_path):
+    """serve_index is publish-if-absent; search_index(where=...) restricts
+    candidates to matching index metadata — hybrid filtered search."""
+    from nocouncil_etl_spark.api import Engine
+
+    eng = Engine(spark)
+    e = eng.table(sf_dir, "embeddings")
+    corpus = e.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"), "label"
+    )
+    path = str(tmp_path / "hidx")
+    idx, _ = eng.serve_index(corpus, "c_id", "c_vec", path, meta_cols=("label",))
+    idx2, _ = eng.serve_index(corpus, "c_id", "c_vec", path, meta_cols=("label",))
+    assert idx.count() == idx2.count() == corpus.count()
+
+    queries = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    hits = eng.search_index(queries, path, k=5, where="label = 0")
+    allowed = {r.c_id for r in idx.filter("label = 0").select(F.col("id").alias("c_id")).collect()}
+    got = {r.c_id for r in hits.collect()}
+    assert got <= allowed
