@@ -113,6 +113,29 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(deduped, mode="append")
 
 
+@query(
+    "stream_dedup_watermark",
+    oracle="SELECT event_id, event_type FROM events",
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 at stream scale: dropDuplicatesWithinWatermark — the bounded-state
+    twin of stream_dedup. Plain dropDuplicates keeps every key forever (state
+    grows with the stream); the watermarked variant evicts keys once the
+    event-time watermark passes, so state is O(keys-per-hour), not O(stream).
+    The input is the stream unioned with itself — every event arrives twice
+    within the 1-hour delay — and the dedup provably collapses the copies
+    back to the identity oracle."""
+    a = read_events_stream(spark, sf_dir)
+    b = read_events_stream(spark, sf_dir)
+    deduped = (
+        a.unionByName(b)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+    return run_to_memory(deduped, mode="append")
+
+
 _CUTOFF = "2024-01-15 00:00:00"
 
 

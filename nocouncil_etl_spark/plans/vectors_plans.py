@@ -474,6 +474,46 @@ def vec_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("q_id", "c_id", "sim", "rk")
 
 
+@query("vec_search_context", oracle=f"""
+WITH b AS ({_BUCKET_SQL}),
+scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS c_id, {_COS} AS sim
+  FROM (SELECT * FROM b WHERE vec_id % {QUERY_MOD} = 0) a
+  JOIN b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+topk AS (
+  SELECT q_id, c_id, sim, rk FROM (
+    SELECT q_id, c_id, sim,
+           CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rk
+    FROM scored
+  ) WHERE rk <= {K}
+)
+SELECT t.q_id, t.c_id, t.sim, t.rk, d.source, d.lang,
+       substr(d.text, 1, 80) AS preview
+FROM topk t JOIN documents d ON d.doc_id = t.c_id
+""")
+def vec_search_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG retrieval end-to-end: ANN top-k (LSH) → join neighbor ids back to
+    the documents table for context assembly — the serving query of the
+    reference's chatbot path (article_vectorize stores document+metadata in
+    chroma; a query returns documents, not ids). The context join is a
+    broadcast of the TOP-K HITS (k·|queries| rows, tiny) against documents —
+    at 100 TB the big side streams, nothing data-sized shuffles."""
+    queries, corpus = _query_corpus(spark, sf_dir)
+    hits = knn_lsh(queries.drop("label"), corpus.drop("label"), K).select(
+        "q_id", "c_id", "sim", "rk"
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("c_id"),
+        "source",
+        "lang",
+        F.substring("text", 1, 80).alias("preview"),
+    )
+    return docs.join(F.broadcast(hits), "c_id").select(
+        "q_id", "c_id", "sim", "rk", "source", "lang", "preview"
+    )
+
+
 @query(
     "vec_neardup_cosine",
     oracle=f"""

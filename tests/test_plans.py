@@ -158,3 +158,23 @@ def test_index_search_scans_only_index_columns(spark, sf_dir):
     scan_lines = [ln for ln in p.splitlines() if "ReadSchema" in ln]
     idx_lines = [ln for ln in scan_lines if "bucket" in ln]
     assert idx_lines and all("buckets" not in ln for ln in idx_lines)
+
+
+def test_search_context_broadcasts_hits_not_documents(spark, sf_dir):
+    """vec_search_context: the context join must broadcast the tiny top-k
+    hit set while the documents table streams — never a shuffle of the
+    corpus for a k·|queries|-row join, and never a nested loop."""
+    p = plan_of(REGISTRY["vec_search_context"].fn(spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_stream_dedup_watermark_bounded_state(spark, sf_dir):
+    """stream_dedup_watermark runs the dedupe-within-watermark stateful
+    operator (bounded state), not the keep-keys-forever dropDuplicates."""
+    from nocouncil_etl_spark.plans.streaming_plans import stream_dedup_watermark
+
+    out = stream_dedup_watermark(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert out.count() == ev.count()  # doubled input collapsed to identity
+    assert out.select("event_id").distinct().count() == ev.count()
