@@ -199,3 +199,49 @@ def io_markdown_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the text sink appends one trailing line separator per record
         F.regexp_replace("body", r"\n$", "").alias("body"),
     )
+
+
+@query(
+    "io_jsonl_corrupt_quarantine",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_good,
+       CAST(count(*) FILTER (WHERE doc_id % 50 = 0) AS BIGINT) AS n_corrupt,
+       CAST(sum(n_chars) AS BIGINT) AS chars_good
+FROM documents
+""",
+)
+def io_jsonl_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 under dirty input: PERMISSIVE JSONL scan with a corrupt-record
+    quarantine column — the 100 TB posture where one mangled line must
+    degrade alone, never fail the scan (the engine twin of the reference's
+    per-item try/except around json.loads, newscrawler.py state reads).
+    Malformed lines are synthesized deterministically (every 50th document
+    also emits its JSON truncated mid-token), so the oracle can count the
+    quarantine exactly: all 1/50 extras land in _corrupt_record with every
+    typed column null, and every well-formed row parses — proven by n_good
+    and chars_good matching the direct-parquet oracle."""
+    out = os.path.join(
+        tempfile.gettempdir(), "nocouncil_etl_spark_scratch", "events_dirty_jsonl"
+    )
+    docs = load(spark, sf_dir, "documents")
+    j = F.to_json(F.struct("doc_id", "source", "n_chars"))
+    good = docs.select(j.alias("value"))
+    broken = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.substring(j, 1, 12).alias("value")  # '{"doc_id":..' — unclosed
+    )
+    good.unionByName(broken).write.mode("overwrite").text(out)
+
+    parsed = (
+        spark.read.schema(
+            "doc_id LONG, source STRING, n_chars LONG, _corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    quarantined = F.col("_corrupt_record").isNotNull()
+    return parsed.agg(
+        F.count(F.when(~quarantined, 1)).alias("n_good"),
+        F.count(F.when(quarantined, 1)).alias("n_corrupt"),
+        F.sum(F.when(~quarantined, F.col("n_chars"))).alias("chars_good"),
+    )
