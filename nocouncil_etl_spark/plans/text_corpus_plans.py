@@ -132,11 +132,14 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(F.explode(F.expr(_TOK_SPARK)).alias("term"))
     counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    # orderBy+limit compiles to TakeOrderedAndProject (distributed per-
+    # partition top-K, merged on the driver) — NOT a global-order window,
+    # which would funnel every distinct term through one partition. The
+    # rank is attached afterwards on the K surviving rows only.
+    top = counts.orderBy(F.col("n").desc(), F.col("term")).limit(VOCAB_K)
     w = Window.orderBy(F.col("n").desc(), F.col("term"))
-    return (
-        counts.withColumn("rk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rk") <= VOCAB_K)
-        .select("term", "n", "rk")
+    return top.withColumn("rk", F.row_number().over(w).cast("int")).select(
+        "term", "n", "rk"
     )
 
 
@@ -173,10 +176,13 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.expr(_TOK_SPARK)).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df = rows per term in tf (one row per (doc, term)) — a window count
+    # over term instead of a second aggregation + join, so the token stream
+    # is scanned and aggregated exactly once
+    dfw = Window.partitionBy("term")
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(dfw))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
