@@ -198,3 +198,106 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_TERMS)
         .select("doc_id", "term", "score", "rk")
     )
+
+
+RAG_K = 3
+_CID_MUL = 10_000  # chunk key = doc_id * 10000 + chunk_id
+
+
+def _rag_oracle() -> str:
+    from nocouncil_etl_spark.operators.models import EMBED_DIM
+    from nocouncil_etl_spark.plans.model_plans import _sql_embed_dim
+
+    kernel = ", ".join(_sql_embed_dim(d) for d in range(EMBED_DIM))
+    cos = (
+        "round(list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
+    )
+    return f"""
+WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+c AS (
+  SELECT doc_id, w,
+         CAST(unnest(range(0, CAST(ceil(greatest(len(w) - {OVERLAP}, 1) / {STRIDE}.0) AS INT))) AS INT) AS chunk_id
+  FROM w0
+),
+ch AS (
+  SELECT doc_id, chunk_id, doc_id * {_CID_MUL} + chunk_id AS cid,
+         w[chunk_id * {STRIDE} + 1 : chunk_id * {STRIDE} + {CHUNK}] AS ws,
+         array_to_string(w[chunk_id * {STRIDE} + 1 : chunk_id * {STRIDE} + {CHUNK}], ' ') AS chunk_text
+  FROM c
+),
+vec AS (SELECT doc_id, chunk_id, cid, chunk_text, [{kernel}] AS rv FROM ch),
+emb AS (
+  SELECT doc_id, chunk_id, cid, chunk_text,
+         list_transform(rv, x -> x / sqrt(list_reduce(list_transform(rv, y -> y * y), (a, b) -> a + b))) AS v
+  FROM vec
+),
+scored AS (
+  SELECT a.cid AS q_id, b.cid AS c_id, {cos} AS sim
+  FROM (SELECT * FROM emb WHERE doc_id % 100 = 0 AND chunk_id = 0) a
+  JOIN (SELECT * FROM emb WHERE doc_id % 100 <> 0) b ON true
+),
+topk AS (
+  SELECT q_id, c_id, sim, rk FROM (
+    SELECT q_id, c_id, sim,
+           CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rk
+    FROM scored
+  ) WHERE rk <= {RAG_K}
+)
+SELECT t.q_id, t.c_id, t.sim, t.rk,
+       e.doc_id AS c_doc, e.chunk_id AS c_chunk,
+       substr(e.chunk_text, 1, 60) AS preview
+FROM topk t JOIN emb e ON e.cid = t.c_id
+"""
+
+
+@query("pipeline_rag_e2e", oracle=_rag_oracle())
+def pipeline_rag_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship RAG pipeline end-to-end, full-SQL oracle: overlapping
+    chunking → per-chunk embedding (REAL Arrow pandas_udf, deterministic
+    kernel) → exact blocked-matmul top-{RAG_K} of query chunks against the
+    rest of the corpus → broadcast hit-set join back to chunk text for
+    context. Query set = first chunk of every 100th document; candidates =
+    chunks of all other documents (retrieval never returns the query's own
+    document). The 100 TB shape: chunking/embedding are narrow maps, the
+    scorer emits per-batch top-k only, and the context join broadcasts
+    k·|Q| rows."""
+    from nocouncil_etl_spark.operators.models import embed_text_udf
+    from nocouncil_etl_spark.operators.similarity import knn_exact_blocked
+
+    docs = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n_chunks = F.ceil(
+        F.greatest(F.size(w) - F.lit(OVERLAP), F.lit(1)) / F.lit(float(STRIDE))
+    ).cast("int")
+    piece = F.slice("w", F.col("chunk_id") * STRIDE + 1, CHUNK)
+    chunks = (
+        docs.select(
+            "doc_id",
+            w.alias("w"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            (F.col("doc_id") * _CID_MUL + F.col("chunk_id")).alias("cid"),
+            F.array_join(piece, " ").alias("chunk_text"),
+        )
+    )
+    emb = chunks.withColumn("v", embed_text_udf("chunk_text"))
+    queries = emb.filter(
+        (F.col("doc_id") % 100 == 0) & (F.col("chunk_id") == 0)
+    ).select(F.col("cid").alias("q_id"), F.col("v").alias("q_vec"))
+    corpus = emb.filter(F.col("doc_id") % 100 != 0).select(
+        F.col("cid").alias("c_id"), F.col("v").alias("c_vec")
+    )
+    hits = knn_exact_blocked(queries, corpus, RAG_K).select("q_id", "c_id", "sim", "rk")
+    context = chunks.select(
+        F.col("cid").alias("c_id"),
+        F.col("doc_id").alias("c_doc"),
+        F.col("chunk_id").alias("c_chunk"),
+        F.substring("chunk_text", 1, 60).alias("preview"),
+    )
+    return context.join(F.broadcast(hits), "c_id").select(
+        "q_id", "c_id", "sim", "rk", "c_doc", "c_chunk", "preview"
+    )
