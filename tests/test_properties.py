@@ -150,3 +150,38 @@ def test_lsh_multi_table_recall_amplification(spark, sf_dir):
     assert single < 0.9  # the gap amplification exists to close
     assert multi >= 0.9
     assert multi > single
+
+
+def test_chunk_overlap_reconstruction(spark, tmp_path):
+    """Chunking invariants on hand-built edge lengths (1, OVERLAP, OVERLAP+1,
+    STRIDE, CHUNK, CHUNK+1, 2*STRIDE+OVERLAP, one past it, empty string):
+    (a) every doc yields >= 1 chunk; (b) dropping the first OVERLAP tokens of
+    every chunk after the first and concatenating reconstructs the document
+    exactly — no token lost, none duplicated; (c) every chunk after the
+    first has more than OVERLAP tokens (the formula never emits a
+    redundant tail)."""
+    from nocouncil_etl_spark.plans.text_corpus_plans import (
+        CHUNK,
+        OVERLAP,
+        text_chunk_overlap,
+    )
+
+    lengths = [1, OVERLAP, OVERLAP + 1, CHUNK - OVERLAP, CHUNK, CHUNK + 1,
+               CHUNK + (CHUNK - OVERLAP), CHUNK + (CHUNK - OVERLAP) + 1, 257]
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(n)))
+            for i, n in enumerate(lengths)]
+    rows.append((len(rows), ""))  # empty text -> [''] token
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = text_chunk_overlap(spark, str(tmp_path)).collect()
+
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {r[0] for r in rows}
+    for doc_id, text in rows:
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_id)
+        toks = [c.chunk_text.split(" ") for c in chunks]
+        assert all(len(t) > OVERLAP for t in toks[1:])
+        rebuilt = toks[0] + [w for t in toks[1:] for w in t[OVERLAP:]]
+        assert rebuilt == text.split(" ")
