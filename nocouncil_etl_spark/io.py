@@ -58,13 +58,24 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     tune(spark)
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            # TIMESTAMP(NANOS) read as long nanos (see session.RUNTIME_CONFS);
-            # truncate to micros — identical to DuckDB's read of the same file.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        elif ts_type == "timestamp_ntz":
-            # µs-precision files from other writers surface as NTZ; the
-            # session tz is pinned UTC, so the wall-clock cast is lossless
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = normalize_events_ts(df)
+    return df
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to µs TIMESTAMP regardless of how
+    the writer encoded it. The synthetic generator has shipped both
+    TIMESTAMP(NANOS) (surfaces as long nanos under session.RUNTIME_CONFS) and
+    plain µs TIMESTAMP/NTZ files across rounds; every reader — batch and
+    streaming — must go through this one chokepoint so both agree with
+    DuckDB's read of the same file."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        # TIMESTAMP(NANOS) read as long nanos; truncate to micros —
+        # identical to DuckDB's read of the same file.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        # µs-precision files from other writers surface as NTZ; the
+        # session tz is pinned UTC, so the wall-clock cast is lossless
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

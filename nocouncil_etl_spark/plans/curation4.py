@@ -1,0 +1,303 @@
+"""Curation batch 4: span-level dedup, CDC merge, semantic dedup, quantile trim.
+
+Four operators a 100 TB training-data pipeline needs beyond document-level
+dedup (reference analogue: the newscrawler's identity gate newscrawler.py:59-61
+works at whole-document granularity only):
+
+- ``dedup_span_ngrams``   — repeated exact-span detection across documents
+  (the "Deduplicating Training Data Makes Language Models Better" shape:
+  long shared n-gram spans mark boilerplate/copied passages even when the
+  whole documents differ). Explode → hash-agg → semi-join; no pair blowup.
+- ``merge_upsert_cdc``    — MERGE INTO semantics (insert/update/delete apply)
+  as one keyed left join + union; the incremental-catalog maintenance the
+  reference does by rewriting articles.json wholesale (newscrawler.py:137-145).
+- ``dedup_semantic_centroid`` — SemDeDup-style: assign every embedding to its
+  nearest deterministic centroid (broadcast, narrow argmax), then find
+  near-duplicate pairs only WITHIN a cluster — the quadratic stays inside
+  buckets, which is what survives 100×.
+- ``sample_quantile_strata`` — per-source ntile decile assignment + tail
+  trimming, the quantile-based quality stratification step of a curation mix.
+
+All four have exact DuckDB oracles; every computed column is aliased
+identically on both sides and doubles are rounded to 6dp before compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nocouncil_etl_spark.functions.vectors import cosine
+from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.dedup import make_shingle_udf
+from nocouncil_etl_spark.plans.dedup_plans import _sql_shingles
+from nocouncil_etl_spark.registry import query
+
+SPAN_N = 8          # words per span — long enough that sharing implies copying
+COPY_WORDS = 30     # synthesized partial copies share their first 30 words
+CENT_MOD = 50       # every 50th vec_id is a centroid (deterministic "sample")
+SEM_THRESHOLD = 0.99
+
+
+# --------------------------------------------------------------------------
+# 1. repeated-span (substring-level) dedup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_span_ngrams",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string((string_split(text, ' '))[1:{COPY_WORDS}], ' ') AS text
+  FROM documents WHERE doc_id % 6 = 0
+),
+ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+sh AS (SELECT doc_id, {_sql_shingles('w', SPAN_N)} AS s FROM ws),
+ds AS (SELECT DISTINCT doc_id, unnest(s) AS span FROM sh),
+sd AS (SELECT span, count(*) AS n_docs FROM ds GROUP BY span)
+SELECT ds.doc_id,
+       count(*) AS n_spans,
+       count(d.n_docs) AS n_dup_spans,
+       round(CAST(count(d.n_docs) AS DOUBLE) / count(*), 6) AS dup_frac
+FROM ds LEFT JOIN (SELECT * FROM sd WHERE n_docs >= 2) d USING (span)
+GROUP BY ds.doc_id
+""",
+)
+def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup: fraction of a doc's 8-word spans that appear
+    verbatim in at least one other document. Partial copies are synthesized
+    (first-30-words excerpts of every 6th doc) so the detector provably fires.
+
+    Scale shape: Arrow shingle UDF → explode → DISTINCT (hash agg) →
+    per-span doc counts (map-side combined) → semi-style left join back.
+    One row per (doc, distinct span) crosses the shuffle; no pair explosion —
+    span sharing is resolved through the span-hash bucket, never doc×doc."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, COPY_WORDS)).alias("text"),
+    )
+    corpus = docs.unionByName(copies)
+    sh = corpus.select("doc_id", make_shingle_udf(SPAN_N)("text").alias("s"))
+    ds = sh.select("doc_id", F.explode("s").alias("span")).distinct()
+    span_docs = ds.groupBy("span").agg(F.count("*").alias("n_docs"))
+    dup = span_docs.filter(F.col("n_docs") >= 2)
+    return (
+        ds.join(dup, "span", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.count("n_docs").alias("n_dup_spans"),
+            F.round(F.count("n_docs") / F.count("*"), 6).alias("dup_frac"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. CDC merge / upsert
+# --------------------------------------------------------------------------
+
+
+def _changes(docs: DataFrame) -> DataFrame:
+    """Deterministic change feed: updates (id%5=0), deletes (id%7=3, not
+    already updated), inserts (new ids +200000 for id%9=1)."""
+    upd = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.lit("U").alias("op"),
+        F.concat(F.lit("rev2: "), F.substring("text", 1, 40)).alias("new_text"),
+    )
+    dele = docs.filter((F.col("doc_id") % 7 == 3) & (F.col("doc_id") % 5 != 0)).select(
+        "doc_id", F.lit("D").alias("op"), F.lit(None).cast("string").alias("new_text")
+    )
+    ins = docs.filter(F.col("doc_id") % 9 == 1).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.lit("I").alias("op"),
+        F.concat(F.lit("new: "), F.substring("text", 1, 40)).alias("new_text"),
+    )
+    return upd.unionByName(dele).unionByName(ins)
+
+
+@query(
+    "merge_upsert_cdc",
+    oracle="""
+WITH chg AS (
+  SELECT doc_id, 'U' AS op, 'rev2: ' || substr(text, 1, 40) AS new_text
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, 'D', NULL FROM documents WHERE doc_id % 7 = 3 AND doc_id % 5 <> 0
+  UNION ALL
+  SELECT doc_id + 200000, 'I', 'new: ' || substr(text, 1, 40)
+  FROM documents WHERE doc_id % 9 = 1
+)
+SELECT b.doc_id, b.source, coalesce(c.new_text, b.text) AS text,
+       CASE WHEN c.op = 'U' THEN 2 ELSE 1 END AS version
+FROM documents b
+LEFT JOIN (SELECT * FROM chg WHERE op <> 'I') c ON b.doc_id = c.doc_id
+WHERE c.op IS NULL OR c.op = 'U'
+UNION ALL
+SELECT doc_id, 'cdc' AS source, new_text AS text, 2 AS version
+FROM chg WHERE op = 'I'
+""",
+)
+def merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (apply a CDC feed of inserts/updates/deletes to a
+    base table) as one keyed left join + union — the set-based form of the
+    reference's read-modify-rewrite of articles.json (newscrawler.py:137-145).
+
+    Scale shape: a single equi-join on the primary key (AQE picks broadcast
+    when the change feed is small, shuffle-hash otherwise) + a union of the
+    insert slice. No full-table rewrite logic in the driver; at 100 TB this
+    is the standard merge-on-read compaction plan."""
+    base = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    chg = _changes(base)
+    matched = chg.filter(F.col("op") != "I")
+    merged = (
+        base.join(matched, "doc_id", "left")
+        .filter(F.col("op").isNull() | (F.col("op") == "U"))
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("new_text", "text").alias("text"),
+            F.when(F.col("op") == "U", F.lit(2)).otherwise(F.lit(1)).alias("version"),
+        )
+    )
+    inserts = chg.filter(F.col("op") == "I").select(
+        "doc_id",
+        F.lit("cdc").alias("source"),
+        F.col("new_text").alias("text"),
+        F.lit(2).alias("version"),
+    )
+    return merged.unionByName(inserts)
+
+
+# --------------------------------------------------------------------------
+# 3. SemDeDup-style semantic dedup (centroid-bucketed cosine)
+# --------------------------------------------------------------------------
+
+_E = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+_COS_AB = (
+    "round(list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
+)
+_COS_EC = (
+    "round(list_dot_product(e.v, c.cv) / "
+    "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6)"
+)
+
+
+@query(
+    "dedup_semantic_centroid",
+    oracle=f"""
+WITH base AS ({_E}),
+aug AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000, v[1:63] || [v[64] + 0.05] FROM base WHERE vec_id % 5 = 0
+),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM base WHERE vec_id % {CENT_MOD} = 0),
+scored AS (
+  SELECT e.vec_id, c.cent_id, {_COS_EC} AS cs
+  FROM aug e CROSS JOIN cent c
+),
+best AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+clustered AS (
+  SELECT b.cent_id, a.vec_id, a.v FROM aug a JOIN best b ON a.vec_id = b.vec_id
+)
+SELECT a.cent_id AS cluster_id, a.vec_id AS id_keep, b.vec_id AS id_dup,
+       {_COS_AB} AS sim
+FROM clustered a JOIN clustered b
+  ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+WHERE {_COS_AB} >= {SEM_THRESHOLD}
+""",
+)
+def dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: nearest-centroid assignment (centroids =
+    a deterministic 1/{CENT_MOD} sample of the corpus), then near-duplicate
+    pairs (cosine ≥ 0.99) only WITHIN a cluster. Near-dups are synthesized
+    (+0.05 on the last dim of every 5th vector) so the detector provably fires.
+
+    Scale shape: centroids are broadcast (k ≪ n) and assignment is a narrow
+    map + per-vector argmax — one shuffle of (vec_id, cent_id). The quadratic
+    pair scan is confined to a cluster (equi-join on cent_id), the property
+    that makes SemDeDup tractable where all-pairs cosine is not. Ties in the
+    argmax are broken on rounded-6dp similarity then centroid id, so the
+    assignment is engine-portable."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    perturbed = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(F.slice("v", 1, 63), F.array(F.element_at("v", 64) + F.lit(0.05))).alias("v"),
+    )
+    aug = e.unionByName(perturbed)
+    cent = e.filter(F.col("vec_id") % CENT_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    scored = aug.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cent_id", F.round(cosine("v", "cv"), 6).alias("cs")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cent_id"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
+    )
+    clustered = aug.join(best, "vec_id")
+    a = clustered.select(
+        F.col("cent_id"), F.col("vec_id").alias("id_keep"), F.col("v").alias("va")
+    )
+    b = clustered.select(
+        F.col("cent_id").alias("cent_b"), F.col("vec_id").alias("id_dup"), F.col("v").alias("vb")
+    )
+    sim = F.round(cosine("va", "vb"), 6)
+    return (
+        a.join(b, (F.col("cent_id") == F.col("cent_b")) & (F.col("id_keep") < F.col("id_dup")))
+        .select(F.col("cent_id").alias("cluster_id"), "id_keep", "id_dup", sim.alias("sim"))
+        .filter(F.col("sim") >= SEM_THRESHOLD)
+    )
+
+
+# --------------------------------------------------------------------------
+# 4. per-source quantile stratification + tail trim
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sample_quantile_strata",
+    oracle="""
+SELECT doc_id, source, score, decile FROM (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS score,
+         CAST(ntile(10) OVER (
+           PARTITION BY source
+           ORDER BY len(string_split(text, ' ')) DESC, doc_id
+         ) AS INT) AS decile
+  FROM documents
+) WHERE decile BETWEEN 2 AND 9
+""",
+)
+def sample_quantile_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-based quality stratification: per-source word-count deciles
+    via ntile, trimming the top and bottom decile (outlier/boilerplate tails)
+    — the quantile-trim step of a curation mix recipe.
+
+    Scale shape: one shuffle on source + per-partition sort; ntile is a
+    single-pass window. Deterministic total order (score DESC, doc_id) makes
+    the decile boundaries engine-portable."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("score")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        docs.withColumn("decile", F.ntile(10).over(w))
+        .filter(F.col("decile").between(2, 9))
+        .select("doc_id", "source", "score", "decile")
+    )

@@ -19,34 +19,31 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from nocouncil_etl_spark.functions.numeric import rsum
+from nocouncil_etl_spark.io import normalize_events_ts
 from nocouncil_etl_spark.session import tune
-
-# events.parquet physical schema (ts = TIMESTAMP(NANOS) read as long — see io.load)
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (the streaming analogue of
     the cron re-scan). maxFilesPerTrigger would bound micro-batches in a live
-    deployment; availableNow drains everything for tests."""
+    deployment; availableNow drains everything for tests.
+
+    readStream needs a declared schema; we take it from a batch read of the
+    same file so the stream sees exactly what `io.load` sees (the generator
+    has shipped both TIMESTAMP(NANOS)-as-long and µs-TIMESTAMP files across
+    rounds), then funnel ts through the shared `normalize_events_ts`
+    chokepoint — the batch/stream twins must agree with each other and with
+    the DuckDB oracle on the same bytes."""
     tune(spark)
+    physical = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file source requires a directory; glob-filter down to the one table
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(physical)
         .option("maxFilesPerTrigger", "8")
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_events_ts(raw)
 
 
 def run_to_memory(stream_df: DataFrame, mode: str = "append") -> DataFrame:
