@@ -1,0 +1,115 @@
+"""Semantic invariants for the curation-4 and analytics-4 batches, plus the
+stream-reader timestamp regression guard (the oracle checks value parity;
+these check the properties that make the operators *meaningful*)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.registry import load_all
+
+REG = load_all()
+
+
+def _run(name, spark, sf_dir):
+    return REG[name].fn(spark, sf_dir)
+
+
+def test_stream_reader_ts_matches_batch(spark, sf_dir):
+    """Regression: the streaming events reader must see the SAME µs
+    timestamps as io.load, whatever precision the parquet writer used
+    (a long-nanos assumption once compressed µs files 1000×)."""
+    from nocouncil_etl_spark.streaming.windows import read_events_stream, run_to_memory
+
+    batch = load(spark, sf_dir, "events").agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count("*").alias("n")
+    ).collect()[0]
+    stream = run_to_memory(
+        read_events_stream(spark, sf_dir).select("ts")
+    ).agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count("*").alias("n")
+    ).collect()[0]
+    assert (batch.lo, batch.hi, batch.n) == (stream.lo, stream.hi, stream.n)
+    assert batch.lo.year >= 2000  # not 1970 — the compressed-epoch symptom
+
+
+def test_kmv_estimate_tracks_exact(spark, sf_dir):
+    rows = _run("sketch_kmv_distinct", spark, sf_dir).collect()
+    assert rows, "every source should clear K=64 distinct grams"
+    for r in rows:
+        rel = abs(r.kmv_est - r.n_exact) / r.n_exact
+        # KMV with K=64 has ~1/sqrt(K-2) ≈ 13% std error; 3σ bound
+        assert rel < 0.4, f"{r.source}: est {r.kmv_est} vs exact {r.n_exact}"
+
+
+def test_weighted_priority_prefers_heavy_docs(spark, sf_dir):
+    sample = _run("sample_weighted_priority", spark, sf_dir)
+    corpus_avg = load(spark, sf_dir, "documents").agg(F.avg("n_chars")).collect()[0][0]
+    sample_avg = sample.agg(F.avg("n_chars")).collect()[0][0]
+    # priority = u/weight → heavier docs are more likely sampled
+    assert sample_avg > corpus_avg
+
+
+def test_funnel_is_monotone(spark, sf_dir):
+    rows = {r.stage: r.n_users for r in _run("funnel_conversion", spark, sf_dir).collect()}
+    assert rows["view"] >= rows["click"] >= rows["purchase"]
+    assert rows["view"] > 0
+
+
+def test_cohort_week_zero_covers_every_user(spark, sf_dir):
+    ret = _run("cohort_retention", spark, sf_dir)
+    assert ret.filter(F.col("week_offset") < 0).count() == 0
+    week0 = ret.filter(F.col("week_offset") == 0).agg(F.sum("n_active")).collect()[0][0]
+    n_users = load(spark, sf_dir, "events").select("user_id").distinct().count()
+    # every user is active in their own cohort week
+    assert week0 == n_users
+
+
+def test_chat_render_turn_structure(spark, sf_dir):
+    rows = _run("sft_chat_render", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        lines = r.prompt.split("\n")
+        assert len(lines) == r.n_turns
+        if r.n_turns == 4:  # a complete conversation renders all four roles
+            roles = [ln.split("|>")[0] + "|>" for ln in lines]
+            assert roles == ["<|system|>", "<|user|>", "<|assistant|>", "<|user|>"]
+
+
+def test_merge_upsert_cdc_applies_all_ops(spark, sf_dir):
+    out = _run("merge_upsert_cdc", spark, sf_dir)
+    base = load(spark, sf_dir, "documents")
+    deleted = base.filter(
+        (F.col("doc_id") % 7 == 3) & (F.col("doc_id") % 5 != 0)
+    ).count()
+    assert out.filter((F.col("doc_id") % 7 == 3) & (F.col("doc_id") % 5 != 0)
+                      & (F.col("doc_id") < 200000)).count() == 0
+    assert deleted > 0  # the delete slice was non-empty, so the gate was exercised
+    n_upd = out.filter(F.col("text").startswith("rev2: ")).count()
+    assert n_upd == base.filter(F.col("doc_id") % 5 == 0).count()
+    n_ins = out.filter(F.col("source") == "cdc").count()
+    assert n_ins == base.filter(F.col("doc_id") % 9 == 1).count()
+
+
+def test_semantic_dedup_finds_planted_neardups(spark, sf_dir):
+    pairs = _run("dedup_semantic_centroid", spark, sf_dir)
+    planted = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 5 == 0)
+        .count()
+    )
+    # a planted (+0.05 last-dim) copy is only caught when it lands in the
+    # same cluster as its original — cluster-boundary misses are the
+    # documented recall cost of SemDeDup, so assert a recall bound, not 100%
+    found = pairs.filter(F.col("id_dup") == F.col("id_keep") + 100000).count()
+    assert found / planted >= 0.9, f"semantic dedup recall {found}/{planted}"
+
+
+def test_span_dedup_flags_planted_copies(spark, sf_dir):
+    out = _run("dedup_span_ngrams", spark, sf_dir)
+    # synthesized excerpts (doc_id >= 100000) are verbatim copies: every one
+    # of their spans also lives in the source doc → dup_frac == 1.0
+    copies = out.filter(F.col("doc_id") >= 100000)
+    assert copies.count() > 0
+    assert copies.filter(F.col("dup_frac") < 1.0).count() == 0
