@@ -44,6 +44,10 @@ HEADLINE: list[str] = [
     "text_quality",          # HOF-heavy text scoring
     "curation_e2e",          # full training-data curation DAG (north star)
     "pipeline_council_e2e",  # whole council DAG: transcribe→summarize→embed
+    "dedup_semantic_centroid",  # SemDeDup: broadcast centroid assign + in-cluster pairs
+    "mine_topk_ngrams",      # heavy hitters: explode → combine-agg → top-k window
+    "ts_gapfill_interpolate",# dense calendar join + fixed-point interpolation
+    "funnel_conversion",     # staged joins that shrink down the funnel
 ]
 
 
