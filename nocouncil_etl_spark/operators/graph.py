@@ -1,0 +1,67 @@
+"""Iterative graph algorithms on DataFrames (PageRank; companions to the
+connected-components dedup clustering in operators/dedup.py).
+
+The reference has no graph surface; this exists because a training-data
+pipeline ranks/clusters documents by link structure (citation graphs, URL
+link graphs) at corpus scale. Everything is DataFrame joins + keyed aggs —
+no driver-side adjacency, no collect.
+
+Determinism: ranks are FIXED-POINT BIGINTs (1e-9 units) and every update is
+integer arithmetic (`div`, `%`), so iteration k's state is bit-identical in
+any engine — which is what lets an iterative algorithm have an exact DuckDB
+oracle (unrolled one CTE per iteration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**9  # rank unit = 1e-9
+DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as a ratio — integer math only
+
+
+def pagerank_fixed_point(
+    nodes: DataFrame, edges: DataFrame, n_nodes: int, iters: int
+) -> DataFrame:
+    """Fixed-point PageRank: nodes(node), edges(src, dst, d=out-degree of
+    src) → (node, r) after ``iters`` synchronous iterations.
+
+    r_{k+1}(v) = (0.15/N) + 0.85 · Σ_{(u,v)∈E} r_k(u)/deg(u), all in 1e-9
+    integer units with floor division — deterministic and engine-portable.
+    Dangling mass (nodes with no out-edges) is dropped, identically on both
+    engines.
+
+    Scale shape: each iteration is one equi-join (edges ⋈ ranks on src; at
+    100 TB both sides pre-partitioned on the key, so the shuffle happens
+    once, not per-iteration) + one map-side-combined sum keyed by dst + one
+    left join back to the node set. State per iteration is one row per node.
+    Each new state is persisted and materialized, then the previous is
+    unpersisted, so lineage stays one-iteration deep for the optimizer while
+    retries replay at most one step."""
+    base = (15 * SCALE) // (100 * n_nodes)
+    ranks = nodes.withColumn("r", F.lit(SCALE // n_nodes))
+    prev = None
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .select("dst", F.expr("r div d").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({DAMP_NUM} * coalesce(c, 0L)) div {DAMP_DEN}")
+                ).alias("r"),
+            )
+            .persist()
+        )
+        ranks.count()  # materialize so unpersisting the parent is safe
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
+    return ranks
