@@ -313,6 +313,59 @@ class Engine:
         ws = F.split(text_col, " ")
         return df.withColumn("quality", F.round(quality_score(text_col, ws), 4))
 
+    # --- embedding-space dedup / graphs -------------------------------------
+
+    def semantic_dedup(
+        self,
+        df: DataFrame,
+        id_col: str,
+        vec_col: str,
+        centroids: DataFrame | None = None,
+        cent_mod: int = 50,
+        threshold: float = 0.99,
+    ) -> DataFrame:
+        """SemDeDup near-duplicate pairs: nearest-centroid clustering, then
+        cosine ≥ threshold inside clusters only (operators/semantic.py).
+        Default centroids = the deterministic 1/cent_mod id-hash sample of
+        the corpus — reproducible across runs, like every sampling verb."""
+        from pyspark.sql import functions as F
+
+        from nocouncil_etl_spark.operators.semantic import semantic_near_duplicates
+
+        v = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        cent = (
+            centroids.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+            if centroids is not None
+            else v.filter(F.col("vec_id") % cent_mod == 0)
+        )
+        return semantic_near_duplicates(v, cent, threshold=threshold)
+
+    def pagerank(
+        self,
+        edges: DataFrame,
+        src: str = "src",
+        dst: str = "dst",
+        iters: int = 8,
+    ) -> DataFrame:
+        """Fixed-point PageRank over an edge list (operators/graph.py):
+        ranks in 1e-9 integer units, deterministic across engines and runs.
+        Node set = every id appearing as src or dst."""
+        from pyspark.sql import functions as F
+
+        from nocouncil_etl_spark.operators.graph import pagerank_fixed_point
+
+        nodes = (
+            edges.select(F.col(src).alias("node"))
+            .unionByName(edges.select(F.col(dst).alias("node")))
+            .distinct()
+        )
+        n = nodes.count()
+        deg = edges.groupBy(src).agg(F.count("*").alias("d"))
+        e = edges.join(deg, src).select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"), "d"
+        )
+        return pagerank_fixed_point(nodes, e, n, iters)
+
     # --- pipelines ----------------------------------------------------------
 
     def council_index(self, sf_dir: str) -> DataFrame:

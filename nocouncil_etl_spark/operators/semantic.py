@@ -1,0 +1,123 @@
+"""SemDeDup-style semantic near-duplicate detection (the embedding-space
+sibling of the MinHash/SimHash text dedup in operators/dedup.py).
+
+Two Arrow/numpy kernels — nothing quadratic ever leaves a vectorized batch:
+
+1. ``assign_nearest_centroid`` ships the (k × dim) centroid matrix in the
+   task closure and scores each Arrow batch of vectors against ALL centroids
+   with one matmul; the argmax tie-breaks on (rounded-6dp cosine DESC,
+   centroid id ASC) — the same rule a SQL window would apply, so results are
+   engine-portable.
+2. ``cluster_pair_scan`` is applyInPandas per cluster: a (|cluster| × dim)
+   self-matmul emits only pairs at/above the threshold, with Spark's HALF_UP
+   decimal rounding (similarity._round6_like_spark) on the emitted sims.
+
+Reference analogue: the newscrawler's identity gate (newscrawler.py:59-61)
+is exact-match only; SemDeDup (Abbas et al., 2023) is the standard recipe
+for catching paraphrase-level duplicates at pretraining scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nocouncil_etl_spark.operators.similarity import _round6_like_spark
+
+
+def assign_nearest_centroid(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    cent_id_col: str = "cent_id",
+    cent_vec_col: str = "cv",
+) -> DataFrame:
+    """(id, vec) × (cent_id, cent_vec) → (id, cent_id) nearest-centroid
+    assignment. The centroid side is collected to the driver (it is the
+    small, broadcast-shaped side — k ≪ n by construction); the corpus side
+    streams through mapInPandas in Arrow batches, O(n·k) fused MACs."""
+    cent_rows = centroids.select(cent_id_col, cent_vec_col).collect()
+    cent_ids = np.array([r[cent_id_col] for r in cent_rows])
+    cm = np.array([r[cent_vec_col] for r in cent_rows], dtype=np.float64)
+    cn = np.linalg.norm(cm, axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            vm = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = np.linalg.norm(vm, axis=1, keepdims=True)
+            sims = np.round((vm @ cm.T) / (vn * cn[None, :]), 6)
+            order = np.lexsort(
+                (cent_ids[None, :].repeat(len(vm), 0), -sims), axis=1
+            )
+            best = cent_ids[order[:, 0]]
+            yield pd.DataFrame({id_col: pdf[id_col], cent_id_col: best})
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, {cent_id_col} long"
+    )
+
+
+def cluster_pair_scan(
+    clustered: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    cent_id_col: str = "cent_id",
+) -> DataFrame:
+    """(cent_id, id, vec) → (cluster_id, id_keep, id_dup, sim) pairs with
+    cosine ≥ threshold, quadratic only WITHIN a cluster (applyInPandas per
+    cent_id group). Pairs are oriented id_keep < id_dup."""
+
+    def pair_scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        vm = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        vn = np.linalg.norm(vm, axis=1)
+        sims = (vm @ vm.T) / np.outer(vn, vn)
+        ii, jj = np.triu_indices(len(ids), 1)
+        raw = sims[ii, jj]
+        # decimal-round only near-threshold candidates (one rounding ulp of
+        # margin); everything below can't round up past the threshold
+        near = raw >= threshold - 1e-5
+        ii, jj, raw = ii[near], jj[near], raw[near]
+        s = np.array([_round6_like_spark(x) for x in raw])
+        m = s >= threshold
+        lo = np.minimum(ids[ii][m], ids[jj][m])
+        hi = np.maximum(ids[ii][m], ids[jj][m])
+        cid = pdf[cent_id_col].to_numpy()[0] if len(pdf) else 0
+        return pd.DataFrame(
+            {
+                "cluster_id": np.full(len(lo), cid, dtype=np.int64),
+                "id_keep": lo,
+                "id_dup": hi,
+                "sim": s[m],
+            }
+        )
+
+    return clustered.groupBy(cent_id_col).applyInPandas(
+        pair_scan, schema="cluster_id long, id_keep long, id_dup long, sim double"
+    )
+
+
+def semantic_near_duplicates(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Full SemDeDup pass: assign every vector to its nearest centroid, then
+    scan for near-duplicate pairs inside each cluster only. Recall is
+    bounded by the clustering (copies straddling a cluster boundary are
+    missed — the documented cost of not doing all-pairs); precision is exact
+    at the threshold."""
+    cent = centroids.select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+    )
+    best = assign_nearest_centroid(vectors, cent, id_col=id_col, vec_col=vec_col)
+    clustered = vectors.join(best, id_col).select("cent_id", id_col, vec_col)
+    return cluster_pair_scan(
+        clustered, threshold, id_col=id_col, vec_col=vec_col
+    )

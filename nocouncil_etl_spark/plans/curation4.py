@@ -233,11 +233,10 @@ def dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bounded group. Ties in the argmax are broken on rounded-6dp similarity
     then centroid id — the same rule the oracle's window applies; emitted
     sims use Spark's HALF_UP decimal rounding (similarity._round6_like_spark),
-    the parity rule the blocked-kNN kernel already ships."""
-    import numpy as np
-    import pandas as pd
-
-    from nocouncil_etl_spark.operators.similarity import _round6_like_spark
+    the parity rule the blocked-kNN kernel already ships. Kernels live in
+    operators/semantic.py (the reusable SemDeDup operator; also exposed as
+    the Engine.semantic_dedup facade verb)."""
+    from nocouncil_etl_spark.operators.semantic import semantic_near_duplicates
 
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
@@ -247,54 +246,8 @@ def dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.slice("v", 1, 63), F.array(F.element_at("v", 64) + F.lit(0.05))).alias("v"),
     )
     aug = e.unionByName(perturbed)
-    cent_rows = (
-        e.filter(F.col("vec_id") % CENT_MOD == 0).select("vec_id", "v").collect()
-    )  # k = n/CENT_MOD centroid vectors — the small side, like a broadcast dim
-    cent_ids = np.array([r.vec_id for r in cent_rows])
-    cm = np.array([r.v for r in cent_rows], dtype=np.float64)
-    cn = np.linalg.norm(cm, axis=1)
-
-    def assign(batches):
-        for pdf in batches:
-            vm = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-            vn = np.linalg.norm(vm, axis=1, keepdims=True)
-            sims = np.round((vm @ cm.T) / (vn * cn[None, :]), 6)
-            # argmax with the oracle's tie-break: rounded sim DESC, cent_id ASC
-            order = np.lexsort((cent_ids[None, :].repeat(len(vm), 0), -sims), axis=1)
-            best = cent_ids[order[:, 0]]
-            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cent_id": best})
-
-    best = aug.mapInPandas(assign, schema="vec_id long, cent_id long")
-    clustered = aug.join(best, "vec_id").select("cent_id", "vec_id", "v")
-
-    def pair_scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vec_id"].to_numpy()
-        vm = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-        vn = np.linalg.norm(vm, axis=1)
-        sims = (vm @ vm.T) / np.outer(vn, vn)
-        ii, jj = np.triu_indices(len(ids), 1)
-        raw = sims[ii, jj]
-        # decimal-round only near-threshold candidates (one rounding ulp of
-        # margin); everything below can't round up past the threshold
-        near = raw >= SEM_THRESHOLD - 1e-5
-        ii, jj, raw = ii[near], jj[near], raw[near]
-        s = np.array([_round6_like_spark(x) for x in raw])
-        m = s >= SEM_THRESHOLD
-        lo = np.minimum(ids[ii][m], ids[jj][m])
-        hi = np.maximum(ids[ii][m], ids[jj][m])
-        cid = pdf["cent_id"].to_numpy()[0] if len(pdf) else 0
-        return pd.DataFrame(
-            {
-                "cluster_id": np.full(len(lo), cid, dtype=np.int64),
-                "id_keep": lo,
-                "id_dup": hi,
-                "sim": s[m],
-            }
-        )
-
-    return clustered.groupBy("cent_id").applyInPandas(
-        pair_scan, schema="cluster_id long, id_keep long, id_dup long, sim double"
-    )
+    centroids = e.filter(F.col("vec_id") % CENT_MOD == 0)
+    return semantic_near_duplicates(aug, centroids, threshold=SEM_THRESHOLD)
 
 
 # --------------------------------------------------------------------------

@@ -146,3 +146,30 @@ def test_engine_hybrid_serve_surface(spark, sf_dir, tmp_path):
     allowed = {r.c_id for r in idx.filter("label = 0").select(F.col("id").alias("c_id")).collect()}
     got = {r.c_id for r in hits.collect()}
     assert got <= allowed
+
+
+def test_engine_semantic_dedup_and_pagerank(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nocouncil_etl_spark.api import Engine
+
+    eng = Engine(spark)
+    emb = eng.table(sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    # a corpus with its exact copy must pair up: union shifted ids
+    doubled = emb.unionByName(
+        emb.select((F.col("vec_id") + 10_000_000).alias("vec_id"), "v")
+    )
+    pairs = eng.semantic_dedup(doubled, "vec_id", "v", threshold=0.999)
+    found = pairs.filter(F.col("id_dup") == F.col("id_keep") + 10_000_000).count()
+    n = emb.count()
+    assert found >= n * 0.9  # exact copies, boundary misses only
+
+    docs = eng.table(sf_dir, "documents").select(F.col("doc_id").alias("src"))
+    edges = docs.select("src", ((F.col("src") * 31 + 7) % 97).alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    ranks = eng.pagerank(edges, iters=4)
+    assert ranks.filter(F.col("r") <= 0).count() == 0
+    ranks.unpersist()

@@ -178,3 +178,32 @@ def test_stream_dedup_watermark_bounded_state(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     assert out.count() == ev.count()  # doubled input collapsed to identity
     assert out.select("event_id").distinct().count() == ev.count()
+
+
+def test_round4_joins_have_no_quadratic_stage(spark, sf_dir):
+    """Round-4 blocked/bucketed joins must stay equi-joins: fuzzy dedup's
+    blocking key, span dedup's span-hash bucket, the CDC merge key, and the
+    funnel's user_id stages."""
+    for name in (
+        "join_fuzzy_dedup",
+        "dedup_span_ngrams",
+        "merge_upsert_cdc",
+        "funnel_conversion",
+    ):
+        p = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_semantic_dedup_is_arrow_not_crossjoin(spark, sf_dir):
+    """dedup_semantic_centroid's assignment must be the Arrow matmul kernel
+    (mapInPandas/applyInPandas), not a crossJoin of interpreted HOF cosines
+    — the shape that measured 42× at 10× data before the rewrite."""
+    p = plan_of(REGISTRY["dedup_semantic_centroid"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "FlatMapGroupsInPandas" in p or "MapInPandas" in p
+
+
+def test_gapfill_grid_join_is_equi(spark, sf_dir):
+    p = plan_of(REGISTRY["ts_gapfill_interpolate"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
