@@ -113,3 +113,38 @@ def test_span_dedup_flags_planted_copies(spark, sf_dir):
     copies = out.filter(F.col("doc_id") >= 100000)
     assert copies.count() > 0
     assert copies.filter(F.col("dup_frac") < 1.0).count() == 0
+
+
+def test_fuzzy_dedup_finds_planted_typos(spark, sf_dir):
+    """Every planted one-character typo copy (doc_id+300000) shares its
+    source's blocking key by construction and sits at edit distance 1, so
+    the blocked matcher must recover all of them."""
+    out = _run("join_fuzzy_dedup", spark, sf_dir).cache()
+    try:
+        planted = load(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 == 0
+        ).count()
+        hits = out.filter(
+            (F.col("id_b") == F.col("id_a") + 300000) & (F.col("lev") == 1)
+        ).count()
+        assert hits == planted
+    finally:
+        out.unpersist()
+
+
+def test_range_window_frame_is_time_bounded(spark, sf_dir):
+    """A RANGE frame can never contain events farther apart than the
+    interval: re-derive each row's frame count with a self-join and compare."""
+    out = _run("window_range_time_sum", spark, sf_dir)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("tus")
+    )
+    a = ev.select(F.col("event_id").alias("eid"), "user_id", F.col("tus").alias("t0"))
+    recomputed = (
+        a.join(ev, "user_id")
+        .filter((F.col("tus") <= F.col("t0")) & (F.col("tus") >= F.col("t0") - 600_000_000))
+        .groupBy("eid")
+        .agg(F.count("*").alias("n2"))
+    )
+    j = out.join(recomputed, out.event_id == recomputed.eid)
+    assert j.filter(F.col("frame_n") != F.col("n2")).count() == 0
