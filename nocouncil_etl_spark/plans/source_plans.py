@@ -245,3 +245,42 @@ def io_jsonl_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(quarantined, 1)).alias("n_corrupt"),
         F.sum(F.when(~quarantined, F.col("n_chars"))).alias("chars_good"),
     )
+
+
+@query(
+    "io_csv_roundtrip",
+    oracle="""
+SELECT doc_id, text, lang, source, n_chars FROM documents
+""",
+)
+def io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S/K surface for the one interchange format every warehouse still
+    speaks: documents → header'd, quoted CSV sink → declared-schema CSV scan
+    → identity. Matching the direct-parquet oracle proves quoting/escaping
+    survives the word-soup text column (embedded delimiters, quotes) — the
+    failure mode that silently corrupts naive CSV pipelines.
+
+    Scale shape: both write and scan are partition-parallel; the scan scans
+    with a DECLARED schema (no inferSchema pass — schema inference reads the
+    data twice and types drift run-to-run)."""
+    out = os.path.join(
+        tempfile.gettempdir(), "nocouncil_etl_spark_scratch", "documents_csv"
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    (
+        docs.write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .option("escape", '"')
+        .csv(out)
+    )
+    return (
+        spark.read.schema(
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+        )
+        .option("header", True)
+        .option("escape", '"')
+        .csv(out)
+    )
