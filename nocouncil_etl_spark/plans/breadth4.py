@@ -10,6 +10,10 @@
   Levenshtein kernel runs — the classic entity-resolution shape that keeps
   the quadratic inside blocks. Typo'd copies are synthesized (one character
   overwritten) so the matcher provably fires.
+- ``agg_correlation`` — Pearson correlation from decimal-exact co-moments
+  (built-in corr() folds floats in engine-specific order and drifts).
+- ``window_rolling_median`` — rolling 21-row exact median per series, the
+  robust smoother next to window_moving_avg.
 """
 
 from __future__ import annotations
@@ -138,4 +142,89 @@ def join_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b", lev.alias("lev"))
         .filter(F.col("lev") <= LEV_MAX)
+    )
+
+@query(
+    "agg_correlation",
+    oracle="""
+WITH c AS (
+  SELECT event_type, value,
+         (epoch_us(ts) - 1704067200000000) / 1000000 AS tsec
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(tsec AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(tsec * tsec AS DECIMAL(24,6))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(value * tsec AS DECIMAL(24,6))) AS DOUBLE) AS sxy
+  FROM c GROUP BY event_type
+)
+SELECT event_type, n,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_value_time
+FROM m
+""",
+)
+def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between event value and event time per type,
+    computed from decimal-exact co-moments (n, Σx, Σy, Σx², Σy², Σxy) so the
+    closed form divides identical doubles on both engines — built-in corr()
+    would fold floats in engine-specific order and drift at the 1e-15 level,
+    which a value-hash notices. Time is seconds since 2024-01-01 — Pearson
+    is translation-invariant, and centering keeps t² inside the decimal
+    grid (raw epoch² overflows DECIMAL(24,6)).
+
+    Scale shape: one hash agg with map-side combine; six decimal
+    accumulators per group."""
+    ev = load(spark, sf_dir, "events")
+    x = F.col("value")
+    y = (F.unix_micros("ts") - F.lit(1704067200000000)) / F.lit(1000000)
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(18,6)")).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(18,6)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(24,6)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(24,6)")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select("event_type", "n", F.round(corr, 6).alias("corr_value_time"))
+
+
+@query(
+    "window_rolling_median",
+    oracle="""
+SELECT event_id, user_id,
+       round(quantile_cont(round(value, 2), 0.5) OVER w, 4) AS med21
+FROM (SELECT event_id, user_id, value, ts FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
+""",
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 21-row median per series — the robust (outlier-immune)
+    smoother a metrics pipeline pairs with the moving average. Inputs are
+    pre-rounded to the 2dp money grid so the linear interpolation between
+    the two middle order statistics divides identical doubles on both
+    engines (Spark percentile ≡ DuckDB quantile_cont, both type-7).
+
+    Scale shape: one user_id shuffle; the ROWS frame re-ranks only the
+    21-row window per step."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.percentile(F.round("value", 2), F.lit(0.5)).over(w), 4).alias("med21"),
     )
