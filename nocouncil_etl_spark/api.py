@@ -366,6 +366,117 @@ class Engine:
         )
         return pagerank_fixed_point(nodes, e, n, iters)
 
+    # --- timeseries / behavioral -------------------------------------------
+
+    def funnel(
+        self,
+        df: DataFrame,
+        key_col: str,
+        ts_col: str,
+        steps: list,
+    ) -> DataFrame:
+        """Staged funnel over arbitrary (name, predicate-Column) steps: a
+        key survives step k only with an event matching step k's predicate
+        STRICTLY AFTER its first qualifying step-(k-1) event. Returns one
+        row per step: (stage, stage_no, n_keys). Generalizes the
+        funnel_conversion plan."""
+        from pyspark.sql import functions as F
+
+        counts = []
+        anchor = None  # (DataFrame[key, t], ) of survivors so far
+        for no, (name, pred) in enumerate(steps, start=1):
+            stage_events = df.filter(pred)
+            if anchor is None:
+                surv = stage_events.groupBy(key_col).agg(F.min(ts_col).alias("_t"))
+            else:
+                surv = (
+                    stage_events.join(anchor, key_col)
+                    .filter(F.col(ts_col) > F.col("_t"))
+                    .groupBy(key_col)
+                    .agg(F.min(ts_col).alias("_t"))
+                )
+            anchor = surv
+            counts.append(
+                surv.agg(F.count("*").alias("n_keys")).select(
+                    F.lit(name).alias("stage"),
+                    F.lit(no).alias("stage_no"),
+                    "n_keys",
+                )
+            )
+        out = counts[0]
+        for c in counts[1:]:
+            out = out.unionByName(c)
+        return out
+
+    def gapfill(
+        self,
+        df: DataFrame,
+        key_col: str,
+        ts_col: str,
+        value_col: str,
+        bucket: str = "hour",
+    ) -> DataFrame:
+        """Dense per-key calendar at ``bucket`` granularity over each key's
+        own observation span, with fixed-point linear interpolation for
+        missing buckets (the ts_gapfill_interpolate kernel, generalized).
+        Returns (key, bucket_start, filled_v, is_gap)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        step = {"hour": 3600, "day": 86400, "minute": 60}[bucket]
+        hourly = df.groupBy(
+            F.col(key_col).alias("_k"), F.date_trunc(bucket, ts_col).alias("_b")
+        ).agg(
+            (F.sum(F.col(value_col).cast("decimal(18,6)")) * 1000000)
+            .cast("long")
+            .alias("_s6"),
+            F.count("*").alias("_c"),
+        )
+        hv = hourly.select(
+            "_k", "_b", F.expr("(2 * _s6 + 100 * _c) div (200 * _c)").alias("_v4")
+        )
+        span = hv.groupBy("_k").agg(
+            F.sequence(
+                F.min("_b"), F.max("_b"), F.expr(f"INTERVAL {step} SECONDS")
+            ).alias("_bs")
+        )
+        grid = (
+            span.select("_k", F.explode("_bs").alias("_b"))
+            .join(hv, ["_k", "_b"], "left")
+            .withColumn("_i", F.expr(f"unix_seconds(_b) div {step}"))
+        )
+        w_prev = (
+            Window.partitionBy("_k").orderBy("_i")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_next = (
+            Window.partitionBy("_k").orderBy("_i")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        i_if_v = F.when(F.col("_v4").isNotNull(), F.col("_i"))
+        ctx = grid.select(
+            "_k",
+            "_b",
+            "_i",
+            "_v4",
+            F.last("_v4", ignorenulls=True).over(w_prev).alias("_pv"),
+            F.last(i_if_v, ignorenulls=True).over(w_prev).alias("_pi"),
+            F.first("_v4", ignorenulls=True).over(w_next).alias("_nv"),
+            F.first(i_if_v, ignorenulls=True).over(w_next).alias("_ni"),
+        )
+        interp4 = F.expr(
+            "(2 * (_pv * (_ni - _i) + _nv * (_i - _pi)) + (_ni - _pi))"
+            " div (2 * (_ni - _pi))"
+        )
+        return ctx.select(
+            F.col("_k").alias(key_col),
+            F.col("_b").alias("bucket_start"),
+            (F.coalesce(F.col("_v4"), interp4).cast("double") / 10000.0).alias(
+                "filled_v"
+            ),
+            F.col("_v4").isNull().alias("is_gap"),
+        )
+
     # --- pipelines ----------------------------------------------------------
 
     def council_index(self, sf_dir: str) -> DataFrame:

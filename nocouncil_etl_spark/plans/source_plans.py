@@ -284,3 +284,37 @@ def io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("escape", '"')
         .csv(out)
     )
+
+
+@query(
+    "io_orc_roundtrip",
+    oracle="""
+SELECT event_type, count(*) AS n, min(event_id) AS first_id, max(event_id) AS last_id
+FROM events
+GROUP BY event_type
+""",
+)
+def io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S/K surface for ORC — the other columnar interchange format (Hive
+    ecosystems): events → ORC sink → declared-schema ORC scan → aggregate
+    matching the direct-parquet oracle. Timestamps cross as epoch-µs longs
+    (same interchange convention as JSONL) so the roundtrip is precision-
+    independent of the writer.
+
+    Scale shape: columnar write/scan, partition-parallel both ways; the
+    aggregate proves row fidelity without driver-side row transfer."""
+    out = os.path.join(
+        tempfile.gettempdir(), "nocouncil_etl_spark_scratch", "events_orc"
+    )
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "event_type", "value"
+    )
+    ev.write.mode("overwrite").orc(out)
+    back = spark.read.schema(
+        "event_id BIGINT, ts_us BIGINT, event_type STRING, value DOUBLE"
+    ).orc(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("first_id"),
+        F.max("event_id").alias("last_id"),
+    )

@@ -173,3 +173,43 @@ def test_engine_semantic_dedup_and_pagerank(spark, sf_dir):
     ranks = eng.pagerank(edges, iters=4)
     assert ranks.filter(F.col("r") <= 0).count() == 0
     ranks.unpersist()
+
+
+def test_engine_funnel_and_gapfill(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nocouncil_etl_spark.api import Engine
+
+    eng = Engine(spark)
+    ev = eng.table(sf_dir, "events")
+    out = eng.funnel(
+        ev,
+        "user_id",
+        "ts",
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+    )
+    rows = {r.stage: r.n_keys for r in out.collect()}
+    assert rows["view"] >= rows["click"] >= rows["purchase"] > 0
+    # generic verb reproduces the plan query exactly
+    from nocouncil_etl_spark.registry import load_all
+
+    plan_rows = {
+        r.stage: r.n_users
+        for r in load_all()["funnel_conversion"].fn(spark, sf_dir).collect()
+    }
+    assert rows == plan_rows
+
+    filled = eng.gapfill(ev, "user_id", "ts", "value", bucket="hour")
+    assert filled.filter(F.col("filled_v").isNull()).count() == 0
+    # generic verb ≡ the oracle-checked plan query on the same inputs
+    plan = load_all()["ts_gapfill_interpolate"].fn(spark, sf_dir)
+    a = {(r.user_id, r.bucket_us): r.filled_v for r in plan.collect()}
+    b = {
+        (r.user_id, int(r.bucket_start.timestamp() * 1_000_000)): r.filled_v
+        for r in filled.collect()
+    }
+    assert a == b
