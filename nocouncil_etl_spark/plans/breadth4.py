@@ -228,3 +228,59 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.percentile(F.round("value", 2), F.lit(0.5)).over(w), 4).alias("med21"),
     )
+
+
+DEBOUNCE_US = 300_000_000  # 5 minutes
+
+
+@query(
+    "dedup_debounce",
+    oracle=f"""
+WITH g AS (
+  SELECT event_id, user_id, event_type, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                PARTITION BY user_id, event_type ORDER BY ts, event_id))
+              < {DEBOUNCE_US} THEN 0 ELSE 1 END AS is_start
+  FROM events
+),
+isl AS (
+  SELECT event_id, user_id, event_type, ts,
+         CAST(sum(is_start) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) AS BIGINT) AS island
+  FROM g
+)
+SELECT user_id, event_type, island,
+       min(event_id) AS kept_event_id,
+       epoch_us(min(ts)) AS first_us,
+       count(*) AS n_collapsed
+FROM isl
+GROUP BY user_id, event_type, island
+""",
+)
+def dedup_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce dedup: bursts of same-key events closer than 5 minutes
+    collapse to their first occurrence (gaps-and-islands: lag() marks island
+    starts, a running sum numbers islands, one agg keeps the head) — the
+    ingest-side "drop retry storms / double-clicks" operator, the windowed
+    sibling of dedup_exact. NULL lag (first event per key) starts an island
+    by the CASE's ELSE arm, identically in both engines.
+
+    Scale shape: one (user, type) shuffle shared by both windows and the
+    final agg; the island id is a BIGINT running sum (HUGEINT digest rule)."""
+    ev = load(spark, sf_dir, "events")
+    wk = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wk))
+    is_start = F.when(gap_us < DEBOUNCE_US, F.lit(0)).otherwise(F.lit(1))
+    isl = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum(is_start).over(wk).alias("island"),
+    )
+    return isl.groupBy("user_id", "event_type", "island").agg(
+        F.min("event_id").alias("kept_event_id"),
+        F.unix_micros(F.min("ts")).alias("first_us"),
+        F.count("*").alias("n_collapsed"),
+    )
