@@ -234,3 +234,102 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev.filter(F.col("event_type") == "view").select("user_id")
     b = ev.filter(F.col("event_type") == "purchase").select("user_id")
     return a.subtract(b)  # EXCEPT DISTINCT semantics, matching the SQL oracle
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+SELECT e.event_id, e.user_id, epoch_us(c.ts) AS next_click_us
+FROM (SELECT * FROM events WHERE event_type = 'view') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts <= c.ts
+""",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each view, the EARLIEST at-or-after click of
+    the same user — the "what happened next" direction (merge_asof
+    direction='forward'). Same union-tag idiom as join_asof, mirrored: first
+    right-row timestamp over the FOLLOWING window; left rows sort before
+    right rows at equal ts so `<=` semantics hold.
+
+    Scale shape: one (user_id) shuffle + ordered scan; no range cross-join."""
+    ev = load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("is_right"),
+        F.col("ts").alias("r_ts"),
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("bigint").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_right"),
+        F.col("ts").alias("r_ts"),
+    )
+    merged = left.unionByName(right)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_right")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = F.first(
+        F.when(F.col("is_right") == 1, F.col("r_ts")), ignorenulls=True
+    ).over(w)
+    return (
+        merged.withColumn("next_click", carried)
+        .filter(F.col("is_right") == 0)
+        .select("event_id", "user_id", F.unix_micros("next_click").alias("next_click_us"))
+    )
+
+
+ASOF_TOL_US = 7 * 86400 * 1_000_000  # 7 days
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+SELECT e.event_id, e.user_id,
+       CASE WHEN epoch_us(e.ts) - epoch_us(s.ts) <= {ASOF_TOL_US}
+            THEN epoch_us(s.ts) END AS recent_signup_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON e.user_id = s.user_id AND e.ts >= s.ts
+""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with a staleness bound (merge_asof tolerance=7d): the
+    most recent prior signup counts only if it is within 7 days of the
+    purchase; staler matches null out but the left row survives — exactly
+    how a feature-store point-in-time lookup treats expired features.
+
+    Scale shape: identical to join_asof (carry over one ordered window);
+    the tolerance is a post-carry CASE, not a second join."""
+    ev = load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_left"),
+        F.col("ts").alias("sig_ts"),
+    )
+    right = ev.filter(F.col("event_type") == "signup").select(
+        F.lit(None).cast("bigint").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_left"),
+        F.col("ts").alias("sig_ts"),
+    )
+    merged = left.unionByName(right)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = F.last(
+        F.when(F.col("is_left") == 0, F.col("sig_ts")), ignorenulls=True
+    ).over(w)
+    fresh = F.when(
+        F.unix_micros("ts") - F.unix_micros(F.col("last_signup")) <= ASOF_TOL_US,
+        F.unix_micros(F.col("last_signup")),
+    )
+    return (
+        merged.withColumn("last_signup", carried)
+        .filter(F.col("is_left") == 1)
+        .select("event_id", "user_id", fresh.alias("recent_signup_us"))
+    )
