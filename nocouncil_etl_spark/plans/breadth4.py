@@ -284,3 +284,93 @@ def dedup_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.min("ts")).alias("first_us"),
         F.count("*").alias("n_collapsed"),
     )
+
+
+@query(
+    "dq_validation_report",
+    oracle="""
+SELECT 'orders_custkey_fk' AS check_name,
+       (SELECT count(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL) AS n_violations,
+       (SELECT count(*) FROM orders) AS n_rows
+UNION ALL
+SELECT 'lineitem_qty_range',
+       (SELECT count(*) FROM lineitem WHERE l_quantity < 0 OR l_quantity > 100),
+       (SELECT count(*) FROM lineitem)
+UNION ALL
+SELECT 'events_type_domain',
+       (SELECT count(*) FROM events
+        WHERE event_type NOT IN ('view','click','purchase','signup','error')),
+       (SELECT count(*) FROM events)
+UNION ALL
+SELECT 'documents_nchars_consistent',
+       (SELECT count(*) FROM documents WHERE n_chars <> len(text)),
+       (SELECT count(*) FROM documents)
+UNION ALL
+SELECT 'events_id_unique',
+       (SELECT CAST(sum(n - 1) AS BIGINT) FROM
+         (SELECT count(*) AS n FROM events GROUP BY event_id) WHERE n > 1),
+       (SELECT count(*) FROM events)
+""",
+)
+def dq_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (the dbt-tests / Deequ shape): one row per
+    constraint with its violation count — FK integrity (orders→customer via
+    anti-join), numeric range, categorical domain, derived-column
+    consistency (n_chars == len(text)), and key uniqueness. A pipeline
+    promotes a batch only when every n_violations is 0 (or a tracked
+    baseline); the report IS the contract.
+
+    Scale shape: each check is an independent scan/agg (FK check is one
+    anti-join); Spark runs them as separate jobs unioned at the end —
+    embarrassingly parallel across checks, each check linear."""
+    from nocouncil_etl_spark.io import load as _load
+
+    orders = _load(spark, sf_dir, "orders")
+    customer = _load(spark, sf_dir, "customer")
+    lineitem = _load(spark, sf_dir, "lineitem")
+    events = _load(spark, sf_dir, "events")
+    documents = _load(spark, sf_dir, "documents")
+
+    def report(name: str, violations, total) -> DataFrame:
+        return violations.crossJoin(total).select(
+            F.lit(name).alias("check_name"), "n_violations", "n_rows"
+        )
+
+    fk = report(
+        "orders_custkey_fk",
+        orders.join(
+            customer, orders["o_custkey"] == customer["c_custkey"], "left_anti"
+        ).agg(F.count("*").alias("n_violations")),
+        orders.agg(F.count("*").alias("n_rows")),
+    )
+    rng = report(
+        "lineitem_qty_range",
+        lineitem.filter((F.col("l_quantity") < 0) | (F.col("l_quantity") > 100)).agg(
+            F.count("*").alias("n_violations")
+        ),
+        lineitem.agg(F.count("*").alias("n_rows")),
+    )
+    dom = report(
+        "events_type_domain",
+        events.filter(
+            ~F.col("event_type").isin("view", "click", "purchase", "signup", "error")
+        ).agg(F.count("*").alias("n_violations")),
+        events.agg(F.count("*").alias("n_rows")),
+    )
+    cons = report(
+        "documents_nchars_consistent",
+        documents.filter(F.col("n_chars") != F.length("text")).agg(
+            F.count("*").alias("n_violations")
+        ),
+        documents.agg(F.count("*").alias("n_rows")),
+    )
+    uniq = report(
+        "events_id_unique",
+        events.groupBy("event_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.sum(F.col("n") - 1).alias("n_violations")),
+        events.agg(F.count("*").alias("n_rows")),
+    )
+    return fk.unionByName(rng).unionByName(dom).unionByName(cons).unionByName(uniq)

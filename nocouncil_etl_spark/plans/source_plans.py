@@ -318,3 +318,50 @@ def io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("first_id"),
         F.max("event_id").alias("last_id"),
     )
+
+
+@query(
+    "io_schema_evolution",
+    oracle="""
+SELECT lang,
+       count(*) AS n,
+       count(quality) AS n_with_quality,
+       CAST(round(sum(CAST(coalesce(quality, 0.0) AS DECIMAL(18,6))), 4) AS DOUBLE) AS q_total
+FROM (
+  SELECT lang, NULL::DOUBLE AS quality FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT lang, round(n_chars / 1000.0, 4) FROM documents WHERE doc_id % 2 = 1
+)
+GROUP BY lang
+""",
+)
+def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet generations under one prefix —
+    v1 (doc_id, lang) and v2 with an added `quality` column — scanned as one
+    table via mergeSchema; v1 rows surface NULL quality. This is how a
+    long-lived 100 TB lake actually looks (columns accrete over time;
+    rewriting history is off the table), and the declared-union oracle pins
+    the exact fill-with-null semantics.
+
+    Scale shape: footer-schema merge is metadata-only; each file still reads
+    only its own columns."""
+    out = os.path.join(
+        tempfile.gettempdir(), "nocouncil_etl_spark_scratch", "documents_evolving"
+    )
+    docs = load(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", F.round(F.col("n_chars") / 1000.0, 4).alias("quality")
+    )
+    v1.write.mode("overwrite").parquet(f"{out}/gen=1")
+    v2.write.mode("overwrite").parquet(f"{out}/gen=2")
+    merged = spark.read.option("mergeSchema", True).parquet(
+        f"{out}/gen=1", f"{out}/gen=2"
+    )
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("quality").alias("n_with_quality"),
+        F.round(F.sum(F.coalesce(F.col("quality"), F.lit(0.0)).cast("decimal(18,6)")), 4)
+        .cast("double")
+        .alias("q_total"),
+    )
