@@ -374,3 +374,73 @@ def dq_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.agg(F.count("*").alias("n_rows")),
     )
     return fk.unionByName(rng).unionByName(dom).unionByName(cons).unionByName(uniq)
+
+
+@query(
+    "agg_value_histogram",
+    oracle="""
+SELECT event_type,
+       CASE WHEN round(value, 2) < 0 THEN 0
+            WHEN round(value, 2) >= 200 THEN 21
+            ELSE CAST(floor(round(value, 2) / 10.0) AS INT) + 1 END AS bin,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2
+""",
+)
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per event type: 20 bins of width 10 over
+    [0,200), underflow bin 0, overflow bin 21 (width_bucket semantics,
+    spelled as explicit floor arithmetic because the binning math must be
+    the SAME expression in both engines — DuckDB has no width_bucket, and
+    engine-internal bucket functions may disagree at edges). Inputs snap to
+    the 2dp money grid first.
+
+    Scale shape: a narrow codegen'd expression + one hash agg with map-side
+    combine; output is bounded by types × 22 bins regardless of data size."""
+    ev = load(spark, sf_dir, "events")
+    v = F.round("value", 2)
+    bin_ = (
+        F.when(v < 0, F.lit(0))
+        .when(v >= 200, F.lit(21))
+        .otherwise(F.floor(v / 10.0).cast("int") + 1)
+    )
+    return (
+        ev.select("event_type", bin_.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "agg_share_of_total",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS type_total
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       round(type_total, 2) AS type_total,
+       round(type_total / sum(type_total) OVER (), 6) AS share
+FROM s
+""",
+)
+def agg_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis: each type's share of the global value total via
+    an unpartitioned window over the (tiny) aggregate — the grand total is
+    computed from the per-group decimal-exact sums, so numerator and
+    denominator are identical doubles on both engines.
+
+    Scale shape: the corpus-sized work is one hash agg; the window runs over
+    |event_type| rows, not data."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("type_total")
+    )
+    w = Window.partitionBy()
+    return s.select(
+        "event_type",
+        F.round("type_total", 2).alias("type_total"),
+        F.round(F.col("type_total") / F.sum("type_total").over(w), 6).alias("share"),
+    )
