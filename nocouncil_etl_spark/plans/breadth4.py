@@ -444,3 +444,73 @@ def agg_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("type_total", 2).alias("type_total"),
         F.round(F.col("type_total") / F.sum("type_total").over(w), 6).alias("share"),
     )
+
+
+@query(
+    "agg_mode_per_group",
+    oracle="""
+SELECT user_id, event_type AS mode_type, n FROM (
+  SELECT user_id, event_type, count(*) AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rk
+  FROM events GROUP BY user_id, event_type
+) WHERE rk = 1
+""",
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group with a deterministic tie-break
+    on the value itself — engine-native mode() functions break ties
+    arbitrarily, which a value-hash can't tolerate, so the portable spelling
+    is count + rank.
+
+    Scale shape: one hash agg with map-side combine, then a window over the
+    already-aggregated (group, value) pairs — never over raw rows."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+    )
+
+
+@query(
+    "window_pct_change",
+    oracle="""
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS day_total
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, epoch_us(day) AS day_us, day_total,
+       round((day_total - lag(day_total) OVER w)
+             / lag(day_total) OVER w * 100, 4) AS pct_change
+FROM d
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+""",
+)
+def window_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period percent change of the daily total per event type —
+    the day-over-day KPI delta. Daily totals are decimal-exact and 2dp-
+    rounded BEFORE the ratio, so both engines divide identical doubles; the
+    first day of each series has no predecessor and emits NULL.
+
+    Scale shape: one hash agg to days (bounded output), then a lag over the
+    aggregate — the window never sees raw events."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("day_total")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("day_total").over(w)
+    return d.select(
+        "event_type",
+        F.unix_micros("day").alias("day_us"),
+        "day_total",
+        F.round((F.col("day_total") - prev) / prev * 100, 4).alias("pct_change"),
+    )
