@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from nocouncil_etl_spark.functions.numeric import DEC
 from nocouncil_etl_spark.io import load
 from nocouncil_etl_spark.operators.dedup import make_shingle_udf
 from nocouncil_etl_spark.plans.dedup_plans import _sql_shingles
@@ -285,4 +286,85 @@ def sample_quantile_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("decile", F.ntile(10).over(w))
         .filter(F.col("decile").between(2, 9))
         .select("doc_id", "source", "score", "decile")
+    )
+
+
+# --------------------------------------------------------------------------
+# 5. round-4 curation pipeline end-to-end
+# --------------------------------------------------------------------------
+
+
+@query(
+    "curation4_e2e",
+    oracle=f"""
+WITH ws AS (SELECT doc_id, source, lang, text, string_split(text, ' ') AS w
+            FROM documents),
+sh AS (SELECT doc_id, {_sql_shingles('w', SPAN_N)} AS s FROM ws),
+ds AS (SELECT DISTINCT doc_id, unnest(s) AS span FROM sh),
+sd AS (SELECT span, count(*) AS n_docs FROM ds GROUP BY span),
+frac AS (
+  SELECT ds.doc_id,
+         CAST(count(d.n_docs) AS DOUBLE) / count(*) AS dup_frac
+  FROM ds LEFT JOIN (SELECT * FROM sd WHERE n_docs >= 2) d USING (span)
+  GROUP BY ds.doc_id
+),
+kept AS (
+  SELECT ws.doc_id, ws.source, ws.lang, len(ws.w) AS n_words
+  FROM ws JOIN frac ON ws.doc_id = frac.doc_id
+  WHERE frac.dup_frac < 0.8
+),
+strat AS (
+  SELECT doc_id, source, lang, n_words,
+         ntile(10) OVER (PARTITION BY source ORDER BY n_words DESC, doc_id) AS decile
+  FROM kept
+)
+SELECT source, lang,
+       count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       round(CAST(sum(CAST(n_words AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+         AS avg_words
+FROM strat
+WHERE decile BETWEEN 2 AND 9
+GROUP BY source, lang
+""",
+)
+def curation4_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 curation DAG end-to-end: span-level dup scoring → drop
+    boilerplate-heavy docs (dup_frac ≥ 0.8) → per-source word-count deciles
+    → trim both tails → per-(source, lang) corpus accounting. Each stage is
+    an operator proven alone (dedup_span_ngrams, sample_quantile_strata);
+    this query proves the COMPOSITION under one full-SQL oracle, like
+    curation_e2e does for the round-2 DAG.
+
+    Scale shape: the span stage's explode/distinct is the only corpus-sized
+    shuffle; everything after runs on per-doc rows, then per-source
+    windows, then a bounded group-by. Word sums are BIGINT; the average is
+    decimal-exact."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "lang", "text")
+    base = docs.withColumn("w", F.split("text", " "))
+    sh = base.select("doc_id", make_shingle_udf(SPAN_N)("text").alias("s"))
+    ds = sh.select("doc_id", F.explode("s").alias("span")).distinct()
+    dup = ds.groupBy("span").agg(F.count("*").alias("n_docs")).filter(
+        F.col("n_docs") >= 2
+    )
+    frac = (
+        ds.join(dup, "span", "left")
+        .groupBy("doc_id")
+        .agg((F.count("n_docs").cast("double") / F.count("*")).alias("dup_frac"))
+    )
+    kept = (
+        base.join(frac, "doc_id")
+        .filter(F.col("dup_frac") < 0.8)
+        .select("doc_id", "source", "lang", F.size("w").alias("n_words"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n_words"), F.asc("doc_id"))
+    strat = kept.withColumn("decile", F.ntile(10).over(w)).filter(
+        F.col("decile").between(2, 9)
+    )
+    return strat.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.round(
+            F.sum(F.col("n_words").cast(DEC)).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_words"),
     )
