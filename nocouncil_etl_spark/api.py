@@ -323,16 +323,43 @@ class Engine:
         centroids: DataFrame | None = None,
         cent_mod: int = 50,
         threshold: float = 0.99,
+        k: int | None = None,
+        iters: int = 4,
     ) -> DataFrame:
         """SemDeDup near-duplicate pairs: nearest-centroid clustering, then
         cosine ≥ threshold inside clusters only (operators/semantic.py).
-        Default centroids = the deterministic 1/cent_mod id-hash sample of
-        the corpus — reproducible across runs, like every sampling verb."""
+
+        Pass ``k`` to TRAIN a fixed-k integer k-means (operators/kmeans.py)
+        on the corpus — the scale-correct mode: assignment is O(n·k) with a
+        constant-size closure at any corpus size. Passing ``centroids`` uses
+        that frame as-is; otherwise the legacy 1/cent_mod id sample is used
+        (whose k grows with the corpus — fine for small frames, guarded by
+        MAX_CENTROIDS beyond that)."""
         from pyspark.sql import functions as F
 
-        from nocouncil_etl_spark.operators.semantic import semantic_near_duplicates
+        from nocouncil_etl_spark.operators.semantic import (
+            cluster_pair_scan,
+            semantic_near_duplicates,
+        )
 
         v = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        if k is not None:
+            from nocouncil_etl_spark.operators.kmeans import (
+                assign_l2,
+                kmeans_fit,
+                quantize_vectors,
+            )
+
+            vq = quantize_vectors(v, "v", "xq").select("vec_id", "xq").persist()
+            try:
+                cent_ids, cm = kmeans_fit(vq, k, iters)
+                best = assign_l2(vq, cent_ids, cm).withColumnRenamed(
+                    "cid", "cent_id"
+                )
+                clustered = v.join(best, "vec_id").select("cent_id", "vec_id", "v")
+                return cluster_pair_scan(clustered, threshold)
+            finally:
+                vq.unpersist()
         cent = (
             centroids.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
             if centroids is not None

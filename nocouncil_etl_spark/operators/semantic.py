@@ -37,9 +37,24 @@ def assign_nearest_centroid(
 ) -> DataFrame:
     """(id, vec) × (cent_id, cent_vec) → (id, cent_id) nearest-centroid
     assignment. The centroid side is collected to the driver (it is the
-    small, broadcast-shaped side — k ≪ n by construction); the corpus side
-    streams through mapInPandas in Arrow batches, O(n·k) fused MACs."""
-    cent_rows = centroids.select(cent_id_col, cent_vec_col).collect()
+    small, broadcast-shaped side — k ≪ n by construction, and guarded by
+    kmeans.MAX_CENTROIDS so a corpus-sized centroid set fails fast instead
+    of OOMing the driver); the corpus side streams through mapInPandas in
+    Arrow batches, O(n·k) fused MACs."""
+    from nocouncil_etl_spark.operators.kmeans import MAX_CENTROIDS
+
+    cent_rows = (
+        centroids.select(cent_id_col, cent_vec_col)
+        .limit(MAX_CENTROIDS + 1)
+        .collect()
+    )
+    if len(cent_rows) > MAX_CENTROIDS:
+        raise ValueError(
+            f"assign_nearest_centroid collects the centroid matrix on the "
+            f"driver and got more than {MAX_CENTROIDS} centroids; a centroid "
+            "set that scales with the corpus defeats SemDeDup's O(n·k) "
+            "design — train a fixed k with operators/kmeans.kmeans_fit."
+        )
     cent_ids = np.array([r[cent_id_col] for r in cent_rows])
     cm = np.array([r[cent_vec_col] for r in cent_rows], dtype=np.float64)
     cn = np.linalg.norm(cm, axis=1)
@@ -48,7 +63,18 @@ def assign_nearest_centroid(
         for pdf in batches:
             vm = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             vn = np.linalg.norm(vm, axis=1, keepdims=True)
-            sims = np.round((vm @ cm.T) / (vn * cn[None, :]), 6)
+            raw = (vm @ cm.T) / (vn * cn[None, :])
+            sims = np.round(raw, 6)
+            # np.round is half-even on the binary value; the oracle's window
+            # (and cluster_pair_scan below) use HALF_UP on the decimal repr.
+            # Re-round only near-tie candidates (within two rounding ulps of
+            # the row max — anything further can't win under either rule) so
+            # the argmax rule matches the SQL one while the kernel stays
+            # vectorized: the fix-up set is O(rows), not O(rows·k).
+            near = np.nonzero(raw >= raw.max(axis=1, keepdims=True) - 2e-6)
+            sims[near] = np.array(
+                [_round6_like_spark(x) for x in raw[near]]
+            )
             order = np.lexsort(
                 (cent_ids[None, :].repeat(len(vm), 0), -sims), axis=1
             )

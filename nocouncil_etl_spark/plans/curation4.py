@@ -35,7 +35,8 @@ from nocouncil_etl_spark.registry import query
 
 SPAN_N = 8          # words per span — long enough that sharing implies copying
 COPY_WORDS = 30     # synthesized partial copies share their first 30 words
-CENT_MOD = 50       # every 50th vec_id is a centroid (deterministic "sample")
+SEM_K = 16          # trained centroid count — FIXED, independent of corpus size
+SEM_ITERS = 4       # Lloyd's iterations (fixed-point, oracle-replayable)
 SEM_THRESHOLD = 0.99
 
 
@@ -182,62 +183,59 @@ _COS_AB = (
     "round(list_dot_product(a.v, b.v) / "
     "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
 )
-_COS_EC = (
-    "round(list_dot_product(e.v, c.cv) / "
-    "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6)"
-)
 
 
-@query(
-    "dedup_semantic_centroid",
-    oracle=f"""
+def _sem_oracle() -> str:
+    from nocouncil_etl_spark.plans.clustering import kmeans_cte, quantize_sql
+
+    return f"""
 WITH base AS ({_E}),
 aug AS (
   SELECT vec_id, v FROM base
   UNION ALL
   SELECT vec_id + 100000, v[1:63] || [v[64] + 0.05] FROM base WHERE vec_id % 5 = 0
 ),
-cent AS (SELECT vec_id AS cent_id, v AS cv FROM base WHERE vec_id % {CENT_MOD} = 0),
-scored AS (
-  SELECT e.vec_id, c.cent_id, {_COS_EC} AS cs
-  FROM aug e CROSS JOIN cent c
-),
-best AS (
-  SELECT vec_id, cent_id FROM (
-    SELECT vec_id, cent_id,
-           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
-    FROM scored
-  ) WHERE rn = 1
-),
+augq AS (SELECT vec_id, {quantize_sql("v")} AS xq FROM aug),
+{kmeans_cte("augq", SEM_K, SEM_ITERS)},
 clustered AS (
-  SELECT b.cent_id, a.vec_id, a.v FROM aug a JOIN best b ON a.vec_id = b.vec_id
+  SELECT f.cid AS cent_id, a.vec_id, a.v
+  FROM aug a JOIN asg_final f ON a.vec_id = f.vid
 )
 SELECT a.cent_id AS cluster_id, a.vec_id AS id_keep, b.vec_id AS id_dup,
        {_COS_AB} AS sim
 FROM clustered a JOIN clustered b
   ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
 WHERE {_COS_AB} >= {SEM_THRESHOLD}
-""",
-)
+"""
+
+
+@query("dedup_semantic_centroid", oracle=_sem_oracle())
 def dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup: nearest-centroid assignment (centroids =
-    a deterministic 1/{CENT_MOD} sample of the corpus), then near-duplicate
-    pairs (cosine ≥ 0.99) only WITHIN a cluster. Near-dups are synthesized
-    (+0.05 on the last dim of every 5th vector) so the detector provably fires.
+    """SemDeDup semantic dedup with TRAINED centroids: a fixed-k (16),
+    fixed-iteration (4) integer Lloyd's k-means (operators/kmeans.py) learns
+    the cluster structure from the corpus, then near-duplicate pairs
+    (cosine ≥ 0.99) are mined only WITHIN a cluster. Near-dups are
+    synthesized (+0.05 on the last dim of every 5th vector) so the detector
+    provably fires. k is a CONSTANT independent of corpus size — the
+    round-4 design (centroids = a 1/50 corpus sample) made k ∝ n, so
+    assignment cost was O(n²/50) and the driver-held matrix grew with data;
+    trained fixed-k makes assignment O(n·k) with a constant-size closure.
 
     Scale shape — both hot stages are Arrow/numpy, nothing quadratic leaves
-    a kernel: (1) assignment ships the (k × dim) centroid matrix in the task
-    closure and scores each Arrow batch against ALL centroids with one
-    matmul (O(n·k) MACs, no per-pair interpreted expressions — the HOF form
-    measured 42× at 10× data); (2) the pair scan is applyInPandas per
-    cluster, a (|cluster| × dim) self-matmul, so the quadratic stays inside
-    a bounded group. Ties in the argmax are broken on rounded-6dp similarity
-    then centroid id — the same rule the oracle's window applies; emitted
-    sims use Spark's HALF_UP decimal rounding (similarity._round6_like_spark),
-    the parity rule the blocked-kNN kernel already ships. Kernels live in
-    operators/semantic.py (the reusable SemDeDup operator; also exposed as
-    the Engine.semantic_dedup facade verb)."""
-    from nocouncil_etl_spark.operators.semantic import semantic_near_duplicates
+    a kernel: (1) training + assignment ship the (k × dim) centroid matrix
+    in the task closure (MAX_CENTROIDS-guarded) and score each Arrow batch
+    with one integer matmul — no float rounding in the argmin at all;
+    (2) the pair scan is applyInPandas per cluster, a (|cluster| × dim)
+    self-matmul, so the quadratic stays inside a bounded group; emitted
+    sims use Spark's HALF_UP decimal rounding (similarity._round6_like_spark).
+    The oracle replays the full k-means recurrence as unrolled CTEs
+    (plans/clustering.kmeans_cte) and then the same in-cluster pair join."""
+    from nocouncil_etl_spark.operators.kmeans import (
+        assign_l2,
+        kmeans_fit,
+        quantize_vectors,
+    )
+    from nocouncil_etl_spark.operators.semantic import cluster_pair_scan
 
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
@@ -247,8 +245,14 @@ def dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.slice("v", 1, 63), F.array(F.element_at("v", 64) + F.lit(0.05))).alias("v"),
     )
     aug = e.unionByName(perturbed)
-    centroids = e.filter(F.col("vec_id") % CENT_MOD == 0)
-    return semantic_near_duplicates(aug, centroids, threshold=SEM_THRESHOLD)
+    augq = quantize_vectors(aug, "v", "xq").select("vec_id", "xq").persist()
+    try:
+        cent_ids, cm = kmeans_fit(augq, SEM_K, SEM_ITERS)
+        best = assign_l2(augq, cent_ids, cm).withColumnRenamed("cid", "cent_id")
+        clustered = aug.join(best, "vec_id").select("cent_id", "vec_id", "v")
+        return cluster_pair_scan(clustered, SEM_THRESHOLD)
+    finally:
+        augq.unpersist()
 
 
 # --------------------------------------------------------------------------

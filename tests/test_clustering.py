@@ -1,0 +1,112 @@
+"""Fixed-k integer k-means (operators/kmeans.py, plans/clustering.py).
+
+Oracle parity for cluster_kmeans_fixed / dedup_semantic_centroid runs in the
+driver gate; these are the structural/property guarantees around it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.kmeans import (
+    MAX_CENTROIDS,
+    assign_l2,
+    kmeans_fit,
+    quantize_vectors,
+    seed_centroids,
+    update_centroids,
+)
+
+
+def _points(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    return quantize_vectors(e, "v", "xq").select("vec_id", "xq")
+
+
+def test_kmeans_shuffle_invariance(spark, sf_dir):
+    """The fit is deterministic under arbitrary input partitioning — the
+    property that makes the unrolled-CTE oracle possible at all."""
+    pts = _points(spark, sf_dir)
+    ids_a, cm_a = kmeans_fit(pts.repartition(7).persist(), k=8, iters=2)
+    ids_b, cm_b = kmeans_fit(pts.repartition(3, "vec_id").persist(), k=8, iters=2)
+    assert np.array_equal(ids_a, ids_b)
+    assert np.array_equal(cm_a, cm_b)
+
+
+def test_kmeans_training_reduces_inertia(spark, sf_dir):
+    """Lloyd's iterations should (materially) improve on raw seeds — the
+    point of TRAINING centroids instead of sampling them."""
+    pts = _points(spark, sf_dir).persist()
+    ids, seeds = seed_centroids(pts, k=8)
+    inert_seed = (
+        assign_l2(pts, ids, seeds, with_dist=True).agg(F.sum("dist")).collect()[0][0]
+    )
+    ids, cm = kmeans_fit(pts, k=8, iters=4)
+    inert_fit = (
+        assign_l2(pts, ids, cm, with_dist=True).agg(F.sum("dist")).collect()[0][0]
+    )
+    pts.unpersist()
+    assert inert_fit < inert_seed
+
+
+def test_kmeans_k_guard():
+    with pytest.raises(ValueError, match="MAX_CENTROIDS"):
+        seed_centroids(None, k=MAX_CENTROIDS + 1)
+
+
+def test_assign_nearest_centroid_guard(spark, sf_dir):
+    """The cosine assignment kernel fails fast on a corpus-sized centroid
+    set instead of collecting it to the driver."""
+    from nocouncil_etl_spark.operators.semantic import assign_nearest_centroid
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    n = e.count()
+    blown = e
+    while n <= MAX_CENTROIDS:  # self-union until the set exceeds the cap
+        blown = blown.unionByName(
+            blown.select((F.col("vec_id") + F.lit(10**7)).alias("vec_id"), "v")
+        )
+        n *= 2
+    cent = blown.select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+    with pytest.raises(ValueError, match="MAX_CENTROIDS|fixed k"):
+        assign_nearest_centroid(e, cent)
+
+
+def test_update_centroids_empty_cluster_carryover(spark):
+    """A cluster that lost every point keeps its previous centroid —
+    the same rule the oracle's UNION ALL carryover branch encodes."""
+    pts = spark.createDataFrame(
+        [(1, [10, 10]), (2, [12, 10]), (3, [11, 13])],
+        "vec_id long, xq array<long>",
+    )
+    cent_ids = np.array([1, 2], dtype=np.int64)
+    cm = np.array([[11, 11], [500, 500]], dtype=np.int64)  # 2 attracts nothing
+    assigned = assign_l2(pts, cent_ids, cm, passthrough_vec=True)
+    new_cm = update_centroids(assigned, cent_ids, cm)
+    assert new_cm[0].tolist() == [11, 11]  # (10+12+11)//3, (10+10+13)//3
+    assert new_cm[1].tolist() == [500, 500]  # carried forward
+
+
+def test_engine_semantic_dedup_trained(spark, sf_dir):
+    """Facade trained mode: exact copies pair up under k-means clustering."""
+    from nocouncil_etl_spark.api import Engine
+
+    eng = Engine(spark)
+    emb = eng.table(sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    doubled = emb.unionByName(
+        emb.select((F.col("vec_id") + 10_000_000).alias("vec_id"), "v")
+    )
+    pairs = eng.semantic_dedup(doubled, "vec_id", "v", threshold=0.999, k=8, iters=2)
+    found = pairs.filter(F.col("id_dup") == F.col("id_keep") + 10_000_000).count()
+    n = emb.count()
+    # identical vectors always share a nearest centroid → full recall
+    assert found == n
