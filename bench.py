@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -70,14 +71,19 @@ def main() -> None:
     names = [n for n in HEADLINE if n in registry]
     timings: dict[str, float] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(2):  # best-of-2: first run absorbs codegen/compile
+        # warm-up + median-of-3: a single contended sample on a busy driver
+        # machine produced 2x phantom "regressions" (r4: pricing_summary
+        # 1.83s driver vs 1.08s quiet re-run, code untouched). The warm-up
+        # absorbs codegen/compile; the median is robust to one noisy run.
+        samples: list[float] = []
+        for i in range(4):
             t0 = time.perf_counter()
             df = registry[name].fn(spark, sf_dir)
             n = len(df.collect())
-            best = min(best, time.perf_counter() - t0)
             assert n >= 0
-        timings[name] = round(best, 3)
+            if i > 0:
+                samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
         # isolate queries from each other: drop any leftover cache and let
         # the JVM reclaim shuffle/broadcast heap, so a query's number
         # reflects its own plan, not its predecessor's garbage (measured:
