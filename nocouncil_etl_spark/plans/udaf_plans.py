@@ -48,16 +48,54 @@ def udaf_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_sketches")
+APPROX_EPS = 0.05  # HLL++ default rsd is 5%; percentile_approx is far tighter
+
+
+@query(
+    "agg_approx_sketches",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS hll_ok, TRUE AS median_ok, TRUE AS p99_ok
+FROM lineitem GROUP BY l_returnflag
+""",
+)
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-aggregate surface (SURVEY §2.7 note): HLL++ distinct and
-    approximate quantiles. Sketch values are engine-specific, so this is a
-    rows-only check; the exact twins live in global_stats/agg_numeric_stats."""
+    approximate quantiles. Sketch values are engine-specific so they can't
+    hash-match — instead the query emits the EXACT values plus booleans
+    asserting each estimate sits within its error bound (|est − exact| /
+    exact ≤ 5%), and the oracle pins the exact values and literal TRUEs.
+    An out-of-bound sketch flips a boolean and fails the value hash — a
+    real bounded-relative-error oracle, same pattern as the KMV sketch
+    (plans/analytics4.py).
+
+    Scale shape: one hash agg; sketches and exact accumulators combine
+    map-side (countDistinct adds a distinct shuffle — that term is why the
+    sketch exists; both are computed here only to prove the bound)."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        F.percentile_approx("l_extendedprice", 0.99).alias("approx_p99_price"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        # rsd=1% => the 5% bound is ~5 sigma: deterministic headroom (the
+        # default 5% rsd measured an 8.6% miss on one group at sf0.01)
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("est_orders"),
+        F.percentile(F.col("l_extendedprice"), F.lit(0.5)).alias("exact_med"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("est_med"),
+        F.percentile(F.col("l_extendedprice"), F.lit(0.99)).alias("exact_p99"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("est_p99"),
+    )
+
+    def ok(est: str, exact: str):
+        return (
+            F.abs(F.col(est) - F.col(exact)) / F.col(exact) <= APPROX_EPS
+        )
+
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        ok("est_orders", "exact_orders").alias("hll_ok"),
+        ok("est_med", "exact_med").alias("median_ok"),
+        ok("est_p99", "exact_p99").alias("p99_ok"),
     )
 
 
