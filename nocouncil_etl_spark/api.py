@@ -42,6 +42,35 @@ class Engine:
     def run(self, name: str, sf_dir: str) -> DataFrame:
         return load_all()[name].fn(self.spark, sf_dir)
 
+    def publish_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        path: str,
+        bucket_col: str,
+        buckets: int = 32,
+        partition_by: str | None = None,
+    ) -> DataFrame:
+        """Publish a curated table in a bucketed (+ optionally partitioned)
+        layout and return the re-read handle. Bucketing by the primary key
+        means every downstream join-heavy consumer — contamination check,
+        train/val split, CDC merge, sequence packing — re-reads the corpus
+        already hash-partitioned on the key: the join/groupBy shuffle
+        disappears from their plans entirely (zero Exchange, asserted in
+        tests/test_bucketing.py). ``partition_by`` (e.g. source) adds
+        directory-level pruning for per-source consumers on top.
+
+        At 100 TB this is the difference between every consumer paying a
+        full-corpus shuffle and none of them paying it: the one sorted
+        bucketed write amortizes across every downstream read."""
+        w = df.write.mode("overwrite").bucketBy(buckets, bucket_col).sortBy(
+            bucket_col
+        )
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.option("path", path).saveAsTable(name)
+        return self.spark.table(name)
+
     # --- dedup --------------------------------------------------------------
 
     def dedup_exact(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:

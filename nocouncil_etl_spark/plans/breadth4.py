@@ -74,7 +74,23 @@ UNION ALL
 SELECT doc_id + 300000, lang, n_chars,
        substr(text, 1, 5) || 'X' || substr(text, 7) AS text
 FROM documents WHERE doc_id % 10 = 0
+UNION ALL
+SELECT doc_id + 600000, lang, n_chars,
+       'X' || substr(text, 2) AS text
+FROM documents WHERE doc_id % 10 = 5
 """
+
+_FUZZY_LEV = f"levenshtein(substr(a.text, 1, {PREFIX}), substr(b.text, 1, {PREFIX}))"
+
+
+def _fuzzy_pass_sql(key: str) -> str:
+    return f"""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_FUZZY_LEV} AS lev
+FROM keyed a
+JOIN keyed b
+  ON a.lang = b.lang AND a.{key} = b.{key} AND a.lb = b.lb
+     AND a.doc_id < b.doc_id
+WHERE {_FUZZY_LEV} <= {LEV_MAX}"""
 
 
 @query(
@@ -83,29 +99,34 @@ FROM documents WHERE doc_id % 10 = 0
 WITH aug AS ({_FUZZY_AUG}),
 keyed AS (
   SELECT doc_id, lang, text,
-         substr(text, 1, 4) AS pfx, n_chars // 8 AS lb
+         substr(text, 1, 4) AS pfx, substr(text, 5, 4) AS pfx2,
+         n_chars // 8 AS lb
   FROM aug
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       levenshtein(substr(a.text, 1, {PREFIX}), substr(b.text, 1, {PREFIX})) AS lev
-FROM keyed a
-JOIN keyed b
-  ON a.lang = b.lang AND a.pfx = b.pfx AND a.lb = b.lb AND a.doc_id < b.doc_id
-WHERE levenshtein(substr(a.text, 1, {PREFIX}), substr(b.text, 1, {PREFIX})) <= {LEV_MAX}
+{_fuzzy_pass_sql("pfx")}
+UNION
+{_fuzzy_pass_sql("pfx2")}
 """,
 )
 def join_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked fuzzy near-duplicate pairing: candidates share language,
-    4-char prefix and an 8-char length bucket (a one-character overwrite at
-    position 6 preserves all three, so the planted typo copies are provably
-    reachable), then a 40-char-prefix Levenshtein ≤ {LEV_MAX} confirms.
+    """Blocked fuzzy near-duplicate pairing with TWO blocking passes:
+    candidates share language and an 8-char length bucket plus either the
+    first 4-gram (chars 1-4) or the second 4-gram (chars 5-8); pairs from
+    both passes union (dedup'd) before a 40-char-prefix Levenshtein ≤
+    {LEV_MAX} confirms. A single-character substitution damages at most one
+    of the two 4-grams, so EVERY one-char-substitution copy is reachable —
+    the single-prefix round-4 version missed edits in the first 4 chars
+    (the standard multi-pass blocking discipline fixes exactly this).
+    Planted copies prove both passes: a position-6 overwrite (caught by
+    pass 1) and a position-1 overwrite (caught only by pass 2).
 
-    Scale shape: the blocking key turns the all-pairs comparison into an
-    equi-join; Levenshtein (quadratic per pair) runs only inside blocks —
-    the standard entity-resolution discipline. Both engines' levenshtein is
-    plain edit distance, so the kernel is integer-portable."""
+    Scale shape: each blocking key turns the all-pairs comparison into an
+    equi-join; Levenshtein (quadratic per pair) runs only inside blocks;
+    the union dedups on (id_a, id_b, lev) — two shuffles of candidate
+    pairs, never doc×doc. Both engines' levenshtein is plain edit distance,
+    so the kernel is integer-portable."""
     docs = load(spark, sf_dir, "documents")
-    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+    copies_mid = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 300000).alias("doc_id"),
         "lang",
         "n_chars",
@@ -113,36 +134,50 @@ def join_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("text", 1, 5), F.lit("X"), F.expr("substr(text, 7)")
         ).alias("text"),
     )
-    aug = docs.select("doc_id", "lang", "n_chars", "text").unionByName(copies)
+    copies_head = docs.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 600000).alias("doc_id"),
+        "lang",
+        "n_chars",
+        F.concat(F.lit("X"), F.expr("substr(text, 2)")).alias("text"),
+    )
+    aug = (
+        docs.select("doc_id", "lang", "n_chars", "text")
+        .unionByName(copies_mid)
+        .unionByName(copies_head)
+    )
     keyed = aug.select(
         "doc_id",
         "lang",
         "text",
         F.substring("text", 1, 4).alias("pfx"),
+        F.substring("text", 5, 4).alias("pfx2"),
         F.expr("n_chars div 8").alias("lb"),
     )
-    a = keyed.select(
-        F.col("doc_id").alias("id_a"), "lang", "pfx", "lb", F.col("text").alias("ta")
-    )
-    b = keyed.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("pfx").alias("pfx_b"),
-        F.col("lb").alias("lb_b"),
-        F.col("text").alias("tb"),
-    )
     lev = F.levenshtein(F.substring("ta", 1, PREFIX), F.substring("tb", 1, PREFIX))
-    return (
-        a.join(
-            b,
-            (F.col("lang") == F.col("lang_b"))
-            & (F.col("pfx") == F.col("pfx_b"))
-            & (F.col("lb") == F.col("lb_b"))
-            & (F.col("id_a") < F.col("id_b")),
+
+    def block_pass(key: str) -> DataFrame:
+        a = keyed.select(
+            F.col("doc_id").alias("id_a"), "lang", F.col(key).alias("k"),
+            "lb", F.col("text").alias("ta"),
         )
-        .select("id_a", "id_b", lev.alias("lev"))
-        .filter(F.col("lev") <= LEV_MAX)
-    )
+        b = keyed.select(
+            F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"),
+            F.col(key).alias("k_b"), F.col("lb").alias("lb_b"),
+            F.col("text").alias("tb"),
+        )
+        return (
+            a.join(
+                b,
+                (F.col("lang") == F.col("lang_b"))
+                & (F.col("k") == F.col("k_b"))
+                & (F.col("lb") == F.col("lb_b"))
+                & (F.col("id_a") < F.col("id_b")),
+            )
+            .select("id_a", "id_b", lev.alias("lev"))
+            .filter(F.col("lev") <= LEV_MAX)
+        )
+
+    return block_pass("pfx").unionByName(block_pass("pfx2")).distinct()
 
 @query(
     "agg_correlation",
@@ -308,7 +343,7 @@ SELECT 'documents_nchars_consistent',
        (SELECT count(*) FROM documents)
 UNION ALL
 SELECT 'events_id_unique',
-       (SELECT CAST(sum(n - 1) AS BIGINT) FROM
+       (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM
          (SELECT count(*) AS n FROM events GROUP BY event_id) WHERE n > 1),
        (SELECT count(*) FROM events)
 """,
@@ -370,7 +405,9 @@ def dq_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy("event_id")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") > 1)
-        .agg(F.sum(F.col("n") - 1).alias("n_violations")),
+        # coalesce: an empty violation set (the healthy case) must report 0,
+        # not NULL — a promotion gate checks n_violations = 0
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("n_violations")),
         events.agg(F.count("*").alias("n_rows")),
     )
     return fk.unionByName(rng).unionByName(dom).unionByName(cons).unionByName(uniq)

@@ -1,0 +1,141 @@
+"""Round-5 curation: incremental (CDC-driven) curation of a persisted
+curated corpus.
+
+The reference's operating mode is a daily cron that re-processes only what
+is new (sample_cron_job.sh:3-8; skip-if-done gates at
+transcribe_council.py:119,127 and the seen-set in newscrawler.py:349-351).
+At corpus scale that becomes: keep the curated state as a parquet table,
+apply each micro-batch's change feed with MERGE semantics, and recompute
+derived metrics ONLY for the changed documents — never a full-corpus
+rescan. ``curation_incremental_e2e`` proves the contract that makes that
+safe: the incrementally-maintained state is ROW-IDENTICAL to a full batch
+rerun over the merged corpus (the oracle IS the full rerun).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nocouncil_etl_spark.functions.numeric import DEC
+from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.plans.curation4 import _changes
+from nocouncil_etl_spark.registry import query
+
+MIN_WORDS = 3  # curation gate: droplets below this never enter the corpus
+
+
+def _curate(df: DataFrame, text_col: str, version) -> DataFrame:
+    """Per-doc curation metrics — the (cheap, deterministic) stand-in for
+    the full quality stage; what matters here is WHERE it runs: over the
+    whole corpus in batch 1, over only the changed rows afterward."""
+    return (
+        df.select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.col(text_col), " ")).alias("n_words"),
+            F.lit(version).alias("version"),
+        )
+        .filter(F.col("n_words") >= MIN_WORDS)
+    )
+
+
+@query(
+    "curation_incremental_e2e",
+    oracle=f"""
+WITH chg AS (
+  SELECT doc_id, 'U' AS op, 'rev2: ' || substr(text, 1, 40) AS new_text
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, 'D', NULL FROM documents WHERE doc_id % 7 = 3 AND doc_id % 5 <> 0
+  UNION ALL
+  SELECT doc_id + 200000, 'I', 'new: ' || substr(text, 1, 40)
+  FROM documents WHERE doc_id % 9 = 1
+),
+merged AS (
+  SELECT b.doc_id, b.source, coalesce(c.new_text, b.text) AS text,
+         CASE WHEN c.op = 'U' THEN 2 ELSE 1 END AS version
+  FROM documents b
+  LEFT JOIN (SELECT * FROM chg WHERE op <> 'I') c ON b.doc_id = c.doc_id
+  WHERE c.op IS NULL OR c.op = 'U'
+  UNION ALL
+  SELECT doc_id, 'cdc' AS source, new_text AS text, 2 AS version
+  FROM chg WHERE op = 'I'
+),
+m AS (
+  SELECT doc_id, source, version, len(string_split(text, ' ')) AS n_words
+  FROM merged
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       round(CAST(sum(CAST(n_words AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+         AS avg_words,
+       count(*) FILTER (WHERE version = 2) AS n_changed
+FROM m WHERE n_words >= {MIN_WORDS}
+GROUP BY source
+""",
+)
+def curation_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental curation e2e: (micro-batch 1) curate the base corpus and
+    PUBLISH the curated state as parquet; (micro-batch 2) apply the CDC
+    feed by recomputing metrics ONLY for the changed/new documents and
+    MERGE-ing them into the state read back from the artifact — updates
+    replace, deletes drop, inserts append (merge_upsert_cdc's key-join
+    semantics, plans/curation4.py). The final per-source accounting is
+    hash-compared against a FULL batch rerun over the CDC-merged corpus:
+    incremental maintenance ≡ recompute-from-scratch, the invariant that
+    lets a daily pipeline touch only the day's delta at 100 TB.
+
+    Scale shape: batch 2 never rescans the corpus text — its inputs are the
+    (small) change feed and the published state table; the merge is one
+    left-anti join on the primary key + a union of the recurated slice.
+    The accounting sums are decimal-exact so incremental and full-batch
+    paths fold identically."""
+    state_dir = os.path.join(
+        tempfile.gettempdir(),
+        "nocouncil_etl_spark_scratch",
+        f"curated_state_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    base = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+
+    # ---- micro-batch 1: full curation pass, published once -----------------
+    _curate(base, "text", 1).write.mode("overwrite").parquet(state_dir)
+
+    # ---- micro-batch 2: CDC delta only -------------------------------------
+    state0 = spark.read.schema(
+        "doc_id long, source string, n_words int, version int"
+    ).parquet(state_dir)
+    chg = _changes(base)
+    upd = _curate(
+        chg.filter(F.col("op") == "U")
+        .join(base.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", F.col("new_text").alias("text")),
+        "text",
+        2,
+    )
+    ins = _curate(
+        chg.filter(F.col("op") == "I").select(
+            "doc_id", F.lit("cdc").alias("source"),
+            F.col("new_text").alias("text"),
+        ),
+        "text",
+        2,
+    )
+    touched = chg.filter(F.col("op") != "I").select("doc_id")
+    state1 = (
+        state0.join(touched, "doc_id", "left_anti")
+        .unionByName(upd)
+        .unionByName(ins)
+    )
+    return state1.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.round(
+            F.sum(F.col("n_words").cast(DEC)).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_words"),
+        F.count(F.when(F.col("version") == 2, 1)).alias("n_changed"),
+    )

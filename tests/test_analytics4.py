@@ -110,24 +110,37 @@ def test_span_dedup_flags_planted_copies(spark, sf_dir):
     out = _run("dedup_span_ngrams", spark, sf_dir)
     # synthesized excerpts (doc_id >= 100000) are verbatim copies: every one
     # of their spans also lives in the source doc → dup_frac == 1.0
+    # (guard: real ids must stay below the planted offset at this sf)
+    assert load(spark, sf_dir, "documents").agg(
+        F.max("doc_id")
+    ).collect()[0][0] < 100000
     copies = out.filter(F.col("doc_id") >= 100000)
     assert copies.count() > 0
     assert copies.filter(F.col("dup_frac") < 1.0).count() == 0
 
 
 def test_fuzzy_dedup_finds_planted_typos(spark, sf_dir):
-    """Every planted one-character typo copy (doc_id+300000) shares its
-    source's blocking key by construction and sits at edit distance 1, so
-    the blocked matcher must recover all of them."""
+    """Every planted one-character typo copy must be recovered: position-6
+    overwrites (+300000) survive blocking pass 1 (first 4-gram), and
+    position-1 overwrites (+600000) are reachable ONLY through pass 2
+    (second 4-gram) — the round-4 single-prefix version provably missed
+    them. Both sit at edit distance 1."""
+    docs = load(spark, sf_dir, "documents")
+    # planted-id offsets must stay clear of real ids at this sf, or the
+    # planted-copy semantics silently break (ADVICE r4)
+    assert docs.agg(F.max("doc_id")).collect()[0][0] < 300000
     out = _run("join_fuzzy_dedup", spark, sf_dir).cache()
     try:
-        planted = load(spark, sf_dir, "documents").filter(
-            F.col("doc_id") % 10 == 0
-        ).count()
-        hits = out.filter(
+        planted_mid = docs.filter(F.col("doc_id") % 10 == 0).count()
+        hits_mid = out.filter(
             (F.col("id_b") == F.col("id_a") + 300000) & (F.col("lev") == 1)
         ).count()
-        assert hits == planted
+        assert hits_mid == planted_mid
+        planted_head = docs.filter(F.col("doc_id") % 10 == 5).count()
+        hits_head = out.filter(
+            (F.col("id_b") == F.col("id_a") + 600000) & (F.col("lev") == 1)
+        ).count()
+        assert hits_head == planted_head
     finally:
         out.unpersist()
 

@@ -207,3 +207,15 @@ def test_semantic_dedup_is_arrow_not_crossjoin(spark, sf_dir):
 def test_gapfill_grid_join_is_equi(spark, sf_dir):
     p = plan_of(REGISTRY["ts_gapfill_interpolate"].fn(spark, sf_dir))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_incremental_curation_reads_published_state(spark, sf_dir):
+    """Batch 2 of curation_incremental_e2e must source untouched docs from
+    the PUBLISHED curated-state parquet (and recurate only the CDC slice) —
+    if the state scan disappears from the plan, the query silently became a
+    full recompute and the incremental contract is dead."""
+    df = REGISTRY["curation_incremental_e2e"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "curated_state" in p
+    # the merge is keyed, never quadratic
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
