@@ -405,7 +405,12 @@ class Engine:
     ) -> DataFrame:
         """Fixed-point PageRank over an edge list (operators/graph.py):
         ranks in 1e-9 integer units, deterministic across engines and runs.
-        Node set = every id appearing as src or dst."""
+        Node set = every id appearing as src or dst.
+
+        The returned frame is PERSISTED (the iteration checkpoints it to
+        bound lineage); the caller owns the cache — call ``.unpersist()``
+        when done with the ranks, or one node-set-sized cache entry stays
+        pinned for the session."""
         from pyspark.sql import functions as F
 
         from nocouncil_etl_spark.operators.graph import pagerank_fixed_point
@@ -474,63 +479,20 @@ class Engine:
     ) -> DataFrame:
         """Dense per-key calendar at ``bucket`` granularity over each key's
         own observation span, with fixed-point linear interpolation for
-        missing buckets (the ts_gapfill_interpolate kernel, generalized).
-        Returns (key, bucket_start, filled_v, is_gap)."""
-        from pyspark.sql import Window
+        missing buckets. Returns (key, bucket_start, filled_v, is_gap).
+        Same kernel as the oracle-checked ts_gapfill_interpolate plan
+        (operators/timeseries.gapfill_interpolate) — one implementation, so
+        the parity-critical integer blend cannot drift."""
         from pyspark.sql import functions as F
 
-        step = {"hour": 3600, "day": 86400, "minute": 60}[bucket]
-        hourly = df.groupBy(
-            F.col(key_col).alias("_k"), F.date_trunc(bucket, ts_col).alias("_b")
-        ).agg(
-            (F.sum(F.col(value_col).cast("decimal(18,6)")) * 1000000)
-            .cast("long")
-            .alias("_s6"),
-            F.count("*").alias("_c"),
-        )
-        hv = hourly.select(
-            "_k", "_b", F.expr("(2 * _s6 + 100 * _c) div (200 * _c)").alias("_v4")
-        )
-        span = hv.groupBy("_k").agg(
-            F.sequence(
-                F.min("_b"), F.max("_b"), F.expr(f"INTERVAL {step} SECONDS")
-            ).alias("_bs")
-        )
-        grid = (
-            span.select("_k", F.explode("_bs").alias("_b"))
-            .join(hv, ["_k", "_b"], "left")
-            .withColumn("_i", F.expr(f"unix_seconds(_b) div {step}"))
-        )
-        w_prev = (
-            Window.partitionBy("_k").orderBy("_i")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        w_next = (
-            Window.partitionBy("_k").orderBy("_i")
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        )
-        i_if_v = F.when(F.col("_v4").isNotNull(), F.col("_i"))
-        ctx = grid.select(
-            "_k",
-            "_b",
-            "_i",
-            "_v4",
-            F.last("_v4", ignorenulls=True).over(w_prev).alias("_pv"),
-            F.last(i_if_v, ignorenulls=True).over(w_prev).alias("_pi"),
-            F.first("_v4", ignorenulls=True).over(w_next).alias("_nv"),
-            F.first(i_if_v, ignorenulls=True).over(w_next).alias("_ni"),
-        )
-        interp4 = F.expr(
-            "(2 * (_pv * (_ni - _i) + _nv * (_i - _pi)) + (_ni - _pi))"
-            " div (2 * (_ni - _pi))"
-        )
-        return ctx.select(
-            F.col("_k").alias(key_col),
+        from nocouncil_etl_spark.operators.timeseries import gapfill_interpolate
+
+        filled = gapfill_interpolate(df, key_col, ts_col, value_col, bucket)
+        return filled.select(
+            key_col,
             F.col("_b").alias("bucket_start"),
-            (F.coalesce(F.col("_v4"), interp4).cast("double") / 10000.0).alias(
-                "filled_v"
-            ),
-            F.col("_v4").isNull().alias("is_gap"),
+            "filled_v",
+            "is_gap",
         )
 
     # --- pipelines ----------------------------------------------------------

@@ -45,7 +45,11 @@ def pagerank_fixed_point(
     depth (optimizer re-analysis cost grows with plan depth) and the work a
     task retry replays, without paying a full materialization job per
     iteration (measured: per-iteration count() tripled wall time on small
-    graphs, where fixed job overhead dominates)."""
+    graphs, where fixed job overhead dominates).
+
+    Contract: the RETURNED frame is persisted (it is the last checkpoint);
+    the caller owns that cache entry and should ``.unpersist()`` it once the
+    ranks have been consumed."""
     base = (15 * SCALE) // (100 * n_nodes)
     ranks = nodes.withColumn("r", F.lit(SCALE // n_nodes))
     prev = None

@@ -90,50 +90,19 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the dense grid is one row per series-hour — O(series ×
     span), independent of event count; both window scans run inside the
-    same user_id partition the hourly agg already shuffled on."""
+    same user_id partition the hourly agg already shuffled on.
+
+    Kernel shared with Engine.gapfill (operators/timeseries.py) so the
+    parity-critical integer blend cannot drift between plan and facade."""
+    from nocouncil_etl_spark.operators.timeseries import gapfill_interpolate
+
     ev = load(spark, sf_dir, "events")
-    hourly = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("b")).agg(
-        (F.sum(F.col("value").cast(DEC)) * 1000000).cast("long").alias("s6"),
-        F.count("*").alias("c"),
-    )
-    hv = hourly.select(
-        "user_id", "b", F.expr("(2 * s6 + 100 * c) div (200 * c)").alias("v4")
-    )
-    span = hv.groupBy("user_id").agg(
-        F.sequence(F.min("b"), F.max("b"), F.expr("INTERVAL 1 HOUR")).alias("bs")
-    )
-    grid = (
-        span.select("user_id", F.explode("bs").alias("b"))
-        .join(hv, ["user_id", "b"], "left")
-        .withColumn("i", F.expr("unix_seconds(b) div 3600"))
-    )
-    w_prev = (
-        Window.partitionBy("user_id")
-        .orderBy("i")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_next = (
-        Window.partitionBy("user_id")
-        .orderBy("i")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    i_if_v = F.when(F.col("v4").isNotNull(), F.col("i"))
-    ctx = grid.select(
+    filled = gapfill_interpolate(ev, "user_id", "ts", "value", bucket="hour")
+    return filled.select(
         "user_id",
-        "b",
-        "i",
-        "v4",
-        F.last("v4", ignorenulls=True).over(w_prev).alias("pv"),
-        F.last(i_if_v, ignorenulls=True).over(w_prev).alias("pi"),
-        F.first("v4", ignorenulls=True).over(w_next).alias("nv"),
-        F.first(i_if_v, ignorenulls=True).over(w_next).alias("ni"),
-    )
-    interp4 = F.expr("(2 * (pv * (ni - i) + nv * (i - pi)) + (ni - pi)) div (2 * (ni - pi))")
-    return ctx.select(
-        "user_id",
-        F.unix_micros("b").alias("bucket_us"),
-        (F.coalesce(F.col("v4"), interp4).cast("double") / 10000.0).alias("filled_v"),
-        F.col("v4").isNull().alias("is_gap"),
+        F.unix_micros("_b").alias("bucket_us"),
+        "filled_v",
+        "is_gap",
     )
 
 
