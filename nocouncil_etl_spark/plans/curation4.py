@@ -75,7 +75,11 @@ def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: Arrow shingle UDF → explode → DISTINCT (hash agg) →
     per-span doc counts (map-side combined) → semi-style left join back.
     One row per (doc, distinct span) crosses the shuffle; no pair explosion —
-    span sharing is resolved through the span-hash bucket, never doc×doc."""
+    span sharing is resolved through the span-hash bucket, never doc×doc.
+    (Round-5 investigation: a window-over-span variant that evaluates the
+    shingle subtree once measured SLOWER here — the span-partition sort
+    costs more than the branch recompute when the query is this shallow;
+    curation4_e2e, whose consumers are deeper, keeps the window form.)"""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     copies = docs.filter(F.col("doc_id") % 6 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
@@ -348,13 +352,10 @@ def curation4_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.withColumn("w", F.split("text", " "))
     sh = base.select("doc_id", make_shingle_udf(SPAN_N)("text").alias("s"))
     ds = sh.select("doc_id", F.explode("s").alias("span")).distinct()
-    dup = ds.groupBy("span").agg(F.count("*").alias("n_docs")).filter(
-        F.col("n_docs") >= 2
-    )
-    frac = (
-        ds.join(dup, "span", "left")
-        .groupBy("doc_id")
-        .agg((F.count("n_docs").cast("double") / F.count("*")).alias("dup_frac"))
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("span"))
+    flagged = ds.select("doc_id", F.when(n_docs >= 2, F.lit(1)).alias("is_dup"))
+    frac = flagged.groupBy("doc_id").agg(
+        (F.count("is_dup").cast("double") / F.count(F.lit(1))).alias("dup_frac")
     )
     kept = (
         base.join(frac, "doc_id")

@@ -48,7 +48,8 @@ def udaf_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-APPROX_EPS = 0.05  # HLL++ default rsd is 5%; percentile_approx is far tighter
+APPROX_EPS = 0.05   # HLL++ bound: rsd=1% sketch checked against a 5% fence
+RANK_EPS = 0.005    # quantile bound: estimate's true rank within p ± 0.5%
 
 
 @query(
@@ -63,39 +64,64 @@ FROM lineitem GROUP BY l_returnflag
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-aggregate surface (SURVEY §2.7 note): HLL++ distinct and
     approximate quantiles. Sketch values are engine-specific so they can't
-    hash-match — instead the query emits the EXACT values plus booleans
-    asserting each estimate sits within its error bound (|est − exact| /
-    exact ≤ 5%), and the oracle pins the exact values and literal TRUEs.
-    An out-of-bound sketch flips a boolean and fails the value hash — a
-    real bounded-relative-error oracle, same pattern as the KMV sketch
-    (plans/analytics4.py).
+    hash-match — instead the query emits the EXACT distinct counts plus
+    booleans asserting each estimate sits within its error bound, and the
+    oracle pins the exact values and literal TRUEs: an out-of-bound sketch
+    flips a boolean and fails the value hash (the KMV-sketch pattern,
+    plans/analytics4.py).
 
-    Scale shape: one hash agg; sketches and exact accumulators combine
-    map-side (countDistinct adds a distinct shuffle — that term is why the
-    sketch exists; both are computed here only to prove the bound)."""
-    li = load(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("exact_orders"),
-        # rsd=1% => the 5% bound is ~5 sigma: deterministic headroom (the
+    The quantile bound is a RANK check, not a value check: re-scan the
+    column counting values ≤ the estimate and assert that fraction lands in
+    p ± {RANK_EPS} — exactly the guarantee percentile_approx makes
+    (Greenwald-Khanna rank error ≤ 1/accuracy). The naive alternative —
+    computing the EXACT percentile to compare against — materializes every
+    group's values in the aggregation buffer and measured 52 s at sf0.1
+    (vs <1 s for this shape); rank-checking is one broadcast join + a
+    linear scan, the only way to verify a quantile sketch at 100 TB.
+
+    Scale shape: one hash agg for the sketches (+ the distinct shuffle for
+    the exact HLL twin — the term the sketch exists to avoid), then one
+    broadcast of the 3-row estimate table back over the scan. The sketch
+    agg and the countDistinct agg are SEPARATE aggregations joined on the
+    3-row key on purpose: fusing them puts the HLL register merge and both
+    GK percentile buffers inside countDistinct's Expand rewrite and the
+    generated code blows up janino compile to ~49 s (measured at sf0.1);
+    split, the whole query is ~4 s cold and 0.1 s warm."""
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey",
+                                                "l_extendedprice")
+    sketches = li.groupBy("l_returnflag").agg(
+        # rsd=1% => the 5% fence is ~5 sigma: deterministic headroom (the
         # default 5% rsd measured an 8.6% miss on one group at sf0.01)
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("est_orders"),
-        F.percentile(F.col("l_extendedprice"), F.lit(0.5)).alias("exact_med"),
         F.percentile_approx("l_extendedprice", 0.5).alias("est_med"),
-        F.percentile(F.col("l_extendedprice"), F.lit(0.99)).alias("exact_p99"),
         F.percentile_approx("l_extendedprice", 0.99).alias("est_p99"),
     )
-
-    def ok(est: str, exact: str):
-        return (
-            F.abs(F.col(est) - F.col(exact)) / F.col(exact) <= APPROX_EPS
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    est = sketches.join(exact, "l_returnflag")
+    ranked = (
+        li.join(F.broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("exact_orders").alias("exact_orders"),
+            F.first("est_orders").alias("est_orders"),
+            F.avg((F.col("l_extendedprice") <= F.col("est_med")).cast("double"))
+            .alias("frac_med"),
+            F.avg((F.col("l_extendedprice") <= F.col("est_p99")).cast("double"))
+            .alias("frac_p99"),
         )
-
-    return agg.select(
+    )
+    return ranked.select(
         "l_returnflag",
         "exact_orders",
-        ok("est_orders", "exact_orders").alias("hll_ok"),
-        ok("est_med", "exact_med").alias("median_ok"),
-        ok("est_p99", "exact_p99").alias("p99_ok"),
+        (
+            F.abs(F.col("est_orders") - F.col("exact_orders"))
+            / F.col("exact_orders")
+            <= APPROX_EPS
+        ).alias("hll_ok"),
+        F.col("frac_med").between(0.5 - RANK_EPS, 0.5 + RANK_EPS).alias("median_ok"),
+        F.col("frac_p99").between(0.99 - RANK_EPS, 0.99 + RANK_EPS).alias("p99_ok"),
     )
 
 

@@ -270,3 +270,34 @@ def test_upsert_preserves_meta_cols(spark, corpus, tmp_path):
     )
     assert merged.filter(F.col("id") == 9001).first().label == 2
     assert merged.filter(F.col("id") == 7).first().label == 7 % 3
+
+
+def test_ivf_upsert_then_search_matches_full_rebuild(spark, corpus, tmp_path):
+    """IVF path parity after incremental growth: publish index(A), upsert
+    batch B (only B is signed), rebuild the centroid sidecar from the
+    PUBLISHED merged index, search with strategy='ivf' — results must be
+    row-identical to a from-scratch full build over A∪B. Holds because the
+    coarse quantizer is data-independent (cell membership never moves) and
+    build_centroids is decimal-exact, hence partition/order-independent."""
+    a = corpus.filter(F.col("c_id") < 200)
+    b = corpus.filter(F.col("c_id") >= 200)
+    path = str(tmp_path / "ivf_upsert")
+
+    idx_a, _ = publish_vector_index(index_vectors(a, "c_id", "c_vec"), path)
+    merged = upsert_vector_index(idx_a, b, "c_id", "c_vec", version=1)
+    merged.write.mode("overwrite").parquet(f"{path}/index_v2")
+    stored = spark.read.parquet(f"{path}/index_v2")
+    cent_inc = build_centroids(stored)
+
+    full = index_vectors(corpus, "c_id", "c_vec")
+    cent_full = build_centroids(full)
+    # sidecar parity: rebuilt-from-upsert == built-from-scratch
+    assert cent_inc.exceptAll(cent_full).count() == 0
+    assert cent_full.exceptAll(cent_inc).count() == 0
+
+    q = _queries(corpus)
+    got = knn_from_index(q, stored, cent_inc, k=5, strategy="ivf")
+    want = knn_from_index(q, full, cent_full, k=5, strategy="ivf")
+    sel = ["q_id", "c_id", "sim", "rk"]
+    assert got.select(sel).exceptAll(want.select(sel)).count() == 0
+    assert want.select(sel).exceptAll(got.select(sel)).count() == 0
