@@ -37,6 +37,7 @@ HEADLINE: list[str] = [
     "vec_knn_lsh",           # LSH-bucketed ANN
     "vec_knn_lsh_multi",     # OR-amplified multi-table ANN (the recall path)
     "vec_knn_from_index",    # materialized-index cold path (build+publish+search)
+    "vec_knn_index_kmeans",  # trained-IVF: k-means cells pinned in the artifact
     "vec_knn_index_serve",   # serving path: manifest-validated artifact reuse
                              # (first run publishes; best-of-2 reports the
                              # artifact-read + query-side-signature time — the

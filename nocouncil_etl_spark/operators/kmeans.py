@@ -127,6 +127,45 @@ def assign_l2(
     return points.select(id_col, q_col).mapInPandas(assign, schema=cols)
 
 
+def assign_l2_topn(
+    points: DataFrame,
+    cent_ids: np.ndarray,
+    cm: np.ndarray,
+    nprobe: int,
+    id_col: str = "vec_id",
+    q_col: str = "xq",
+) -> DataFrame:
+    """Top-``nprobe`` nearest centroids per point (the IVF probe step):
+    same integer kernel as assign_l2, keeping the first nprobe columns of
+    the (dist, cid) lexsort instead of just the argmin. Emits one row per
+    (point, probed cell), crk = 1..nprobe."""
+    if len(cent_ids) > MAX_CENTROIDS:
+        _guard_k(len(cent_ids))
+    n_keep = min(nprobe, len(cent_ids))
+    c2 = np.einsum("ij,ij->i", cm, cm)
+
+    def probe(batches):
+        for pdf in batches:
+            vm = np.vstack(pdf[q_col].to_numpy()).astype(np.int64)
+            x2 = np.einsum("ij,ij->i", vm, vm)
+            dist = x2[:, None] - 2 * (vm @ cm.T) + c2[None, :]
+            order = np.lexsort(
+                (cent_ids[None, :].repeat(len(vm), 0), dist), axis=1
+            )[:, :n_keep]
+            rows = len(vm)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy().repeat(n_keep),
+                    "cid": cent_ids[order].reshape(-1),
+                    "crk": np.tile(np.arange(1, n_keep + 1), rows),
+                }
+            )
+
+    return points.select(id_col, q_col).mapInPandas(
+        probe, schema=f"{id_col} long, cid long, crk int"
+    )
+
+
 def update_centroids(
     assigned: DataFrame,
     cent_ids: np.ndarray,

@@ -34,6 +34,13 @@ K = 16
 ITERS = 4
 DIMS = 64
 
+# trained-IVF search knobs
+KC = 8           # coarse cells — fixed, corpus-size-independent
+KC_ITERS = 2     # training iterations for the coarse quantizer
+NPROBE = 2
+TOPK = 5
+QUERY_MOD = 100  # vec_id % 100 == 0 → the query set (vectors_plans convention)
+
 _QUANT_LAMBDA = (
     f"x -> CAST(round(x * {QUANT}) AS BIGINT) + {OFFSET}"
 )
@@ -157,6 +164,127 @@ def cluster_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("n_points", F.lit(0)).alias("n_points"),
                 F.coalesce("inertia", F.lit(0)).alias("inertia"),
             )
+        )
+    finally:
+        eq.unpersist()
+
+
+# --------------------------------------------------------------------------
+# trained-IVF ANN search (k-means coarse cells in the index artifact)
+# --------------------------------------------------------------------------
+
+_COS_AB_IDX = (
+    "round(list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
+)
+
+
+def _kidx_scratch(sf_dir: str) -> str:
+    import os
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(repo, ".scratch", f"vec_kidx_{tag}")
+
+
+@query(
+    "vec_knn_index_kmeans",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+eq AS (SELECT vec_id, {quantize_sql("v")} AS xq FROM e),
+{kmeans_cte("eq", KC, KC_ITERS)},
+probes AS (
+  SELECT vid AS q_id, cid FROM (
+    SELECT vid, cid,
+           row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS crk
+    FROM scoredF WHERE vid % {QUERY_MOD} = 0
+  ) WHERE crk <= {NPROBE}
+),
+scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS c_id, {_COS_AB_IDX} AS sim
+  FROM (SELECT * FROM e WHERE vec_id % {QUERY_MOD} = 0) a
+  JOIN probes p ON p.q_id = a.vec_id
+  JOIN asg_final cb ON cb.cid = p.cid
+  JOIN e b ON b.vec_id = cb.vid AND b.vec_id <> a.vec_id
+)
+SELECT q_id, c_id, sim, rk FROM (
+  SELECT q_id, c_id, sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+              AS INT) AS rk
+  FROM scored
+) WHERE rk <= {TOPK}
+""",
+)
+def vec_knn_index_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-IVF ANN: a fixed-k ({KC}-cell) integer k-means coarse
+    quantizer is TRAINED on the corpus, pinned into the index artifact
+    (index parquet carries each vector's cell; a kcentroids parquet carries
+    the quantized centroid matrix), and served from storage — queries rank
+    the pinned cells by exact integer L2 and probe the top {NPROBE}, then
+    cosine-rank inside probed cells only. This is the real-IVF upgrade of
+    vec_knn_ivf's hash-derived cells: cell boundaries ADAPT to the data
+    (the reference's HNSW adapts the same way, vectorize.py:119-123) while
+    staying pinned after training, so incremental upserts assign against
+    the stored centroids and never invalidate existing cells.
+
+    Scale shape: training is O(n·k·d) per iteration with k fixed; the
+    probe is the same Arrow kernel on the (tiny) query side; candidates
+    flow through a cell-keyed equi-join — nothing quadratic, nothing
+    driver-sized except the k×dim centroid matrix (MAX_CENTROIDS-guarded).
+    Oracle: the full k-means recurrence (unrolled CTEs) + probe + in-cell
+    cosine ranking, replayed end-to-end."""
+    from nocouncil_etl_spark.functions.vectors import cosine
+    from nocouncil_etl_spark.operators.kmeans import assign_l2_topn
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    eq = quantize_vectors(e, "v", "xq").select("vec_id", "xq").persist()
+    try:
+        cent_ids, cm = kmeans_fit(eq, KC, KC_ITERS)
+        cells = assign_l2(eq, cent_ids, cm)
+        path = _kidx_scratch(sf_dir)
+        # publish: index rows carry their pinned cell; centroids ride a
+        # sidecar parquet — the artifact is self-contained for serving
+        e.join(cells, "vec_id").write.mode("overwrite").parquet(f"{path}/index")
+        spark.createDataFrame(
+            [(int(c), [int(x) for x in cm[i]]) for i, c in enumerate(cent_ids)],
+            "cid long, cv array<long>",
+        ).write.mode("overwrite").parquet(f"{path}/kcentroids")
+
+        stored = spark.read.parquet(f"{path}/index")
+        cent_rows = spark.read.parquet(f"{path}/kcentroids").collect()
+        import numpy as np
+
+        s_ids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+        s_cm = np.array([r["cv"] for r in cent_rows], dtype=np.int64)
+
+        qq = eq.filter(F.col("vec_id") % QUERY_MOD == 0)
+        probes = assign_l2_topn(qq, s_ids, s_cm, NPROBE).select(
+            F.col("vec_id").alias("q_id"), "cid"
+        )
+        q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+        )
+        cand = (
+            stored.join(F.broadcast(probes), "cid")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .join(F.broadcast(q), "q_id")
+        )
+        scored = cand.select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            F.round(cosine("q_vec", "v"), 6).alias("sim"),
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
+        return (
+            scored.withColumn("rk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rk") <= TOPK)
         )
     finally:
         eq.unpersist()

@@ -110,3 +110,41 @@ def test_engine_semantic_dedup_trained(spark, sf_dir):
     n = emb.count()
     # identical vectors always share a nearest centroid → full recall
     assert found == n
+
+
+def test_kidx_topk_structure(spark, sf_dir):
+    """vec_knn_index_kmeans: per-query result is a well-formed descending
+    top-k and every query produced at least one candidate (with 8 cells and
+    nprobe=2 the probed space always holds neighbors)."""
+    from nocouncil_etl_spark.registry import load_all
+
+    out = load_all()["vec_knn_index_kmeans"].fn(spark, sf_dir).cache()
+    try:
+        assert out.count() > 0
+        assert out.filter(F.col("rk") > 5).count() == 0
+        import pyspark.sql.window as W
+
+        w = W.Window.partitionBy("q_id").orderBy("rk")
+        lagged = out.withColumn("prev_sim", F.lag("sim").over(w))
+        assert lagged.filter(F.col("prev_sim") < F.col("sim")).count() == 0
+    finally:
+        out.unpersist()
+
+
+def test_kidx_upsert_assigns_against_pinned_centroids(spark, sf_dir):
+    """Trained-IVF upsert contract: centroids are trained ONCE and pinned;
+    an incoming batch is assigned against the pinned matrix, so the merged
+    index is cell-identical to assigning the full corpus in one pass —
+    upserts never invalidate existing cell membership (the property
+    hash-derived cells had, now held by trained cells too)."""
+    pts = _points(spark, sf_dir).persist()
+    a = pts.filter(F.col("vec_id") % 3 != 0)
+    b = pts.filter(F.col("vec_id") % 3 == 0)
+    ids, cm = kmeans_fit(a.persist(), k=8, iters=2)  # trained on A only
+    cells_a = assign_l2(a, ids, cm)
+    cells_b = assign_l2(b, ids, cm)               # upsert batch, pinned cm
+    merged = cells_a.unionByName(cells_b)
+    full = assign_l2(pts, ids, cm)                # one-pass assignment
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+    pts.unpersist()
