@@ -396,6 +396,98 @@ class Engine:
         )
         return semantic_near_duplicates(v, cent, threshold=threshold)
 
+    def kmeans(
+        self,
+        df: DataFrame,
+        id_col: str,
+        vec_col: str,
+        k: int = 16,
+        iters: int = 4,
+    ) -> DataFrame:
+        """Fixed-k integer Lloyd's k-means (operators/kmeans.py) →
+        (id_col, cluster). Deterministic across runs and partitionings;
+        k is guarded by MAX_CENTROIDS. Assumes vector components in
+        (−1, 1) (embedding-normalized), matching the quantization grid."""
+        from pyspark.sql import functions as F
+
+        from nocouncil_etl_spark.operators.kmeans import (
+            assign_l2,
+            kmeans_fit,
+            quantize_vectors,
+        )
+
+        v = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        vq = quantize_vectors(v, "v", "xq").select("vec_id", "xq").persist()
+        try:
+            cent_ids, cm = kmeans_fit(vq, k, iters)
+            return assign_l2(vq, cent_ids, cm).select(
+                F.col("vec_id").alias(id_col), F.col("cid").alias("cluster")
+            )
+        finally:
+            vq.unpersist()
+
+    def transitions(
+        self,
+        df: DataFrame,
+        key_col: str,
+        ts_col: str,
+        state_col: str,
+        order_col: str | None = None,
+    ) -> DataFrame:
+        """First-order Markov transition matrix over any keyed event
+        stream → (from_state, to_state, n, p); p row-normalizes per
+        from_state (the session_transitions plan, generalized)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        order = [ts_col] + ([order_col] if order_col else [])
+        w = Window.partitionBy(key_col).orderBy(*order)
+        t = df.select(
+            F.col(state_col).alias("to_state"),
+            F.lag(state_col).over(w).alias("from_state"),
+        ).filter(F.col("from_state").isNotNull())
+        m = t.groupBy("from_state", "to_state").agg(F.count(F.lit(1)).alias("n"))
+        row_total = F.sum("n").over(Window.partitionBy("from_state"))
+        return m.select(
+            "from_state",
+            "to_state",
+            "n",
+            F.round(F.col("n").cast("double") / row_total.cast("double"), 6)
+            .alias("p"),
+        )
+
+    def ema(
+        self,
+        df: DataFrame,
+        key_col: str,
+        ts_col: str,
+        value_col: str,
+        lags: int = 16,
+        order_col: str | None = None,
+    ) -> DataFrame:
+        """Fixed-point EMA (α = 1/2) truncated at ``lags`` observations —
+        the deterministic form of the recursive smoother (the
+        ts_ema_fixedpoint kernel, generalized). Rows without a full
+        history are skipped."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        order = [ts_col] + ([order_col] if order_col else [])
+        w = Window.partitionBy(key_col).orderBy(*order)
+        v4 = F.round(F.col(value_col) * 10000, 0).cast("long")
+        base = df.withColumn("_v4", v4)
+        s = None
+        for j in range(lags):
+            term = F.lag("_v4", j).over(w) * F.lit(1 << (lags - 1 - j))
+            s = term if s is None else s + term
+        den = float((1 << lags) * 10000)
+        return (
+            base.withColumn("ema", F.round(s.cast("double") / F.lit(den), 6))
+            .withColumn("_full", F.lag("_v4", lags - 1).over(w).isNotNull())
+            .filter("_full")
+            .drop("_v4", "_full")
+        )
+
     def pagerank(
         self,
         edges: DataFrame,

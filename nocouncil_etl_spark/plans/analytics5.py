@@ -1,0 +1,166 @@
+"""Round-5 analytics: scalable exact quantiles and BFS reachability layers.
+
+- ``agg_percentile_exact_rank`` — EXACT per-group p50/p90/p99 computed the
+  way that survives 100 TB: a rank window over the sorted partition picks
+  the order statistic, so no aggregation buffer ever materializes a
+  group's values (Spark's exact ``percentile`` aggregate holds the whole
+  group in memory — the trap the round-5 sf1 run caught at 52 s/sf0.1 in
+  an earlier agg_approx_sketches design; this is the exact-answer
+  counterpart of that query's sketches).
+- ``graph_bfs_layers`` — multi-source BFS distance layers over the
+  deterministic link graph (plans/graph_plans.py), 4 synchronous rounds of
+  min-label propagation with one unrolled CTE block per round — the
+  PageRank oracle technique applied to reachability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.plans.graph_plans import _EDGES_SQL, _graph
+from nocouncil_etl_spark.registry import query
+
+PCTS = [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+BFS_ROUNDS = 4
+SEED_MOD = 101  # node % 101 == 0 → the BFS source set
+
+
+# --------------------------------------------------------------------------
+# 1. exact rank-based quantiles
+# --------------------------------------------------------------------------
+
+_PCT_SQL = ",\n       ".join(
+    f"max(CASE WHEN rn = CAST(ceil({p} * n) AS BIGINT) THEN v END) AS {name}"
+    for name, p in PCTS
+)
+
+
+@query(
+    "agg_percentile_exact_rank",
+    oracle=f"""
+WITH r AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+           AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+       {_PCT_SQL}
+FROM r GROUP BY l_returnflag
+""",
+)
+def agg_percentile_exact_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 per return flag as ORDER STATISTICS: rank every
+    row within its sorted partition, then pick the value at ceil(p·n)
+    (type-1 / quantile_disc semantics — an actual data value, no
+    interpolation, so ties and float folding cannot move it). Equal values
+    share the picked value regardless of tie order, so row_number's
+    nondeterminism among ties is invisible in the output.
+
+    Scale shape: one partition-keyed sort (the same shuffle any window op
+    pays) + a trivial agg — group values stream through the sort, NEVER
+    into one aggregation buffer. Spark's exact percentile() aggregate
+    holds each group's values in memory (OOM at 100 TB group sizes);
+    this is the distributed-exact alternative, with percentile_approx
+    (agg_approx_sketches) as the one-pass sketch sibling."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").alias("v")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("v")
+    r = li.select(
+        "l_returnflag",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("l_returnflag")
+        ).alias("n"),
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("long"),
+                F.col("v"),
+            )
+        ).alias(name)
+        for name, p in PCTS
+    ]
+    return r.groupBy("l_returnflag").agg(
+        F.max("n").cast("long").alias("n"), *picks
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. BFS distance layers
+# --------------------------------------------------------------------------
+
+
+def _bfs_oracle() -> str:
+    cte = [f"WITH {_EDGES_SQL},"]
+    cte.append(f"""
+d0 AS (
+  SELECT node, CASE WHEN node % {SEED_MOD} = 0 THEN 0 END AS d FROM nodes
+)""")
+    for k in range(BFS_ROUNDS):
+        cte.append(f""",
+p{k} AS (
+  SELECT e.dst AS node, min(d.d + 1) AS nd
+  FROM edges0 e JOIN d{k} d ON e.src = d.node
+  WHERE d.d IS NOT NULL GROUP BY e.dst
+),
+d{k + 1} AS (
+  SELECT n.node,
+         CASE WHEN n.d IS NULL THEN p.nd
+              WHEN p.nd IS NULL THEN n.d
+              ELSE least(n.d, p.nd) END AS d
+  FROM d{k} n LEFT JOIN p{k} p ON n.node = p.node
+)""")
+    cte.append(f"""
+SELECT CAST(coalesce(d, -1) AS BIGINT) AS dist, count(*) AS n_nodes
+FROM d{BFS_ROUNDS} GROUP BY 1""")
+    return "".join(cte)
+
+
+@query("graph_bfs_layers", oracle=_bfs_oracle())
+def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the deterministic link graph: distance-from-
+    seed-set after {BFS_ROUNDS} synchronous rounds of min-label
+    propagation (d(v) ← min(d(v), min over in-edges d(u)+1)), reported as
+    layer sizes; unreached nodes report −1. Integer labels make every
+    round bit-identical across engines, so the oracle unrolls one CTE
+    block per round — the PageRank technique applied to reachability
+    (the frontier query behind crawl-depth and influence-radius
+    analyses).
+
+    Scale shape: per round, one equi-join (edges ⋈ frontier on src) +
+    one map-side-combined min keyed by dst + one left join back — the
+    same shape as a PageRank iteration, state is one row per node."""
+    nodes, edges, _ = _graph(spark, sf_dir)
+    edges0 = edges.select("src", "dst")
+    dist = nodes.withColumn(
+        "d", F.when(F.col("node") % SEED_MOD == 0, F.lit(0))
+    )
+    for _ in range(BFS_ROUNDS):
+        prop = (
+            edges0.join(dist, edges0["src"] == dist["node"])
+            .filter(F.col("d").isNotNull())
+            .select("dst", (F.col("d") + 1).alias("nd"))
+            .groupBy("dst")
+            .agg(F.min("nd").alias("nd"))
+        )
+        dist = (
+            dist.join(prop, dist["node"] == prop["dst"], "left")
+            .select(
+                "node",
+                F.when(F.col("d").isNull(), F.col("nd"))
+                .when(F.col("nd").isNull(), F.col("d"))
+                .otherwise(F.least("d", "nd"))
+                .alias("d"),
+            )
+        )
+    return (
+        dist.groupBy(F.coalesce("d", F.lit(-1)).cast("long").alias("dist"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )

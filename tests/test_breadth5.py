@@ -87,3 +87,70 @@ def test_regression_r2_in_unit_interval(spark, sf_dir):
     out = _run("agg_linear_regression", spark, sf_dir)
     assert out.filter((F.col("r2") < 0) | (F.col("r2") > 1)).count() == 0
     assert out.count() == 5
+
+
+def test_engine_transitions_and_ema_match_plan_twins(spark, sf_dir):
+    """Facade verbs are row-identical to their oracle-checked plan twins
+    when pointed at the same frame (the established Engine contract)."""
+    from nocouncil_etl_spark.api import Engine
+
+    eng = Engine(spark)
+    ev = load(spark, sf_dir, "events")
+
+    t_verb = eng.transitions(ev, "user_id", "ts", "event_type", order_col="event_id")
+    t_plan = _run("session_transitions", spark, sf_dir).select(
+        F.col("from_type").alias("from_state"),
+        F.col("to_type").alias("to_state"),
+        "n",
+        "p",
+    )
+    assert t_verb.exceptAll(t_plan).count() == 0
+    assert t_plan.exceptAll(t_verb).count() == 0
+
+    e_verb = eng.ema(ev, "user_id", "ts", "value", order_col="event_id").select(
+        "event_id", "user_id", "ema"
+    )
+    e_plan = _run("ts_ema_fixedpoint", spark, sf_dir)
+    assert e_verb.exceptAll(e_plan).count() == 0
+    assert e_plan.exceptAll(e_verb).count() == 0
+
+
+def test_engine_kmeans_matches_operator(spark, sf_dir):
+    from nocouncil_etl_spark.api import Engine
+
+    eng = Engine(spark)
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cells = eng.kmeans(emb, "vec_id", "v", k=8, iters=2)
+    assert cells.count() == emb.count()
+    assert cells.select("cluster").distinct().count() <= 8
+
+
+def test_bfs_seed_layer_and_monotone_reach(spark, sf_dir):
+    """Layer 0 is exactly the seed set; every reported distance is within
+    the round budget; reached+unreached partitions the node set."""
+    out = _run("graph_bfs_layers", spark, sf_dir).cache()
+    try:
+        docs = load(spark, sf_dir, "documents")
+        n = docs.count()
+        seeds = docs.filter(F.col("doc_id") % 101 == 0).count()
+        rows = {r["dist"]: r["n_nodes"] for r in out.collect()}
+        assert rows.get(0) == seeds
+        assert all(-1 <= d <= 4 for d in rows)
+        assert sum(rows.values()) == n
+    finally:
+        out.unpersist()
+
+
+def test_percentile_rank_picks_real_values(spark, sf_dir):
+    """Every reported quantile is an actual data value with the right
+    rank mass at or below it (type-1 semantics)."""
+    out = _run("agg_percentile_exact_rank", spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem")
+    for r in out.collect():
+        grp = li.filter(F.col("l_returnflag") == r["l_returnflag"])
+        for name, p in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            below = grp.filter(F.col("l_extendedprice") <= r[name]).count()
+            assert below >= int(p * r["n"]), (r["l_returnflag"], name)
+            assert grp.filter(F.col("l_extendedprice") == r[name]).count() > 0
