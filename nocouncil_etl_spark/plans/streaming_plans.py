@@ -207,3 +207,61 @@ def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.filter(F.col("event_type") == "purchase"),
     )
     return run_to_memory(out, mode="append")
+
+
+DEBOUNCE_GAP = "5 minutes"
+
+_DEBOUNCE_ORACLE = """
+WITH g AS (
+  SELECT event_id, user_id, event_type, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                PARTITION BY user_id, event_type ORDER BY ts, event_id))
+              < 300000000 THEN 0 ELSE 1 END AS is_start
+  FROM events
+),
+isl AS (
+  SELECT event_id, user_id, event_type, ts,
+         CAST(sum(is_start) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) AS BIGINT) AS island
+  FROM g
+)
+SELECT user_id, event_type,
+       min(event_id) AS kept_event_id,
+       epoch_us(min(ts)) AS first_us,
+       count(*) AS n_collapsed
+FROM isl
+GROUP BY user_id, event_type, island
+"""
+
+
+@query("stream_debounce", oracle=_DEBOUNCE_ORACLE)
+def stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce dedup as a REAL stream: session_window(ts, 5 min) per
+    (user, type) merges bursts closer than the gap into one session whose
+    head event survives — the streaming twin of the batch gaps-and-islands
+    dedup_debounce, under the SAME oracle (session_window's open-interval
+    merge rule, next.ts < prev.ts + gap, is exactly the islands' strict
+    `gap < 5 min` continuation test). availableNow + complete mode drains
+    the file source before the final emit, so the batch oracle is exact.
+
+    Scale shape: streaming session-window state is per-open-session per
+    key, evicted as sessions close — the ingest-side retry-storm filter
+    that never holds the stream's history."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(
+            F.session_window("ts", DEBOUNCE_GAP).alias("w"),
+            "user_id",
+            "event_type",
+        )
+        .agg(
+            F.min("event_id").alias("kept_event_id"),
+            F.unix_micros(F.min("ts")).alias("first_us"),
+            F.count(F.lit(1)).alias("n_collapsed"),
+        )
+        .select(
+            "user_id", "event_type", "kept_event_id", "first_us", "n_collapsed"
+        )
+    )
+    return run_to_memory(agg, mode="complete")

@@ -100,3 +100,75 @@ def test_ingest_feeds_error_quarantine(spark):
     rows = {r.source: r for r in ingest_feeds(seeds, fetcher=flaky).collect()}
     assert rows["s1"].error is None
     assert "connection refused" in rows["s2"].error  # row, not stage failure
+
+
+def test_streaming_cdc_merge_into_curated_state(spark, sf_dir, tmp_path):
+    """The daily-cron composition end-to-end, streaming edition: the CDC
+    feed arrives as a checkpointed stream; each micro-batch merges into the
+    published curated state with epoch-keyed (idempotent) writes; the final
+    state is row-identical to applying the feed in one batch — and a full
+    re-run of the drained stream is a no-op (exactly-once via checkpoint),
+    composing merge_upsert_cdc's semantics with resumable_sink's durability
+    contract."""
+    from nocouncil_etl_spark.plans.curation4 import _changes
+    from nocouncil_etl_spark.plans.curation5 import _curate
+
+    base = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    state0_dir = str(tmp_path / "state0")
+    _curate(base, "text", 1).write.mode("overwrite").parquet(state0_dir)
+
+    feed_dir = str(tmp_path / "feed")
+    chg = _changes(base)
+    chg.write.mode("overwrite").parquet(feed_dir)
+
+    states_dir = str(tmp_path / "states")
+
+    def merge_into(state, batch):
+        upd = _curate(
+            batch.filter(F.col("op") == "U")
+            .join(base.select("doc_id", "source"), "doc_id")
+            .select("doc_id", "source", F.col("new_text").alias("text")),
+            "text", 2,
+        )
+        ins = _curate(
+            batch.filter(F.col("op") == "I").select(
+                "doc_id", F.lit("cdc").alias("source"),
+                F.col("new_text").alias("text"),
+            ),
+            "text", 2,
+        )
+        touched = batch.filter(F.col("op") != "I").select("doc_id")
+        return (
+            state.join(touched, "doc_id", "left_anti")
+            .unionByName(upd)
+            .unionByName(ins)
+        )
+
+    def apply_batch(batch, epoch_id):
+        state = batch.sparkSession.read.parquet(state0_dir)
+        merge_into(state, batch).write.mode("overwrite").parquet(
+            f"{states_dir}/epoch={epoch_id}"
+        )
+
+    for _ in range(2):  # replay must be a no-op (checkpoint remembers)
+        stream = spark.readStream.schema(chg.schema).parquet(feed_dir)
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    import os
+
+    epochs = sorted(
+        d for d in os.listdir(states_dir) if d.startswith("epoch=")
+    )
+    assert len(epochs) == 1  # one micro-batch, not re-applied on replay
+    got = spark.read.parquet(f"{states_dir}/{epochs[-1]}")
+    want = merge_into(spark.read.parquet(state0_dir), chg)
+    cols = ["doc_id", "source", "n_words", "version"]
+    assert got.select(cols).exceptAll(want.select(cols)).count() == 0
+    assert want.select(cols).exceptAll(got.select(cols)).count() == 0
