@@ -164,3 +164,98 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist.groupBy(F.coalesce("d", F.lit(-1)).cast("long").alias("dist"))
         .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
+
+
+# --------------------------------------------------------------------------
+# 3. higher-order array functions surface
+# --------------------------------------------------------------------------
+
+
+@query(
+    "fn_array_hof",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, list_transform(string_split(text, ' '), t -> length(t)) AS lens
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(lens, x -> x >= 6)) AS INT) AS n_long,
+       CAST(list_sum(list_transform(lens, x -> x * x)) AS BIGINT) AS sum_sq,
+       CAST(list_max(lens) AS INT) AS max_len,
+       CAST(list_reduce(list_prepend(0, lens), (acc, x) -> acc + x) AS BIGINT)
+         AS total_chars,
+       len(lens) > 0 AND list_bool_and(list_transform(lens, x -> x > 0))
+         AS all_nonempty
+FROM w
+""",
+)
+def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function surface (§2.5 depth): transform / filter
+    / aggregate-fold / forall over per-document word-length arrays, all in
+    integer arithmetic so both engines fold identically. Everything is a
+    narrow codegen'd expression — the HOF lambdas run JVM-side, no Python.
+
+    Scale shape: zero shuffles; pure per-row compute."""
+    docs = load(spark, sf_dir, "documents")
+    lens = F.transform(F.split("text", " "), lambda t: F.length(t))
+    base = docs.select("doc_id", lens.alias("lens"))
+    return base.select(
+        "doc_id",
+        F.size(F.filter("lens", lambda x: x >= 6)).alias("n_long"),
+        F.aggregate(
+            F.transform("lens", lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_sq"),
+        F.array_max("lens").alias("max_len"),
+        F.aggregate(
+            "lens", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total_chars"),
+        ((F.size("lens") > 0) & F.forall("lens", lambda x: x > 0)).alias(
+            "all_nonempty"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# 4. deterministic argmax per group
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_argmax_struct",
+    oracle="""
+SELECT event_type,
+       max(round(value, 2)) AS max_value,
+       CAST(min(event_id) FILTER (
+         WHERE round(value, 2) = mv
+       ) AS BIGINT) AS argmax_event_id
+FROM (
+  SELECT event_type, event_id, value,
+         max(round(value, 2)) OVER (PARTITION BY event_type) AS mv
+  FROM events
+)
+GROUP BY event_type
+""",
+)
+def agg_argmax_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic argmax per group: the row(s) achieving the group max,
+    tie-broken to the smallest event id — engine-native max_by/arg_max
+    picks an ARBITRARY tying row and fails value hashes; the struct-max
+    (Spark) / windowed-filter (DuckDB) forms pin the same winner. Values
+    snap to the 2dp money grid first so float noise can't create phantom
+    near-ties.
+
+    Scale shape: Spark folds max(struct(v, -id)) in one hash agg with
+    map-side combine — no window, no second pass; the oracle's window
+    formulation is the SQL-portable equivalent."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.round("value", 2).alias("v2")
+    )
+    # max over (v2 asc, event_id desc encoded as -id) == (max v2, min id)
+    packed = F.max(F.struct(F.col("v2"), (-F.col("event_id")).alias("nid")))
+    return ev.groupBy("event_type").agg(packed.alias("m")).select(
+        "event_type",
+        F.col("m.v2").alias("max_value"),
+        (-F.col("m.nid")).cast("long").alias("argmax_event_id"),
+    )
