@@ -259,3 +259,64 @@ def agg_argmax_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.v2").alias("max_value"),
         (-F.col("m.nid")).cast("long").alias("argmax_event_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# 5. Morton (Z-order) interleave key
+# --------------------------------------------------------------------------
+
+def _spread_sql(col: str) -> str:
+    """16-bit → even-bit spread, the classic mask cascade (portable: pure
+    integer & | << on BIGINT in both engines)."""
+    e = f"CAST({col} AS BIGINT)"
+    e = f"(({e} | ({e} << 8)) & 16711935)"      # 0x00FF00FF
+    e = f"(({e} | ({e} << 4)) & 252645135)"     # 0x0F0F0F0F
+    e = f"(({e} | ({e} << 2)) & 858993459)"     # 0x33333333
+    e = f"(({e} | ({e} << 1)) & 1431655765)"    # 0x55555555
+    return e
+
+
+@query(
+    "fn_morton_zorder",
+    oracle=f"""
+WITH b AS (
+  SELECT event_id, user_id,
+         CAST(floor(round(value, 2)) AS BIGINT) AS vbucket
+  FROM events
+)
+SELECT event_id, user_id, vbucket,
+       ({_spread_sql("user_id")}) | (({_spread_sql("vbucket")}) << 1)
+         AS morton
+FROM b
+""",
+)
+def fn_morton_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) interleave of (user_id, value-bucket): the
+    multi-dimensional clustering key behind data-skipping layouts — rows
+    sorted by the interleaved key are locally bounded in BOTH dimensions,
+    so per-file min/max stats prune scans on either predicate (the
+    Delta/Iceberg OPTIMIZE ZORDER kernel, as a portable bit cascade).
+    Engine.zorder_write applies it to a real parquet layout;
+    tests/test_layout5.py measures the per-file bounding boxes shrinking.
+
+    Scale shape: pure per-row integer bit arithmetic, zero shuffles."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.floor(F.round("value", 2)).cast("long").alias("vbucket"),
+    )
+    masks = [
+        (8, 16711935), (4, 252645135), (2, 858993459), (1, 1431655765)
+    ]
+
+    def spread(c):
+        e = F.col(c).cast("long")
+        for sh, m in masks:
+            e = (e.bitwiseOR(F.shiftleft(e, sh))).bitwiseAND(F.lit(m))
+        return e
+
+    return ev.select(
+        "event_id", "user_id", "vbucket",
+        spread("user_id").bitwiseOR(
+            F.shiftleft(spread("vbucket"), 1)
+        ).alias("morton"),
+    )

@@ -1,0 +1,83 @@
+"""Table-maintenance layout ops (Engine.compact / Engine.zorder_write):
+file-count and data-skipping properties measured on real parquet output.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from nocouncil_etl_spark.api import Engine
+from nocouncil_etl_spark.io import load
+
+
+def _parquet_files(path: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def test_compact_reduces_files_and_preserves_rows(spark, sf_dir, tmp_path):
+    eng = Engine(spark)
+    small = str(tmp_path / "small")
+    ev = load(spark, sf_dir, "events")
+    ev.repartition(64).write.parquet(small)  # the post-streaming shape
+    assert len(_parquet_files(small)) >= 32
+
+    out = str(tmp_path / "compacted")
+    got = eng.compact(small, out, target_files=4)
+    assert len(_parquet_files(out)) == 4
+    assert got.count() == ev.count()
+    cols = ["event_id", "user_id", "event_type"]
+    assert got.select(cols).exceptAll(ev.select(cols)).count() == 0
+
+
+def test_zorder_write_tightens_file_bounding_boxes(spark, sf_dir, tmp_path):
+    """The point of Z-order: per-file (min,max) boxes over BOTH key columns
+    shrink vs an unclustered layout, so stats-based skipping prunes on
+    either predicate. Measured from the actual parquet column stats."""
+    import pyarrow.parquet as pq
+
+    eng = Engine(spark)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.floor(F.round("value", 2)).cast("long").alias("vbucket"),
+    )
+
+    plain_dir = str(tmp_path / "plain")
+    ev.repartition(8).write.parquet(plain_dir)  # round-robin: no locality
+    z_dir = str(tmp_path / "zorder")
+    eng.zorder_write(ev, z_dir, "user_id", "vbucket", n_files=8)
+
+    def total_box_area(path: str) -> float:
+        area = 0.0
+        for f in _parquet_files(path):
+            md = pq.ParquetFile(f).metadata
+            lo = {"user_id": None, "vbucket": None}
+            hi = {"user_id": None, "vbucket": None}
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    col = row.column(ci)
+                    name = col.path_in_schema
+                    if name in lo and col.statistics is not None:
+                        s = col.statistics
+                        lo[name] = s.min if lo[name] is None else min(lo[name], s.min)
+                        hi[name] = s.max if hi[name] is None else max(hi[name], s.max)
+            if lo["user_id"] is None or lo["vbucket"] is None:
+                continue
+            area += (hi["user_id"] - lo["user_id"] + 1) * (
+                hi["vbucket"] - lo["vbucket"] + 1
+            )
+        return area
+
+    plain_area = total_box_area(plain_dir)
+    z_area = total_box_area(z_dir)
+    # every round-robin file spans ~the full domain; z-ordered files must
+    # cover materially less joint area (=> stats-based skipping works)
+    assert z_area < plain_area * 0.6, (z_area, plain_area)
+
+    # and the clustered table still holds exactly the same rows
+    got = spark.read.parquet(z_dir)
+    assert got.count() == ev.count()
+    assert got.exceptAll(ev).count() == 0
