@@ -139,3 +139,92 @@ def curation_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_words"),
         F.count(F.when(F.col("version") == 2, 1)).alias("n_changed"),
     )
+
+
+@query(
+    "io_versioned_snapshot",
+    oracle=f"""
+WITH chg AS (
+  SELECT doc_id, 'U' AS op, 'rev2: ' || substr(text, 1, 40) AS new_text
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, 'D', NULL FROM documents WHERE doc_id % 7 = 3 AND doc_id % 5 <> 0
+  UNION ALL
+  SELECT doc_id + 200000, 'I', 'new: ' || substr(text, 1, 40)
+  FROM documents WHERE doc_id % 9 = 1
+),
+merged AS (
+  SELECT b.doc_id, b.source, coalesce(c.new_text, b.text) AS text
+  FROM documents b
+  LEFT JOIN (SELECT * FROM chg WHERE op <> 'I') c ON b.doc_id = c.doc_id
+  WHERE c.op IS NULL OR c.op = 'U'
+  UNION ALL
+  SELECT doc_id, 'cdc', new_text FROM chg WHERE op = 'I'
+),
+v1 AS (
+  SELECT 1 AS v, source, len(string_split(text, ' ')) AS n_words
+  FROM documents
+),
+v2 AS (
+  SELECT 2 AS v, source, len(string_split(text, ' ')) AS n_words
+  FROM merged
+),
+u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT v, source, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS total_words
+FROM u WHERE n_words >= {MIN_WORDS}
+GROUP BY v, source
+""",
+)
+def io_versioned_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-versioned table (poor-man's time travel on plain parquet):
+    each state transition publishes a NEW immutable version directory
+    (v=1 the initial curation, v=2 after the CDC apply); partition
+    discovery over the version root reads EVERY snapshot with its version
+    as a column, so consumers can query any historical state or diff two
+    versions — the audit/rollback semantics a Delta/Iceberg table gives,
+    demonstrated on the layout primitives Spark already has. The oracle
+    recomputes both snapshots from the source tables.
+
+    Scale shape: versions are immutable appends of curated-state-sized
+    parquet (never the raw corpus); reading one version is one pruned
+    partition directory."""
+    state_root = os.path.join(
+        tempfile.gettempdir(),
+        "nocouncil_etl_spark_scratch",
+        f"versioned_state_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    base = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    chg = _changes(base)
+
+    # version 1: initial curation
+    _curate(base, "text", 1).write.mode("overwrite").parquet(f"{state_root}/v=1")
+    # version 2: CDC applied — derived from the PUBLISHED v1, not recomputed
+    v1 = spark.read.schema(
+        "doc_id long, source string, n_words int, version int"
+    ).parquet(f"{state_root}/v=1")
+    upd = _curate(
+        chg.filter(F.col("op") == "U")
+        .join(base.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", F.col("new_text").alias("text")),
+        "text",
+        2,
+    )
+    ins = _curate(
+        chg.filter(F.col("op") == "I").select(
+            "doc_id", F.lit("cdc").alias("source"), F.col("new_text").alias("text")
+        ),
+        "text",
+        2,
+    )
+    touched = chg.filter(F.col("op") != "I").select("doc_id")
+    v2 = v1.join(touched, "doc_id", "left_anti").unionByName(upd).unionByName(ins)
+    v2.write.mode("overwrite").parquet(f"{state_root}/v=2")
+
+    # time travel: partition discovery turns version dirs into a column
+    all_versions = spark.read.schema(
+        "doc_id long, source string, n_words int, version int, v int"
+    ).option("basePath", state_root).parquet(f"{state_root}/v=*")
+    return all_versions.groupBy("v", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+    )

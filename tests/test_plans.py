@@ -219,3 +219,23 @@ def test_incremental_curation_reads_published_state(spark, sf_dir):
     assert "curated_state" in p
     # the merge is keyed, never quadratic
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_round5_joins_have_no_quadratic_stage(spark, sf_dir):
+    """Round-5 additions must stay equi/keyed: the PMI self-join is keyed
+    on doc_id with a broadcast vocabulary, BFS propagation is an edge
+    equi-join per round, transitions/percentiles are pure window+agg, and
+    the trained-IVF candidate join is cell-keyed."""
+    for name in (
+        "text_term_cooccurrence",
+        "graph_bfs_layers",
+        "session_transitions",
+        "agg_percentile_exact_rank",
+        "curation_incremental_e2e",
+        "vec_knn_index_kmeans",
+        "agg_linear_regression",
+        "text_inverted_index",
+    ):
+        p = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
