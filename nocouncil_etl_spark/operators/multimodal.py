@@ -195,3 +195,26 @@ def frame_sample(df: DataFrame, every_n: int, id_col: str = "doc_id") -> DataFra
         df.select(F.col(id_col), F.explode(frames).alias("frame_id"))
         .filter(F.col("frame_id") % every_n == 0)
     )
+
+
+AHASH_BYTES = 32  # average-hash window: first 32 bytes ≡ a 32-bit signature
+
+
+def ahash_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Perceptual average-hash over the media bytes (the image-dedup
+    signature: bit j = byte j ≥ mean, computed on the decoded pixel grid in
+    production and on the raw bytes under the fake backend so the oracle
+    can recompute it from the source text). Vectorized per Arrow batch;
+    emits (doc_id, ahash BIGINT)."""
+    weights = np.left_shift(np.int64(1), np.arange(AHASH_BYTES, dtype=np.int64))
+    for pdf in batches:
+        hashes = np.empty(len(pdf), dtype=np.int64)
+        for i, c in enumerate(pdf["content"]):
+            b = np.frombuffer(bytes(c)[:AHASH_BYTES], dtype=np.uint8).astype(
+                np.int64
+            )
+            # scaled comparison (n·x ≥ Σx) keeps the threshold integral —
+            # no division, no rounding-rule hazard
+            bits = (len(b) * b >= b.sum()).astype(np.int64)
+            hashes[i] = int((bits * weights[: len(b)]).sum())
+        yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "ahash": hashes})

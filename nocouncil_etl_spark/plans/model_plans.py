@@ -363,3 +363,100 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_byte",
         "n_frames",
     )
+
+
+PHASH_HAM_MAX = 4
+
+
+@query(
+    "multimodal_phash_neardup",
+    oracle="""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 400000, substr(text, 1, 9) || 'z' || substr(text, 11)
+  FROM documents WHERE doc_id % 9 = 0
+),
+bs AS (
+  SELECT doc_id,
+         list_transform(range(1, 33), i -> unicode(substr(text, i, 1))) AS b
+  FROM aug
+),
+h AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(1, 33),
+           i -> CASE WHEN 32 * b[i] >= list_sum(b)
+                     THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT)
+           AS ahash
+  FROM bs
+),
+keyed AS (
+  SELECT doc_id, ahash, k, (ahash >> (8 * k)) & 255 AS band
+  FROM (SELECT doc_id, ahash, unnest([0, 1, 2, 3]) AS k FROM h)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+  FROM keyed a
+  JOIN keyed b ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 4
+""",
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-duplicate detection by perceptual hash: an Arrow kernel
+    computes a 32-bit average-hash signature per media row (bit j = byte j
+    ≥ mean — on real images this is the classic aHash over the resized
+    gray grid; the fake backend hashes the raw bytes so the oracle can
+    replay it), then hamming-LSH banding (4 × 8-bit bands) turns the
+    all-pairs comparison into equi-joins and bit_count(xor) confirms
+    hamming ≤ {PHASH_HAM_MAX}. Near-dup media are synthesized (one byte
+    overwritten in every 9th doc) so the detector provably fires — the
+    image sibling of dedup_simhash's text pipeline.
+
+    Scale shape: one narrow Arrow pass for signatures; candidates only
+    ever meet through a band bucket (no pair explosion); the hamming
+    confirm is one codegen'd bit op per candidate pair."""
+    from nocouncil_etl_spark.operators.multimodal import ahash_map, to_media_column
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 9), F.lit("z"), F.expr("substr(text, 11)")
+        ).alias("text"),
+    )
+    aug = docs.unionByName(copies)
+    media = to_media_column(aug, "text", "doc_id")
+    h = media.select("doc_id", "content").mapInPandas(
+        ahash_map, schema="doc_id long, ahash long"
+    )
+    keyed = h.select(
+        "doc_id",
+        "ahash",
+        F.explode(F.array([F.lit(k) for k in range(4)])).alias("k"),
+    ).withColumn("band", F.expr("(ahash >> (8 * k)) & 255"))
+    a = keyed.select(
+        F.col("doc_id").alias("id_a"), F.col("ahash").alias("ha"), "k", "band"
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("id_b"), F.col("ahash").alias("hb"),
+        F.col("k").alias("k_b"), F.col("band").alias("band_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("k") == F.col("k_b"))
+            & (F.col("band") == F.col("band_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int").alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= PHASH_HAM_MAX)

@@ -154,3 +154,19 @@ def test_percentile_rank_picks_real_values(spark, sf_dir):
             below = grp.filter(F.col("l_extendedprice") <= r[name]).count()
             assert below >= int(p * r["n"]), (r["l_returnflag"], name)
             assert grp.filter(F.col("l_extendedprice") == r[name]).count() > 0
+
+
+def test_phash_finds_planted_media_neardups(spark, sf_dir):
+    """One-byte media perturbations must pair with their source through the
+    hamming-LSH bands; recall bound (not 100%) because a byte near the
+    mean can flip several threshold bits at once — the documented aHash
+    cost (measured: 55/56 at both test scales)."""
+    out = _run("multimodal_phash_neardup", spark, sf_dir).cache()
+    try:
+        docs = load(spark, sf_dir, "documents")
+        planted = docs.filter(F.col("doc_id") % 9 == 0).count()
+        found = out.filter(F.col("id_b") == F.col("id_a") + 400000).count()
+        assert found / planted >= 0.9, f"phash recall {found}/{planted}"
+        assert out.filter(F.col("hamming") > 4).count() == 0
+    finally:
+        out.unpersist()
