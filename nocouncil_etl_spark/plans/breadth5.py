@@ -387,3 +387,110 @@ def text_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "term_a", "term_b", "n_pair", F.round(pmi, 6).alias("pmi")
     )
+
+
+# --------------------------------------------------------------------------
+# 7. URL canonicalization dedup
+# --------------------------------------------------------------------------
+
+_URL_VARIANTS_SQL = """
+SELECT doc_id,
+       CASE doc_id % 3
+         WHEN 0 THEN 'https://ex' || (doc_id % 7) || '.org/p/' || doc_id
+         WHEN 1 THEN 'HTTPS://EX' || (doc_id % 7) || '.ORG/p/' || doc_id || '/'
+         ELSE 'https://ex' || (doc_id % 7) || '.org/p/' || doc_id
+              || '?utm_source=feed#sec'
+       END AS url
+FROM documents
+UNION ALL
+SELECT doc_id + 500000,
+       CASE (doc_id + 1) % 3
+         WHEN 0 THEN 'https://ex' || (doc_id % 7) || '.org/p/' || doc_id
+         WHEN 1 THEN 'HTTPS://EX' || (doc_id % 7) || '.ORG/p/' || doc_id || '/'
+         ELSE 'https://ex' || (doc_id % 7) || '.org/p/' || doc_id
+              || '?utm_source=feed#sec'
+       END AS url
+FROM documents
+"""
+
+# each step is a single-occurrence replacement by construction, so Spark's
+# replace-all and DuckDB's replace-first agree
+_CANON_STEPS_SQL = """
+regexp_replace(regexp_replace(regexp_replace(
+  lower(regexp_extract(url, '(?i)^(https?://[^/]+)', 1))
+    || regexp_extract(url, '(?i)^https?://[^/]+(.*)$', 1),
+  '#.*$', ''),
+  '[?&]utm_[a-z_]*=[^&#]*', ''),
+  '/$', '')
+"""
+
+
+@query(
+    "dedup_url_canonical",
+    oracle=f"""
+WITH u AS ({_URL_VARIANTS_SQL}),
+c AS (SELECT doc_id, url, {_CANON_STEPS_SQL} AS canonical FROM u)
+SELECT canonical, min(doc_id) AS keep_id, count(*) AS n_variants
+FROM c GROUP BY canonical
+""",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the crawler's identity problem
+    (newscrawler seen-set keys on raw URLs; fetch variants of one article
+    differ by host case, trailing slash, tracking params, fragments):
+    normalize scheme+host case, strip fragments, drop utm tracking params,
+    trim trailing slashes, then collapse by canonical form keeping the
+    smallest id. Variant pairs are synthesized per doc (two different
+    messy spellings of the same canonical URL) so every group provably
+    collapses to n_variants = 2.
+
+    Scale shape: narrow per-row regex chain (each step a single-occurrence
+    replacement, portable across replace-all vs replace-first engines) +
+    one hash agg on the canonical key."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def variants(id_col, selector):
+        return F.when(
+            selector % 3 == 0,
+            F.concat(
+                F.lit("https://ex"), (F.col("doc_id") % 7).cast("string"),
+                F.lit(".org/p/"), F.col("doc_id").cast("string"),
+            ),
+        ).when(
+            selector % 3 == 1,
+            F.concat(
+                F.lit("HTTPS://EX"), (F.col("doc_id") % 7).cast("string"),
+                F.lit(".ORG/p/"), F.col("doc_id").cast("string"), F.lit("/"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("https://ex"), (F.col("doc_id") % 7).cast("string"),
+                F.lit(".org/p/"), F.col("doc_id").cast("string"),
+                F.lit("?utm_source=feed#sec"),
+            )
+        )
+
+    u = docs.select(
+        "doc_id", variants("doc_id", F.col("doc_id")).alias("url")
+    ).unionByName(
+        docs.select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            variants("doc_id", F.col("doc_id") + 1).alias("url"),
+        )
+    )
+    host = F.lower(F.regexp_extract("url", r"(?i)^(https?://[^/]+)", 1))
+    rest = F.regexp_extract("url", r"(?i)^https?://[^/]+(.*)$", 1)
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.concat(host, rest), r"#.*$", ""),
+            r"[?&]utm_[a-z_]*=[^&#]*",
+            "",
+        ),
+        r"/$",
+        "",
+    )
+    return (
+        u.select("doc_id", canon.alias("canonical"))
+        .groupBy("canonical")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_variants"))
+    )
