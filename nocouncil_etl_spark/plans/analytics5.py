@@ -320,3 +320,102 @@ def fn_morton_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.shiftleft(spread("vbucket"), 1)
         ).alias("morton"),
     )
+
+
+# --------------------------------------------------------------------------
+# 6. robust (MAD-based) outlier detection
+# --------------------------------------------------------------------------
+
+MAD_K = 3  # outlier fence: |v - median| > 3 * MAD
+
+
+@query(
+    "agg_mad_outliers",
+    oracle=f"""
+WITH v AS (SELECT event_type, round(value, 2) AS v2 FROM events),
+r1 AS (
+  SELECT event_type, v2,
+         row_number() OVER (PARTITION BY event_type ORDER BY v2) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+med AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v2 END) AS med
+  FROM r1 GROUP BY event_type
+),
+d AS (
+  SELECT v.event_type, round(abs(v.v2 - m.med), 2) AS dev
+  FROM v JOIN med m USING (event_type)
+),
+r2 AS (
+  SELECT event_type, dev,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+),
+mad AS (
+  SELECT event_type,
+         max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN dev END) AS mad
+  FROM r2 GROUP BY event_type
+)
+SELECT m.event_type, m.n, m.med, a.mad,
+       (SELECT count(*) FROM d
+        WHERE d.event_type = m.event_type AND d.dev > {MAD_K} * a.mad)
+         AS n_outliers
+FROM med m JOIN mad a USING (event_type)
+""",
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per group: median absolute deviation (the
+    outlier-immune scale estimate — stddev-based z-scores let the outliers
+    inflate their own fence) with the fence |v − median| > {MAD_K}·MAD.
+    Both medians are EXACT type-1 order statistics picked by rank windows
+    (the agg_percentile_exact_rank technique applied twice), so no group's
+    values ever sit in one aggregation buffer; values snap to the 2dp grid
+    so the deviation arithmetic is engine-identical.
+
+    Scale shape: two partition-keyed sorts (median, then MAD over
+    deviations) + one broadcast of the 5-row median table back over the
+    scan — all linear, all streaming through window sorts."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.round("value", 2).alias("v2")
+    )
+    wo = Window.partitionBy("event_type").orderBy("v2")
+    wp = Window.partitionBy("event_type")
+    r1 = ev.select(
+        "event_type", "v2",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    med = r1.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")).cast("long"),
+                   F.col("v2"))
+        ).alias("med"),
+    )
+    d = ev.join(F.broadcast(med.select("event_type", "med")), "event_type").select(
+        "event_type", F.round(F.abs(F.col("v2") - F.col("med")), 2).alias("dev")
+    )
+    wo2 = Window.partitionBy("event_type").orderBy("dev")
+    r2 = d.select(
+        "event_type", "dev",
+        F.row_number().over(wo2).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    mad = r2.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")).cast("long"),
+                   F.col("dev"))
+        ).alias("mad"),
+    )
+    fen = d.join(F.broadcast(mad), "event_type")
+    outl = fen.groupBy("event_type").agg(
+        F.count(F.when(F.col("dev") > MAD_K * F.col("mad"), 1)).alias("n_outliers")
+    )
+    return (
+        med.join(mad, "event_type")
+        .join(outl, "event_type")
+        .select("event_type", "n", "med", "mad", "n_outliers")
+    )

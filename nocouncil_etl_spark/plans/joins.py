@@ -333,3 +333,85 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("is_left") == 1)
         .select("event_id", "user_id", fresh.alias("recent_signup_us"))
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+s AS (SELECT * FROM events WHERE event_type = 'signup'),
+b AS (
+  SELECT e.event_id, e.user_id, e.ts, s.ts AS bts
+  FROM p e ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ts >= s.ts
+),
+f AS (
+  SELECT e.event_id, s.ts AS fts
+  FROM p e ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ts <= s.ts
+)
+SELECT b.event_id, b.user_id,
+       CASE
+         WHEN bts IS NULL AND fts IS NULL THEN NULL
+         WHEN fts IS NULL THEN epoch_us(bts)
+         WHEN bts IS NULL THEN epoch_us(fts)
+         WHEN epoch_us(b.ts) - epoch_us(bts)
+              <= epoch_us(fts) - epoch_us(b.ts) THEN epoch_us(bts)
+         ELSE epoch_us(fts)
+       END AS nearest_signup_us
+FROM b JOIN f USING (event_id)
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (merge_asof direction='nearest'): for
+    each purchase, the signup CLOSEST in time in either direction, ties
+    choosing the earlier (backward) match. One union-tag pass computes
+    BOTH carries — the backward window orders signups before purchases at
+    equal ts (so `>=` is inclusive) and the forward window orders them
+    after (so `<=` is inclusive) — then a CASE picks the smaller |Δt|.
+    The oracle composes DuckDB's native backward and forward ASOF joins,
+    an independent formulation of the same semantics.
+
+    Scale shape: one (user_id) shuffle feeding two ordered window scans;
+    no range cross-join, no second shuffle (same partition key)."""
+    ev = load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_left"),
+        F.col("ts").alias("sig_ts"),
+    )
+    right = ev.filter(F.col("event_type") == "signup").select(
+        F.lit(None).cast("bigint").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_left"),
+        F.col("ts").alias("sig_ts"),
+    )
+    merged = left.unionByName(right)
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_left"))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    is_sig = F.when(F.col("is_left") == 0, F.col("sig_ts"))
+    out = merged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "is_left",
+        F.last(is_sig, ignorenulls=True).over(w_back).alias("bts"),
+        F.first(is_sig, ignorenulls=True).over(w_fwd).alias("fts"),
+    ).filter(F.col("is_left") == 1)
+    t, bts, fts = F.unix_micros("ts"), F.unix_micros("bts"), F.unix_micros("fts")
+    nearest = (
+        F.when(F.col("bts").isNull() & F.col("fts").isNull(), F.lit(None))
+        .when(F.col("fts").isNull(), bts)
+        .when(F.col("bts").isNull(), fts)
+        .when(t - bts <= fts - t, bts)
+        .otherwise(fts)
+    )
+    return out.select(
+        "event_id", "user_id", nearest.cast("long").alias("nearest_signup_us")
+    )
