@@ -419,3 +419,97 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(outl, "event_type")
         .select("event_type", "n", "med", "mad", "n_outliers")
     )
+
+
+# --------------------------------------------------------------------------
+# 7. Count-Min sketch with an EXACT oracle
+# --------------------------------------------------------------------------
+
+CMS_D = 3      # hash rows
+CMS_W = 512    # buckets per row
+CMS_TOP = 20   # report the estimates for the top exact terms
+
+_CMS_BUCKET_SQL = (
+    "(('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || {term}), 1, 15))"
+    f"::BIGINT) % {CMS_W}"
+)
+
+
+@query(
+    "sketch_countmin_freq",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+cnt AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+top AS (SELECT term, n FROM cnt ORDER BY n DESC, term LIMIT {CMS_TOP}),
+rows_ AS (SELECT unnest(range(0, {CMS_D})) AS j),
+cells AS (
+  SELECT j, {_CMS_BUCKET_SQL.format(j="j", term="term")} AS bucket,
+         CAST(sum(n) AS BIGINT) AS c
+  FROM cnt CROSS JOIN rows_ GROUP BY 1, 2
+)
+SELECT t.term, CAST(t.n AS BIGINT) AS exact_n,
+       CAST(min(c.c) AS BIGINT) AS est_n,
+       min(c.c) >= t.n AS no_undercount
+FROM top t
+CROSS JOIN rows_ r
+JOIN cells c
+  ON c.j = r.j
+ AND c.bucket = {_CMS_BUCKET_SQL.format(j="r.j", term="t.term")}
+GROUP BY t.term, t.n
+""",
+)
+def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch ({CMS_D}×{CMS_W}, md5-derived hash rows)
+    with an EXACT oracle: every cell is an integer sum over a
+    deterministic hash partition, so the sketch — unlike HLL — is
+    bit-identical across engines and the estimate itself hash-matches,
+    alongside the exact counts for the top-{CMS_TOP} terms and the CMS
+    no-undercount guarantee (est ≥ exact, structurally true, pinned as a
+    column). Completes the sketch family: KMV (distinct), HLL/GK
+    (bounded-error), CMS (point frequency, mergeable by cell-wise add).
+
+    Scale shape: the token stream pre-aggregates per term BEFORE the d-way
+    fan-out, so the sketch build shuffles vocabulary-sized rows, not the
+    corpus; the sketch table is d·w = {CMS_D * CMS_W} cells regardless of
+    data size — the whole point of a sketch."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("term"))
+    cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    top = cnt.orderBy(F.desc("n"), F.asc("term")).limit(CMS_TOP)
+
+    js = F.explode(F.array(*[F.lit(j) for j in range(CMS_D)])).alias("j")
+
+    def bucket(j_col, term_col):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(j_col.cast("string"), F.lit(":"), term_col)),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h % CMS_W
+
+    fan = cnt.select("term", "n", js)
+    cells = (
+        fan.select("j", bucket(F.col("j"), F.col("term")).alias("bucket"), "n")
+        .groupBy("j", "bucket")
+        .agg(F.sum("n").alias("c"))
+    )
+    probes = top.select("term", "n", js).withColumn(
+        "bucket", bucket(F.col("j"), F.col("term"))
+    )
+    est = (
+        probes.join(cells, ["j", "bucket"])
+        .groupBy("term", "n")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return est.select(
+        "term",
+        F.col("n").cast("long").alias("exact_n"),
+        F.col("est_n").cast("long").alias("est_n"),
+        (F.col("est_n") >= F.col("n")).alias("no_undercount"),
+    )
