@@ -513,3 +513,130 @@ def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_n").cast("long").alias("est_n"),
         (F.col("est_n") >= F.col("n")).alias("no_undercount"),
     )
+
+
+# --------------------------------------------------------------------------
+# 8. Bloom-filter membership sketch (exact oracle)
+# --------------------------------------------------------------------------
+
+BLOOM_WORDS = 64      # bitset = 64 words x 62 usable bits (sign bit unused)
+BLOOM_BITS_PER = 62
+BLOOM_K = 3           # hash functions
+
+_BLOOM_BIT_SQL = (
+    "(('0x' || substr(md5(CAST({i} AS VARCHAR) || '#' || CAST({x} AS VARCHAR)),"
+    f" 1, 15))::BIGINT) % {BLOOM_WORDS * BLOOM_BITS_PER}"
+)
+
+
+@query(
+    "sketch_bloom_membership",
+    oracle=f"""
+WITH members AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+),
+hashes AS (SELECT unnest(range(0, {BLOOM_K})) AS i),
+mbits AS (
+  SELECT {_BLOOM_BIT_SQL.format(i="i", x="user_id")} AS bit
+  FROM members CROSS JOIN hashes
+),
+bloom AS (
+  SELECT bit // {BLOOM_BITS_PER} AS word,
+         bit_or(1::BIGINT << (bit % {BLOOM_BITS_PER})) AS bits
+  FROM mbits GROUP BY 1
+),
+cands AS (SELECT DISTINCT user_id FROM events),
+probes AS (
+  SELECT c.user_id, i,
+         {_BLOOM_BIT_SQL.format(i="i", x="c.user_id")} AS bit
+  FROM cands c CROSS JOIN hashes
+),
+checked AS (
+  SELECT p.user_id,
+         bool_and(coalesce(b.bits, 0)
+                  & (1::BIGINT << (p.bit % {BLOOM_BITS_PER}))
+                  <> 0) AS bloom_pass
+  FROM probes p
+  LEFT JOIN bloom b ON b.word = p.bit // {BLOOM_BITS_PER}
+  GROUP BY p.user_id
+)
+SELECT c.user_id, c.bloom_pass,
+       m.user_id IS NOT NULL AS is_member,
+       (m.user_id IS NULL) OR c.bloom_pass AS no_false_negative
+FROM checked c LEFT JOIN members m ON c.user_id = m.user_id
+""",
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership sketch with an EXACT oracle: the bitset is
+    {BLOOM_WORDS} BIGINT words built by bit_or over md5-derived positions
+    (sign bit unused so shifts never wrap), so — like the CMS — the sketch
+    is bit-identical across engines and every probe result hash-matches.
+    Emitted per candidate: the bloom verdict, the true membership, and the
+    structural no-false-negative guarantee. This is the join-pruning
+    primitive: at 100 TB the {BLOOM_WORDS}-word bitset broadcasts to every
+    task and filters the big side BEFORE the shuffle, the way Spark's own
+    runtime row-level bloom pruning works — here surfaced as an explicit,
+    mergeable (bit_or) operator.
+
+    Scale shape: members pre-distinct → k-way fan-out → {BLOOM_WORDS}-row
+    bit_or agg (map-side combined); probes join the tiny bitset broadcast;
+    everything integer."""
+    ev = load(spark, sf_dir, "events")
+    members = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id"
+    ).distinct()
+    hashes = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("i")
+
+    def bit(i_col, x_col):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        i_col.cast("string"), F.lit("#"), x_col.cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h % (BLOOM_WORDS * BLOOM_BITS_PER)
+
+    mbits = members.select(hashes, "user_id").select(
+        bit(F.col("i"), F.col("user_id")).alias("bit")
+    )
+    bloom = mbits.select(
+        F.expr(f"bit div {BLOOM_BITS_PER}").alias("word"),
+        F.expr(f"shiftleft(1L, CAST(bit % {BLOOM_BITS_PER} AS INT))").alias("mask"),
+    ).groupBy("word").agg(F.bit_or("mask").alias("bits"))
+    cands = ev.select("user_id").distinct()
+    probes = cands.select("user_id", hashes).select(
+        "user_id", bit(F.col("i"), F.col("user_id")).alias("bit")
+    )
+    checked = (
+        probes.withColumn("word", F.expr(f"bit div {BLOOM_BITS_PER}"))
+        .withColumn(
+            "mask", F.expr(f"shiftleft(1L, CAST(bit % {BLOOM_BITS_PER} AS INT))")
+        )
+        .join(F.broadcast(bloom), "word", "left")
+        .groupBy("user_id")
+        .agg(
+            F.bool_and(
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+                != 0
+            ).alias("bloom_pass")
+        )
+    )
+    is_member = members.withColumn("is_member", F.lit(True))
+    return (
+        checked.join(F.broadcast(is_member), "user_id", "left")
+        .select(
+            "user_id",
+            "bloom_pass",
+            F.coalesce("is_member", F.lit(False)).alias("is_member"),
+            (~F.coalesce("is_member", F.lit(False)) | F.col("bloom_pass")).alias(
+                "no_false_negative"
+            ),
+        )
+    )
