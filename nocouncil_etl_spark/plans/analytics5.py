@@ -640,3 +640,67 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 9. weighted exact median (running-weight rank)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+WITH r AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         CAST(round(l_quantity) AS BIGINT) AS wt,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cumw,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) OVER (
+           PARTITION BY l_returnflag
+         ) AS BIGINT) AS totw
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(max(totw) AS BIGINT) AS total_weight,
+       min(CASE WHEN 2 * cumw >= totw THEN v END) AS weighted_median
+FROM r GROUP BY l_returnflag
+""",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted exact median (lower): the price at which half the total
+    QUANTITY sits at or below — the volume-weighted center a plain median
+    misstates when line sizes vary. Same scalable discipline as
+    agg_percentile_exact_rank: a running integer weight sum over the
+    partition sort crosses totw/2 at exactly one value, picked by
+    min(CASE) — values stream through the sort, never into one buffer,
+    and every comparison is integer (2·cumw ≥ totw avoids division).
+
+    Scale shape: one partition-keyed sort + two frame sums sharing it."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.round("l_quantity", 0).cast("long").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wo = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wp = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        "v",
+        F.sum("wt").over(wo).alias("cumw"),
+        F.sum("wt").over(wp).alias("totw"),
+    )
+    return r.groupBy("l_returnflag").agg(
+        F.max("totw").cast("long").alias("total_weight"),
+        F.min(F.when(2 * F.col("cumw") >= F.col("totw"), F.col("v"))).alias(
+            "weighted_median"
+        ),
+    )
