@@ -140,3 +140,83 @@ def explode_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.posexplode(F.slice(F.split("text", " "), 1, 5)).alias("pos", "word")
     )
+
+
+A_LEN_US = 1_800_000_000   # purchase activity window: 30 min after
+B_PAD_US = 600_000_000     # error investigation window: ±10 min
+OVL_BUCKET_US = 1_800_000_000
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+WITH a AS (
+  SELECT event_id AS a_id, user_id,
+         epoch_us(ts) AS s, epoch_us(ts) + {A_LEN_US} AS e
+  FROM events WHERE event_type = 'purchase'
+),
+b AS (
+  SELECT event_id AS b_id, user_id,
+         epoch_us(ts) - {B_PAD_US} AS s, epoch_us(ts) + {B_PAD_US} AS e
+  FROM events WHERE event_type = 'error'
+)
+SELECT a.a_id, b.b_id,
+       least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+FROM a JOIN b
+  ON a.user_id = b.user_id AND a.s <= b.e AND b.s <= a.e
+""",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (the interval×interval sibling of
+    join_range_bucketed's point-in-interval): per user, every purchase
+    activity window [t, t+30 min] paired with every overlapping error
+    window [t−10 min, t+10 min], with the exact overlap duration. The
+    calendar/genomics overlap shape Spark has no native operator for.
+
+    Scale shape: each interval explodes to the 30-min buckets it covers
+    (bounded fan-out — an interval spans ≤ 3 buckets by construction), the
+    candidate join is equi on (user, bucket), pairs dedupe through
+    distinct, and the overlap predicate is a residual filter — the naive
+    theta join (the oracle's formulation, fine at oracle scale) would be
+    quadratic per user at 100 TB."""
+    ev = load(spark, sf_dir, "events").withColumn("t_us", F.unix_micros("ts"))
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("a_id"),
+        "user_id",
+        F.col("t_us").alias("a_s"),
+        (F.col("t_us") + A_LEN_US).alias("a_e"),
+    )
+    b = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("b_id"),
+        "user_id",
+        (F.col("t_us") - B_PAD_US).alias("b_s"),
+        (F.col("t_us") + B_PAD_US).alias("b_e"),
+    )
+
+    def bucketed(df, s, e):
+        return df.withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / OVL_BUCKET_US),
+                    F.floor(F.col(e) / OVL_BUCKET_US),
+                )
+            ),
+        )
+
+    pairs = (
+        bucketed(a, "a_s", "a_e")
+        .join(bucketed(b, "b_s", "b_e"), ["user_id", "bucket"])
+        .filter(
+            (F.col("a_s") <= F.col("b_e")) & (F.col("b_s") <= F.col("a_e"))
+        )
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.least("a_e", "b_e") - F.greatest("a_s", "b_s")
+            ).alias("overlap_us"),
+        )
+        .distinct()
+    )
+    return pairs
