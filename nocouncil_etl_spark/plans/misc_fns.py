@@ -105,3 +105,41 @@ def fn_string_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rpad(F.col("lang"), 5, ".").alias("lang_padded"),
         F.split_part(F.col("source"), F.lit("rc"), F.lit(2)).alias("src_num"),
     )
+
+
+@query(
+    "fn_date_arithmetic",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS quarter_out,
+       last_day(o_orderdate) AS month_end,
+       CAST(date_diff('day', o_orderdate, DATE '2024-01-01') AS INT)
+         AS days_to_2024,
+       CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+       CAST(date_part('quarter', o_orderdate) AS INT) AS qtr
+FROM orders
+""",
+)
+def fn_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-arithmetic surface (§2.4 depth): day/month interval adds,
+    month-end snap, day differences, ISO weekday, quarter — the SLA/aging
+    computations of any orders pipeline. Month arithmetic is the subtle
+    one (adding 3 months to Nov 30 must clamp, not overflow) and both
+    engines share the clamping rule; weekday goes through the ISO
+    numbering because engines disagree on locale-relative dayofweek.
+
+    Scale shape: narrow per-row expressions, zero shuffles."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_add("o_orderdate", 30).alias("due_date"),
+        F.add_months("o_orderdate", 3).alias("quarter_out"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.datediff(F.lit("2024-01-01").cast("date"), "o_orderdate").alias(
+            "days_to_2024"
+        ),
+        F.expr("CAST(CASE WHEN dayofweek(o_orderdate) = 1 THEN 7 "
+               "ELSE dayofweek(o_orderdate) - 1 END AS INT)").alias("iso_dow"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+    )
