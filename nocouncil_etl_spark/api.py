@@ -82,6 +82,25 @@ class Engine:
         df.repartition(target_files).write.mode("overwrite").parquet(out_path)
         return self.spark.read.parquet(out_path)
 
+    def sorted_write(
+        self, df: DataFrame, path: str, sort_col: str, n_files: int = 8
+    ) -> DataFrame:
+        """Globally-sorted table write: range-partition (sampled split
+        points) + sort within partitions, so file k's values all precede
+        file k+1's — a total order across the table without any single
+        node ever holding it. Point/range predicates on the sort column
+        then prune to one or two files via parquet min/max stats
+        (non-overlap asserted from real file stats in
+        tests/test_layout5.py). The one-dimensional sibling of
+        zorder_write."""
+        (
+            df.repartitionByRange(n_files, sort_col)
+            .sortWithinPartitions(sort_col)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        return self.spark.read.parquet(path)
+
     def zorder_write(
         self,
         df: DataFrame,

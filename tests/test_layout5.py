@@ -81,3 +81,35 @@ def test_zorder_write_tightens_file_bounding_boxes(spark, sf_dir, tmp_path):
     got = spark.read.parquet(z_dir)
     assert got.count() == ev.count()
     assert got.exceptAll(ev).count() == 0
+
+
+def test_sorted_write_files_are_disjoint_ranges(spark, sf_dir, tmp_path):
+    """Engine.sorted_write: per-file [min,max] ranges on the sort column
+    must not overlap — the property that lets min/max stats prune a point
+    lookup to one file."""
+    import pyarrow.parquet as pq
+
+    eng = Engine(spark)
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    out = str(tmp_path / "sorted")
+    got = eng.sorted_write(ev, out, "event_id", n_files=6)
+    assert got.count() == ev.count()
+
+    ranges = []
+    for f in _parquet_files(out):
+        md = pq.ParquetFile(f).metadata
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                col = row.column(ci)
+                if col.path_in_schema == "event_id" and col.statistics:
+                    s = col.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        if lo is not None:
+            ranges.append((lo, hi))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (pl, ph), (nl, nh) in zip(ranges, ranges[1:]):
+        assert ph < nl, f"file ranges overlap: ({pl},{ph}) vs ({nl},{nh})"
