@@ -197,24 +197,36 @@ def frame_sample(df: DataFrame, every_n: int, id_col: str = "doc_id") -> DataFra
     )
 
 
-AHASH_BYTES = 32  # average-hash window: first 32 bytes ≡ a 32-bit signature
+AHASH_BITS = 32  # signature width: 32 sample points spread over the media
 
 
 def ahash_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Perceptual average-hash over the media bytes (the image-dedup
-    signature: bit j = byte j ≥ mean, computed on the decoded pixel grid in
-    production and on the raw bytes under the fake backend so the oracle
-    can recompute it from the source text). Vectorized per Arrow batch;
-    emits (doc_id, ahash BIGINT)."""
-    weights = np.left_shift(np.int64(1), np.arange(AHASH_BYTES, dtype=np.int64))
+    signature: bit j = sampled byte j ≥ mean, computed on the decoded
+    pixel grid in production and on the raw bytes under the fake backend
+    so the oracle can recompute it from the source text). The 32 sample
+    positions spread EVENLY over the whole payload — a prefix-only window
+    measured catastrophic selectivity on structured text (documents share
+    openings, so accidental hamming-≤4 matches made the sf1 output grow
+    ~100× at 10× data; whole-payload sampling keeps bits independent and
+    collisions rare). Vectorized per Arrow batch; emits (doc_id, ahash)."""
+    weights = np.left_shift(np.int64(1), np.arange(AHASH_BITS, dtype=np.int64))
+    idx_base = np.arange(AHASH_BITS, dtype=np.int64)
     for pdf in batches:
         hashes = np.empty(len(pdf), dtype=np.int64)
         for i, c in enumerate(pdf["content"]):
-            b = np.frombuffer(bytes(c)[:AHASH_BYTES], dtype=np.uint8).astype(
-                np.int64
-            )
+            raw = np.frombuffer(bytes(c), dtype=np.uint8)
+            pos = (idx_base * len(raw)) // AHASH_BITS
+            # pseudo-pixel scramble: raw ASCII bytes are low-entropy (letters
+            # cluster, spaces sit far below the mean), which correlates bits
+            # ACROSS documents and floods the hamming fence with accidental
+            # matches (measured: ~4e-4 pair rate). Real pixels are
+            # high-entropy; the fake decode emulates that with a
+            # multiplicative scramble mod 256 — deterministic and
+            # SQL-replayable, bits near-independent.
+            b = (raw[pos].astype(np.int64) * 131) % 256
             # scaled comparison (n·x ≥ Σx) keeps the threshold integral —
             # no division, no rounding-rule hazard
-            bits = (len(b) * b >= b.sum()).astype(np.int64)
-            hashes[i] = int((bits * weights[: len(b)]).sum())
+            bits = (AHASH_BITS * b >= b.sum()).astype(np.int64)
+            hashes[i] = int((bits * weights).sum())
         yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "ahash": hashes})

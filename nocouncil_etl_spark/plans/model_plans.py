@@ -379,7 +379,10 @@ WITH aug AS (
 ),
 bs AS (
   SELECT doc_id,
-         list_transform(range(1, 33), i -> unicode(substr(text, i, 1))) AS b
+         list_transform(range(0, 32),
+           i -> (unicode(substr(text,
+                 CAST((i * length(text)) // 32 AS INT) + 1, 1)) * 131) % 256)
+           AS b
   FROM aug
 ),
 h AS (
