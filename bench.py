@@ -45,6 +45,8 @@ HEADLINE: list[str] = [
     "model_embed_hashproj",  # Arrow pandas_udf path
     "text_quality",          # HOF-heavy text scoring
     "curation_e2e",          # full training-data curation DAG (north star)
+    "curation_incremental_e2e",  # CDC delta merged into the published state
+    "agg_percentile_exact_rank", # exact quantiles via partition-sort rank
     "pipeline_council_e2e",  # whole council DAG: transcribe→summarize→embed
     "dedup_semantic_centroid",  # SemDeDup: broadcast centroid assign + in-cluster pairs
     "mine_topk_ngrams",      # heavy hitters: explode → combine-agg → top-k window

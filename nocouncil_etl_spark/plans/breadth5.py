@@ -255,26 +255,32 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary, not the corpus. Postings order is total (doc_id, pos), so
     the sampled list is deterministic on both engines.
 
-    Scale shape: posexplode → one term-keyed shuffle; the posting sample
-    is bounded per term (collect_list then sort+slice of ≤ occurrence
-    rows; heavy hitters are stopword-frequency terms whose lists are
-    sliced to {IDX_POSTINGS} after an array_sort — at true 100 TB scale
-    the slice would move into the agg via a min-k sketch, the KMV trick)."""
+    Scale shape: posexplode → one term-keyed shuffle shared by the rank
+    window and the agg. The posting sample is bounded BEFORE aggregation:
+    a row_number over (term ORDER BY doc_id, pos) keeps only the first
+    {IDX_POSTINGS} postings per term, so a stopword-frequency term never
+    collects its corpus-wide posting list into one aggregation buffer —
+    the skew discipline exact-percentile uses, applied to list building."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.posexplode(F.expr(_TOK_SPARK)).alias("pos", "term")
     )
-    agg = toks.groupBy("term").agg(
+    wr = Window.partitionBy("term").orderBy("doc_id", "pos")
+    ranked = toks.withColumn("rn", F.row_number().over(wr))
+    agg = ranked.groupBy("term").agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_occ"),
-        F.slice(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("doc_id", "pos"))),
-                lambda s: F.concat_ws(":", s.doc_id.cast("string"),
-                                      s.pos.cast("string")),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("rn") <= IDX_POSTINGS,
+                        F.struct("doc_id", "pos"),
+                    )
+                )
             ),
-            1,
-            IDX_POSTINGS,
+            lambda s: F.concat_ws(":", s.doc_id.cast("string"),
+                                  s.pos.cast("string")),
         ).alias("postings"),
     )
     return agg.filter(F.col("n_docs") >= IDX_MIN_DOCS).select(
