@@ -228,3 +228,110 @@ def io_versioned_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_words").cast("long").alias("total_words"),
     )
+
+
+SFT_MIN_W, SFT_MAX_W = 10, 200   # quality gate bounds
+SFT_PROMPT_W = 12                # prompt = first 12 words
+
+
+@query(
+    "pipeline_sft_e2e",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 700000, text FROM documents WHERE doc_id % 11 = 0
+),
+g AS (
+  SELECT doc_id, text FROM aug
+  WHERE len(string_split(text, ' ')) BETWEEN {SFT_MIN_W} AND {SFT_MAX_W}
+),
+d AS (
+  SELECT min(doc_id) AS doc_id, min(text) AS text
+  FROM g GROUP BY md5(text)
+),
+s AS (
+  SELECT text,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT text,
+           (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)
+             AS b
+    FROM d
+  )
+),
+r AS (
+  SELECT split,
+         '<|user|>' || chr(10)
+           || array_to_string((string_split(text, ' '))[1:{SFT_PROMPT_W}], ' ')
+           || chr(10) || '<|assistant|>' || chr(10)
+           || coalesce(array_to_string(
+                (string_split(text, ' '))[{SFT_PROMPT_W + 1}:], ' '), '')
+           || '<|end|>' AS rendered
+  FROM s
+)
+SELECT split, count(*) AS n_examples,
+       CAST(sum(length(rendered)) AS BIGINT) AS total_chars,
+       CAST(bit_xor(('0x' || substr(md5(rendered), 1, 15))::BIGINT) AS BIGINT)
+         AS content_xor
+FROM r GROUP BY split
+""",
+)
+def pipeline_sft_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT dataset build end-to-end: quality gate (word bounds) → exact
+    dedup by content hash (duplicate copies are synthesized so the stage
+    provably removes rows) → deterministic 80/10/10 id-hash split → chat-
+    template rendering (prompt = first {SFT_PROMPT_W} words, completion =
+    the rest) → per-split accounting with an order-independent CONTENT
+    checksum (bit_xor of each rendered example's md5 prefix — any changed,
+    dropped, or duplicated example anywhere in the pipeline flips it).
+    Each stage is an operator proven alone (text_gopher_rules,
+    dedup_exact, split_train_val_test, sft_chat_render); this composes
+    them under one full-SQL oracle — the reference's pipeline shape
+    (gate → dedup → emit) applied to SFT data production.
+
+    Scale shape: the dedup groupBy keys on md5(text) so the shuffle
+    carries hashes, not pairwise comparisons; everything else is narrow
+    per-row compute + one split-keyed agg; bit_xor makes the checksum
+    combine-order-independent at any parallelism."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 700000).alias("doc_id"), "text"
+    )
+    aug = docs.unionByName(copies)
+    g = aug.filter(
+        F.size(F.split("text", " ")).between(SFT_MIN_W, SFT_MAX_W)
+    )
+    d = g.groupBy(F.md5("text").alias("k")).agg(
+        F.min("doc_id").alias("doc_id"), F.min("text").alias("text")
+    )
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    w = F.split("text", " ")
+    prompt = F.concat_ws(" ", F.slice(w, 1, SFT_PROMPT_W))
+    completion = F.concat_ws(
+        " ", F.expr(f"slice(split(text, ' '), {SFT_PROMPT_W + 1}, "
+                    f"greatest(size(split(text, ' ')) - {SFT_PROMPT_W}, 0))")
+    )
+    nl = F.lit("\n")
+    rendered = F.concat(
+        F.lit("<|user|>"), nl, prompt, nl, F.lit("<|assistant|>"), nl,
+        completion, F.lit("<|end|>"),
+    )
+    r = d.select(split.alias("split"), rendered.alias("rendered"))
+    h = F.conv(F.substring(F.md5("rendered"), 1, 15), 16, 10).cast("long")
+    return r.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_examples"),
+        F.sum(F.length("rendered")).cast("long").alias("total_chars"),
+        F.expr(
+            "bit_xor(CAST(conv(substring(md5(rendered), 1, 15), 16, 10) AS BIGINT))"
+        ).alias("content_xor"),
+    )
