@@ -335,3 +335,67 @@ def pipeline_sft_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bit_xor(CAST(conv(substring(md5(rendered), 1, 15), 16, 10) AS BIGINT))"
         ).alias("content_xor"),
     )
+
+
+@query(
+    "rollup_backfill_incremental",
+    oracle="""
+SELECT epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS day_us,
+       count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+FROM events
+GROUP BY 1
+""",
+)
+def rollup_backfill_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data backfill reconciliation of a daily rollup — the warehouse
+    maintenance twin of curation_incremental_e2e, for AGGREGATES: the
+    published rollup state covers the on-time events; when a late batch
+    arrives (every 13th event, simulating backfill), only the AFFECTED
+    DAYS are recomputed from source and swapped into the state — untouched
+    days pass through from the artifact. The oracle is the full rollup
+    over all events: hash equality proves day-partition replacement ≡
+    recompute-from-scratch, the invariant that lets a daily pipeline
+    reconcile late arrivals without reprocessing history.
+
+    Scale shape: the recompute scans only the affected days (at 100 TB a
+    day-partitioned source prunes to those partitions; the day filter is a
+    broadcast semi-join here); the state merge is an anti-join on the day
+    key + a union. Decimal-exact sums make both paths fold identically."""
+    from nocouncil_etl_spark.functions.numeric import exact_sum
+
+    state_dir = os.path.join(
+        tempfile.gettempdir(),
+        "nocouncil_etl_spark_scratch",
+        f"rollup_state_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    on_time = ev.filter(F.col("event_id") % 13 != 0)
+    late = ev.filter(F.col("event_id") % 13 == 0)
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("day").agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("value").alias("total_dec"),
+        )
+
+    # publish the on-time state once (decimal carried as exact string to
+    # dodge parquet decimal-scale renegotiation on re-read)
+    rollup(on_time).withColumn(
+        "total_dec", F.col("total_dec").cast("string")
+    ).write.mode("overwrite").parquet(state_dir)
+    state0 = spark.read.parquet(state_dir).withColumn(
+        "total_dec", F.col("total_dec").cast("decimal(18,6)")
+    )
+
+    # reconcile: recompute ONLY the affected days from full source
+    affected = late.select("day").distinct()
+    recomputed = rollup(ev.join(F.broadcast(affected), "day"))
+    merged = state0.join(affected, "day", "left_anti").unionByName(recomputed)
+    return merged.select(
+        F.unix_micros("day").alias("day_us"),
+        "n",
+        F.round(F.col("total_dec"), 2).cast("double").alias("total"),
+    )
