@@ -235,6 +235,15 @@ def test_round5_joins_have_no_quadratic_stage(spark, sf_dir):
         "vec_knn_index_kmeans",
         "agg_linear_regression",
         "text_inverted_index",
+        "multimodal_phash_neardup",
+        "dedup_url_canonical",
+        "join_asof_nearest",
+        "agg_mad_outliers",
+        "sketch_countmin_freq",
+        "sketch_bloom_membership",
+        "join_interval_overlap",
+        "pipeline_sft_e2e",
+        "rollup_backfill_incremental",
     ):
         p = plan_of(REGISTRY[name].fn(spark, sf_dir))
         assert "CartesianProduct" not in p, name
