@@ -51,21 +51,26 @@ def quantize_sql(vec_expr: str) -> str:
     return f"list_transform({vec_expr}, {_QUANT_LAMBDA})"
 
 
-def kmeans_cte(src: str, k: int, iters: int, dims: int = DIMS) -> str:
+def kmeans_cte(
+    src: str, k: int, iters: int, dims: int = DIMS, prefix: str = ""
+) -> str:
     """Unrolled Lloyd's CTE block over a prior CTE ``src`` with columns
-    (vec_id, xq BIGINT[]). Emits ``cent0``..``cent{iters}`` and the final
-    assignment ``asg_final(vid, cid, dist)`` — the exact recurrence the
-    Spark operator runs (seeds = first k in (md5(id), id) order; integer
-    squared-L2 argmin tie-broken on cid; floor-division centroid means;
-    empty clusters carry forward). Caller splices this after its own WITH
-    entries and selects from cent{iters}/asg_final."""
+    (vec_id, xq BIGINT[]). Emits ``{prefix}cent0``..``{prefix}cent{iters}``
+    and the final assignment ``{prefix}asg_final(vid, cid, dist)`` — the
+    exact recurrence the Spark operator runs (seeds = first k in
+    (md5(id), id) order; integer squared-L2 argmin tie-broken on cid;
+    floor-division centroid means; empty clusters carry forward). Caller
+    splices this after its own WITH entries; ``prefix`` namespaces the CTEs
+    so several independent k-means (e.g. one per PQ subspace) coexist in
+    one query."""
+    P = prefix
     dist = (
         f"CAST(list_sum(list_transform(range(1, {dims + 1}), "
         f"i -> (p.xq[i] - c.cv[i]) * (p.xq[i] - c.cv[i]))) AS BIGINT)"
     )
     parts = [
         f"""
-cent0 AS (
+{P}cent0 AS (
   SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
          AS BIGINT) AS cid, xq AS cv
   FROM {src} QUALIFY cid <= {k}
@@ -73,40 +78,40 @@ cent0 AS (
     ]
     for t in range(iters):
         parts.append(f""",
-scored{t} AS (
+{P}scored{t} AS (
   SELECT p.vec_id AS vid, c.cid, {dist} AS dist
-  FROM {src} p CROSS JOIN cent{t} c
+  FROM {src} p CROSS JOIN {P}cent{t} c
 ),
-asg{t} AS (
+{P}asg{t} AS (
   SELECT vid, cid FROM (
     SELECT vid, cid,
            row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
-    FROM scored{t}
+    FROM {P}scored{t}
   ) WHERE rn = 1
 ),
-sums{t} AS (
+{P}sums{t} AS (
   SELECT cid, pos, CAST(sum(val) AS BIGINT) AS s, count(*) AS n FROM (
     SELECT a.cid, generate_subscripts(p.xq, 1) AS pos, unnest(p.xq) AS val
-    FROM asg{t} a JOIN {src} p ON a.vid = p.vec_id
+    FROM {P}asg{t} a JOIN {src} p ON a.vid = p.vec_id
   ) GROUP BY cid, pos
 ),
-cent{t + 1} AS (
+{P}cent{t + 1} AS (
   SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY pos) AS cv
-  FROM sums{t} GROUP BY cid
+  FROM {P}sums{t} GROUP BY cid
   UNION ALL
-  SELECT c.cid, c.cv FROM cent{t} c
-  WHERE c.cid NOT IN (SELECT cid FROM sums{t})
+  SELECT c.cid, c.cv FROM {P}cent{t} c
+  WHERE c.cid NOT IN (SELECT cid FROM {P}sums{t})
 )""")
     parts.append(f""",
-scoredF AS (
+{P}scoredF AS (
   SELECT p.vec_id AS vid, c.cid, {dist} AS dist
-  FROM {src} p CROSS JOIN cent{iters} c
+  FROM {src} p CROSS JOIN {P}cent{iters} c
 ),
-asg_final AS (
+{P}asg_final AS (
   SELECT vid, cid, dist FROM (
     SELECT vid, cid, dist,
            row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
-    FROM scoredF
+    FROM {P}scoredF
   ) WHERE rn = 1
 )""")
     return "".join(parts)
@@ -285,6 +290,225 @@ def vec_knn_index_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             scored.withColumn("rk", F.row_number().over(w).cast("int"))
             .filter(F.col("rk") <= TOPK)
+        )
+    finally:
+        eq.unpersist()
+
+
+# --------------------------------------------------------------------------
+# product quantization (PQ) encoding
+# --------------------------------------------------------------------------
+
+PQ_M = 8      # subspaces (M * PQ_SUB = DIMS)
+PQ_SUB = 8    # dims per subspace
+PQ_K = 16     # codes per codebook → 4 bits/subspace, 64-dim vec → 4 bytes
+PQ_ITERS = 2
+
+
+def _pq_oracle() -> str:
+    subs, blocks, cols, errs, joins = [], [], [], [], []
+    for j in range(PQ_M):
+        lo, hi = j * PQ_SUB + 1, (j + 1) * PQ_SUB
+        subs.append(
+            f"sub{j} AS (SELECT vec_id, xq[{lo}:{hi}] AS xq FROM eq)"
+        )
+        blocks.append(
+            kmeans_cte(f"sub{j}", PQ_K, PQ_ITERS, dims=PQ_SUB, prefix=f"s{j}")
+        )
+        cols.append(f"s{j}.cid AS c{j}")
+        errs.append(f"s{j}.dist")
+        joins.append(f"JOIN s{j}asg_final s{j} ON e.vec_id = s{j}.vid")
+    return f"""
+WITH e AS (SELECT vec_id FROM embeddings),
+eq AS (
+  SELECT vec_id, {quantize_sql("embedding::DOUBLE[]")} AS xq FROM embeddings
+),
+{",".join(subs)},
+{",".join(blocks)}
+SELECT e.vec_id, {", ".join(cols)},
+       CAST({" + ".join(errs)} AS BIGINT) AS qerr
+FROM e {" ".join(joins)}
+"""
+
+
+@query("vec_pq_encode", oracle=_pq_oracle())
+def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al.) — the compression scheme behind
+    every planet-scale embedding store: split each 64-dim vector into
+    {PQ_M} subspaces of {PQ_SUB} dims, train an independent fixed-k
+    ({PQ_K}-code) integer k-means codebook per subspace, and encode each
+    vector as its {PQ_M} nearest-code ids — 64 float32s become {PQ_M}
+    4-bit codes (64×: 256 B → 4 B), with the integer quantization error
+    (Σ of per-subspace squared-L2 to the chosen code) reported per vector.
+    The oracle replays all {PQ_M} independent k-means trainings as
+    prefix-namespaced unrolled CTE blocks plus the 8-way code join — an
+    exact end-to-end check of a multi-codebook trained encoder.
+
+    Scale shape: each codebook trains on an O(n·k·subdim) kernel with k
+    fixed; encoding is {PQ_M} narrow Arrow passes joined on the id (at
+    100 TB: co-partitioned by id, one shuffle amortized across all
+    subspaces). ADC search against the codes needs only the k×{PQ_M}
+    lookup tables — the point of PQ."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    eq = quantize_vectors(e, "v", "xq").select("vec_id", "xq").persist()
+    try:
+        out = None
+        err = None
+        for j in range(PQ_M):
+            pj = eq.select(
+                "vec_id", F.slice("xq", j * PQ_SUB + 1, PQ_SUB).alias("xq")
+            )
+            cent_ids, cm = kmeans_fit(pj, PQ_K, PQ_ITERS)
+            a = assign_l2(pj, cent_ids, cm, with_dist=True).select(
+                "vec_id",
+                F.col("cid").alias(f"c{j}"),
+                F.col("dist").alias(f"d{j}"),
+            )
+            out = a if out is None else out.join(a, "vec_id")
+            dj = F.col(f"d{j}")
+            err = dj if err is None else err + dj
+        return out.select(
+            "vec_id",
+            *[f"c{j}" for j in range(PQ_M)],
+            err.cast("long").alias("qerr"),
+        )
+    finally:
+        eq.unpersist()
+
+
+# --------------------------------------------------------------------------
+# ADC search over PQ codes
+# --------------------------------------------------------------------------
+
+PQ_TOPK = 5
+
+
+def _pq_adc_oracle() -> str:
+    subs, blocks, enc_cols, enc_joins, qtabs = [], [], [], [], []
+    for j in range(PQ_M):
+        lo, hi = j * PQ_SUB + 1, (j + 1) * PQ_SUB
+        subs.append(f"sub{j} AS (SELECT vec_id, xq[{lo}:{hi}] AS xq FROM eq)")
+        blocks.append(
+            kmeans_cte(f"sub{j}", PQ_K, PQ_ITERS, dims=PQ_SUB, prefix=f"s{j}")
+        )
+        enc_cols.append(f"s{j}.cid AS c{j}")
+        enc_joins.append(f"JOIN s{j}asg_final s{j} ON e.vec_id = s{j}.vid")
+        qtabs.append(f"""
+SELECT q.vec_id AS q_id, {j} AS j, c.cid AS code,
+       CAST(list_sum(list_transform(range(1, {PQ_SUB + 1}),
+         i -> (q.xq[i] - c.cv[i]) * (q.xq[i] - c.cv[i]))) AS BIGINT) AS d
+FROM (SELECT * FROM sub{j} WHERE vec_id % {QUERY_MOD} = 0) q
+CROSS JOIN s{j}cent{PQ_ITERS} c""")
+    unp_j = ", ".join(str(j) for j in range(PQ_M))
+    unp_c = ", ".join(f"c{j}" for j in range(PQ_M))
+    return f"""
+WITH e AS (SELECT vec_id FROM embeddings),
+eq AS (
+  SELECT vec_id, {quantize_sql("embedding::DOUBLE[]")} AS xq FROM embeddings
+),
+{",".join(subs)},
+{",".join(blocks)},
+enc AS (SELECT e.vec_id, {", ".join(enc_cols)} FROM e {" ".join(enc_joins)}),
+unpiv AS (
+  SELECT vec_id, unnest([{unp_j}]) AS j, unnest([{unp_c}]) AS code FROM enc
+),
+qtab AS ({" UNION ALL ".join(qtabs)}),
+adc AS (
+  SELECT t.q_id, u.vec_id AS c_id, CAST(sum(t.d) AS BIGINT) AS adist
+  FROM unpiv u JOIN qtab t ON t.j = u.j AND t.code = u.code
+  WHERE u.vec_id <> t.q_id
+  GROUP BY t.q_id, u.vec_id
+)
+SELECT q_id, c_id, adist, rk FROM (
+  SELECT q_id, c_id, adist,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id)
+              AS INT) AS rk
+  FROM adc
+) WHERE rk <= {PQ_TOPK}
+"""
+
+
+@query("vec_knn_pq_adc", oracle=_pq_adc_oracle())
+def vec_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over PQ codes (the serving half of product quantization):
+    each query precomputes a tiny {PQ_M}×{PQ_K} integer distance table to
+    every codebook entry; a candidate's approximate distance is then just
+    {PQ_M} table lookups summed — the corpus is scanned as 4-byte codes,
+    never as float vectors. Here the lookup is spelled as relational
+    algebra: the encoded corpus unpivots to (vec_id, subspace, code) rows
+    and equi-joins the broadcast query tables, so the scan is linear and
+    JVM-side. Integer distances end-to-end make the whole pipeline —
+    {PQ_M} trained codebooks, encoding, query tables, ADC ranking —
+    hash-exact against the unrolled-CTE oracle.
+
+    Scale shape: codes fan out ×{PQ_M} (rows, but 1/64th the bytes of the
+    raw vectors); the query tables are nq·{PQ_M}·{PQ_K} rows broadcast to
+    every task; one (q, candidate) agg + top-k window. No float math, no
+    corpus-side vector reads at query time."""
+    import numpy as np
+
+    from nocouncil_etl_spark.operators.similarity import MAX_BLOCKED_QUERIES
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    eq = quantize_vectors(e, "v", "xq").select("vec_id", "xq").persist()
+    try:
+        enc = None
+        books = []
+        for j in range(PQ_M):
+            pj = eq.select(
+                "vec_id", F.slice("xq", j * PQ_SUB + 1, PQ_SUB).alias("xq")
+            )
+            cent_ids, cm = kmeans_fit(pj, PQ_K, PQ_ITERS)
+            books.append((cent_ids, cm))
+            a = assign_l2(pj, cent_ids, cm).select(
+                "vec_id", F.col("cid").alias(f"c{j}")
+            )
+            enc = a if enc is None else enc.join(a, "vec_id")
+
+        # query-side distance tables: bounded collect (blocked-kNN guard)
+        q_rows = (
+            eq.filter(F.col("vec_id") % QUERY_MOD == 0)
+            .limit(MAX_BLOCKED_QUERIES + 1)
+            .collect()
+        )
+        if len(q_rows) > MAX_BLOCKED_QUERIES:
+            raise ValueError(
+                "vec_knn_pq_adc materializes the query side on the driver; "
+                f"got more than {MAX_BLOCKED_QUERIES} query rows"
+            )
+        tab = []
+        for r in q_rows:
+            xq = np.array(r["xq"], dtype=np.int64)
+            for j, (cent_ids, cm) in enumerate(books):
+                sub = xq[j * PQ_SUB:(j + 1) * PQ_SUB]
+                d = ((sub[None, :] - cm) ** 2).sum(axis=1)
+                for cid, dv in zip(cent_ids, d):
+                    tab.append((int(r["vec_id"]), j, int(cid), int(dv)))
+        qtab = spark.createDataFrame(
+            tab, "q_id long, j int, code long, d long"
+        )
+        stack = ", ".join(f"{j}, c{j}" for j in range(PQ_M))
+        unpiv = enc.select(
+            "vec_id", F.expr(f"stack({PQ_M}, {stack}) AS (j, code)")
+        )
+        adc = (
+            unpiv.join(F.broadcast(qtab), ["j", "code"])
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .groupBy("q_id", F.col("vec_id").alias("c_id"))
+            .agg(F.sum("d").cast("long").alias("adist"))
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("q_id").orderBy("adist", "c_id")
+        return (
+            adc.withColumn("rk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rk") <= PQ_TOPK)
         )
     finally:
         eq.unpersist()

