@@ -265,3 +265,61 @@ def stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, mode="complete")
+
+
+@query(
+    "stream_stateful_user_stats",
+    oracle="""
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS total_v4
+FROM events GROUP BY user_id
+""",
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator under a batch oracle: a running
+    per-user (count, fixed-point value total) maintained in the state
+    store via applyInPandasWithState — the hook for operators Structured
+    Streaming lacks natively. Values quantize to the 1e-4 integer grid
+    BEFORE entering the UDF so state arithmetic is integer (no float
+    accumulation order to disagree on); both accumulators are monotone
+    (values are positive), so the per-user max over all update-mode
+    emissions IS the final state, which availableNow drains to exactly
+    the batch aggregate.
+
+    Scale shape: state is two integers per user, partitioned by the
+    grouping key in the state store; emissions are one row per (user,
+    micro-batch)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from nocouncil_etl_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id", F.round(F.col("value") * 10000, 0).cast("long").alias("v4")
+    )
+
+    def stats(key, pdfs, state: GroupState):
+        n, tot = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            tot += int(pdf["v4"].sum())
+        state.update((n, tot))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_v4": [tot]}
+        )
+
+    counted = ev.groupBy("user_id").applyInPandasWithState(
+        stats,
+        outputStructType="user_id long, n_events long, total_v4 long",
+        stateStructType="n long, tot long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sunk = run_to_memory(counted, mode="update")
+    return sunk.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_v4").alias("total_v4"),
+    )

@@ -81,3 +81,58 @@ def agg_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types"),
         F.countDistinct("event_type").alias("n_types"),
     )
+
+
+DAU_WINDOW_DAYS = 7
+
+
+@query(
+    "window_rolling_distinct_users",
+    oracle=f"""
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS d, user_id FROM events
+),
+fan AS (
+  SELECT d + CAST(unnest(range(0, {DAU_WINDOW_DAYS})) AS INTEGER) AS wday, user_id
+  FROM (SELECT DISTINCT d, user_id FROM days)
+),
+base AS (SELECT DISTINCT CAST(ts AS DATE) AS wday FROM events)
+SELECT epoch_us(CAST(b.wday AS TIMESTAMP)) AS day_us,
+       count(DISTINCT f.user_id) AS active_users_7d
+FROM base b JOIN fan f ON f.wday = b.wday
+GROUP BY b.wday
+""",
+)
+def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct actives per day (the DAU/WAU retention
+    metric): a DISTINCT over a sliding window cannot ride a window frame
+    (distinct doesn't decompose), so each (day, user) contributes itself
+    to the {DAU_WINDOW_DAYS} window-days it belongs to — fan-out
+    {DAU_WINDOW_DAYS} rows per distinct (day, user), then one
+    count(DISTINCT) per window-day, restricted to days the data actually
+    covers. The standard rewrite that turns an O(n·w) re-scan into one
+    explode + one distinct agg.
+
+    Scale shape: the fan-out is per DISTINCT (day, user) — bounded by
+    actives, not events; the distinct agg partial-aggregates map-side."""
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    du = ev.distinct()
+    fan = du.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(DAU_WINDOW_DAYS - 1))
+        ).alias("k"),
+        "d",
+        "user_id",
+    ).select(F.date_add("d", F.col("k")).alias("wday"), "user_id")
+    base = ev.select(F.col("d").alias("wday")).distinct()
+    return (
+        base.join(fan, "wday")
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+        .select(
+            F.unix_micros(F.col("wday").cast("timestamp")).alias("day_us"),
+            "active_users_7d",
+        )
+    )
