@@ -399,3 +399,68 @@ def rollup_backfill_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("total_dec"), 2).cast("double").alias("total"),
     )
+
+
+PPL_FLAG_MICRO = 8_000_000  # flag docs with avg NLL > 8.0 nats (1e-6 units)
+
+
+@query(
+    "curation_perplexity_filter",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+lm AS (
+  SELECT term, count(*) AS n FROM toks GROUP BY term
+),
+meta AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM lm),
+scored AS (
+  SELECT t.doc_id,
+         CAST(round(-ln(CAST(l.n AS DOUBLE) / (SELECT total FROM meta))
+                    * 1000000) AS BIGINT) AS nll_micro
+  FROM toks t JOIN lm l USING (term)
+)
+SELECT doc_id,
+       count(*) AS n_tok,
+       CAST(sum(nll_micro) AS BIGINT) AS nll_total_micro,
+       CAST(sum(nll_micro) // count(*) AS BIGINT) AS avg_nll_micro,
+       (sum(nll_micro) // count(*)) > {PPL_FLAG_MICRO} AS flagged
+FROM scored GROUP BY doc_id
+""",
+)
+def curation_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity scoring — the classic curation quality filter
+    (docs whose tokens are improbable under the corpus's own language
+    model are boilerplate, garbage, or wrong-language): estimate unigram
+    probabilities from corpus counts, score each doc by its average
+    negative log-likelihood, flag the high-perplexity tail. Each token's
+    −ln p quantizes to INTEGER micro-nats once (one rounding per DISTINCT
+    token), so per-doc sums are exact BIGINTs — a float NLL sum would fold
+    in engine/partition order and flicker at the hash level.
+
+    Scale shape: LM build = one vocab-sized agg; scoring = token stream ⋈
+    broadcast LM (vocab-sized) + per-doc integer agg. Linear, two
+    shuffles, no driver state."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    lm = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = lm.agg(F.sum("n").cast("long").alias("total"))
+    lmp = lm.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(
+            -F.log(F.col("n").cast("double") / F.col("total")) * 1000000, 0
+        )
+        .cast("long")
+        .alias("nll_micro"),
+    )
+    scored = toks.join(F.broadcast(lmp), "term")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum("nll_micro").cast("long").alias("nll_total_micro"),
+        F.expr("CAST(sum(nll_micro) div count(*) AS BIGINT)").alias(
+            "avg_nll_micro"
+        ),
+        (
+            F.expr("sum(nll_micro) div count(*)") > PPL_FLAG_MICRO
+        ).alias("flagged"),
+    )
