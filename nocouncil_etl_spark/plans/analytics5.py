@@ -704,3 +704,101 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_median"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# 10. concentration / diversity metrics
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_gini_concentration",
+    oracle="""
+WITH v AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS x2,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY round(value * 100), event_id) AS i,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       round(CAST(2 * sum(i * x2) - (max(n) + 1) * sum(x2) AS DOUBLE)
+             / (max(n) * sum(x2)), 6) AS gini
+FROM v GROUP BY event_type
+""",
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the value distribution per event type — the
+    concentration metric behind "do a few whales carry this segment"
+    analyses (and, on token counts, corpus-imbalance checks). Computed
+    from the rank formula G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over the
+    partition sort, with values on the integer 1e-2 grid so every term is
+    a BIGINT — tie blocks contribute x·Σi regardless of tie order, so
+    row_number's nondeterminism among equal values cancels out exactly.
+
+    Scale shape: one partition sort (same shuffle as any window) + one
+    integer agg; no group ever materializes in one buffer."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("x2"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("x2", "event_id")
+    wp = Window.partitionBy("event_type")
+    v = ev.select(
+        "event_type",
+        "x2",
+        F.row_number().over(wo).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    n = F.max("n")
+    gini = (
+        (2 * F.sum(F.col("i") * F.col("x2")) - (n + 1) * F.sum("x2"))
+        .cast("double")
+        / (n * F.sum("x2"))
+    )
+    return v.groupBy("event_type").agg(
+        n.cast("long").alias("n"), F.round(gini, 6).alias("gini")
+    )
+
+
+@query(
+    "agg_entropy_diversity",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+),
+t AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY user_id),
+q AS (
+  SELECT c.user_id,
+         CAST(round(-(CAST(c.n AS DOUBLE) / t.tot)
+                    * ln(CAST(c.n AS DOUBLE) / t.tot) * 1000000) AS BIGINT)
+           AS h_micro
+  FROM c JOIN t USING (user_id)
+)
+SELECT user_id, CAST(sum(h_micro) AS BIGINT) AS entropy_micro
+FROM q GROUP BY user_id
+""",
+)
+def agg_entropy_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the behavioral-
+    diversity feature (0 = single-minded, ln 5 ≈ 1.609 = uniform over the
+    five types). Each −p·ln p term quantizes ONCE to integer micro-nats
+    (p is an exact rational n/tot, so the double inputs are identical on
+    both engines), then per-user sums are exact BIGINTs — the perplexity-
+    filter discipline applied to a distributional metric.
+
+    Scale shape: two keyed aggs ((user, type) then user) + one broadcast-
+    sized join of per-user totals; everything map-side combined."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("user_id").agg(F.sum("n").cast("long").alias("tot"))
+    p = F.col("n").cast("double") / F.col("tot")
+    q = c.join(t, "user_id").select(
+        "user_id",
+        F.round(-p * F.log(p) * 1000000, 0).cast("long").alias("h_micro"),
+    )
+    return q.groupBy("user_id").agg(
+        F.sum("h_micro").cast("long").alias("entropy_micro")
+    )
