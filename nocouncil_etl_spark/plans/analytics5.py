@@ -802,3 +802,102 @@ def agg_entropy_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.groupBy("user_id").agg(
         F.sum("h_micro").cast("long").alias("entropy_micro")
     )
+
+
+# --------------------------------------------------------------------------
+# 11. Zipf-law fit of the vocabulary
+# --------------------------------------------------------------------------
+
+ZIPF_TOP = 200
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+WITH cnt AS (
+  SELECT term, count(*) AS n FROM (
+    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+  ) GROUP BY term
+),
+rk AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, term) AS r FROM cnt
+  QUALIFY r <= {ZIPF_TOP}
+),
+q AS (
+  SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+         CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS y
+  FROM rk
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM q
+)
+SELECT k AS n_terms,
+       round(CAST(k * sxy - sx * sy AS DOUBLE)
+             / CAST(k * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+       round(CAST(k * sxy - sx * sy AS DOUBLE)
+             * CAST(k * sxy - sx * sy AS DOUBLE)
+             / (CAST(k * sxx - sx * sx AS DOUBLE)
+                * CAST(k * syy - sy * sy AS DOUBLE)), 6) AS r2
+FROM m
+""",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus vocabulary: regress ln(frequency) on
+    ln(rank) over the top-{ZIPF_TOP} terms — natural language sits near
+    slope −1, and a corpus that drifts far from it (too flat: templated
+    boilerplate; too steep: degenerate repetition) fails the distributional
+    sanity check curation pipelines run before training. Logs quantize
+    ONCE to integer micro-nats, so the regression co-moments are exact
+    BIGINTs and the closed forms divide identical doubles on both engines
+    (the agg_linear_regression discipline on log-log axes).
+
+    Scale shape: one vocab agg → TakeOrdered {ZIPF_TOP} → constant-size
+    co-moment fold; the vocabulary agg is the only corpus-sized stage."""
+    docs = load(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rk = (
+        cnt.select(
+            "n",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n"), F.asc("term")))
+            .alias("r"),
+        )
+        .filter(F.col("r") <= ZIPF_TOP)
+    )
+    q = rk.select(
+        F.round(F.log(F.col("r").cast("double")) * 1000000, 0)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("n").cast("double")) * 1000000, 0)
+        .cast("long")
+        .alias("y"),
+    )
+    m = q.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    k, sx, sy = F.col("k"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    num = (k * sxy - sx * sy).cast("double")
+    return m.select(
+        k.alias("n_terms"),
+        F.round(num / (k * sxx - sx * sx).cast("double"), 6).alias("zipf_slope"),
+        F.round(
+            num * num
+            / ((k * sxx - sx * sx).cast("double") * (k * syy - sy * sy).cast("double")),
+            6,
+        ).alias("r2"),
+    )
