@@ -82,6 +82,45 @@ class Engine:
         df.repartition(target_files).write.mode("overwrite").parquet(out_path)
         return self.spark.read.parquet(out_path)
 
+    def publish_versioned(self, df: DataFrame, root: str) -> int:
+        """Atomic versioned publish: write the frame to a NEW immutable
+        ``v=<n+1>`` directory under ``root``, then atomically swap a
+        CURRENT manifest pointer to it (write-temp + os.replace — the same
+        commit discipline the ANN index manifest uses). Readers via
+        read_current never observe a half-written version: they either see
+        the old pointer or the new one — the poor man's transaction commit
+        that gives plain parquet snapshot-isolated publishes. Returns the
+        new version number. Old versions stay readable (time travel /
+        rollback = rewrite the pointer)."""
+        import json
+        import os
+
+        os.makedirs(root, exist_ok=True)
+        mf = os.path.join(root, "CURRENT.json")
+        cur = 0
+        if os.path.isfile(mf):
+            try:
+                with open(mf) as fh:
+                    cur = int(json.load(fh)["version"])
+            except (OSError, ValueError, KeyError):
+                cur = 0
+        new = cur + 1
+        df.write.mode("overwrite").parquet(f"{root}/v={new}")
+        tmp = mf + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": new}, fh)
+        os.replace(tmp, mf)
+        return new
+
+    def read_current(self, root: str) -> DataFrame:
+        """Read the version the CURRENT manifest points at."""
+        import json
+        import os
+
+        with open(os.path.join(root, "CURRENT.json")) as fh:
+            v = int(json.load(fh)["version"])
+        return self.spark.read.parquet(f"{root}/v={v}")
+
     def sorted_write(
         self, df: DataFrame, path: str, sort_col: str, n_files: int = 8
     ) -> DataFrame:

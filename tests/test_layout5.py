@@ -113,3 +113,23 @@ def test_sorted_write_files_are_disjoint_ranges(spark, sf_dir, tmp_path):
     assert len(ranges) >= 2
     for (pl, ph), (nl, nh) in zip(ranges, ranges[1:]):
         assert ph < nl, f"file ranges overlap: ({pl},{ph}) vs ({nl},{nh})"
+
+
+def test_publish_versioned_atomic_pointer_swap(spark, sf_dir, tmp_path):
+    """Engine.publish_versioned: each publish lands in a new immutable
+    version dir and the CURRENT pointer swaps atomically; read_current
+    always sees a complete snapshot, and old versions stay readable."""
+    eng = Engine(spark)
+    root = str(tmp_path / "vtab")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+
+    v1 = eng.publish_versioned(docs, root)
+    assert v1 == 1
+    assert eng.read_current(root).count() == docs.count()
+
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    v2 = eng.publish_versioned(half, root)
+    assert v2 == 2
+    assert eng.read_current(root).count() == half.count()
+    # rollback = the old version is still there, intact
+    assert spark.read.parquet(f"{root}/v=1").count() == docs.count()
