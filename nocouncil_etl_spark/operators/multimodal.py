@@ -230,3 +230,30 @@ def ahash_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             bits = (AHASH_BITS * b >= b.sum()).astype(np.int64)
             hashes[i] = int((bits * weights).sum())
         yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "ahash": hashes})
+
+
+VAD_FRAME = 30        # bytes per analysis frame (FRAME_BYTES twin)
+VAD_THRESHOLD = 130   # mean scrambled-byte energy that counts as "voiced"
+
+
+def frame_energy_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-frame energy extraction for VAD: split the media payload into
+    {VAD_FRAME}-byte frames and emit each frame's scrambled-byte energy sum
+    (the fake-backend stand-in for short-time RMS energy on real audio;
+    the ×131 mod 256 scramble gives the low-entropy ASCII payload the
+    dynamics real audio has). Emits (doc_id, frame_id, energy, flen)."""
+    for pdf in batches:
+        ids, fids, es, fls = [], [], [], []
+        for doc_id, c in zip(pdf["doc_id"], pdf["content"]):
+            raw = (np.frombuffer(bytes(c), dtype=np.uint8).astype(np.int64)
+                   * 131) % 256
+            n = len(raw)
+            for f in range(max(1, -(-n // VAD_FRAME))):
+                fr = raw[f * VAD_FRAME:(f + 1) * VAD_FRAME]
+                ids.append(doc_id)
+                fids.append(f)
+                es.append(int(fr.sum()))
+                fls.append(len(fr))
+        yield pd.DataFrame(
+            {"doc_id": ids, "frame_id": fids, "energy": es, "flen": fls}
+        )

@@ -463,3 +463,81 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= PHASH_HAM_MAX)
+
+
+@query(
+    "multimodal_vad_segments",
+    oracle="""
+WITH pos AS (
+  SELECT doc_id, unnest(range(1, length(text) + 1)) AS p, text FROM documents
+),
+fr AS (
+  SELECT doc_id, CAST((p - 1) // 30 AS BIGINT) AS frame_id,
+         CAST(sum((unicode(substr(text, p, 1)) * 131) % 256) AS BIGINT)
+           AS energy,
+         count(*) AS flen
+  FROM pos GROUP BY doc_id, (p - 1) // 30
+),
+voiced AS (
+  SELECT doc_id, frame_id,
+         CASE WHEN energy >= 130 * flen THEN 1 ELSE 0 END AS v
+  FROM fr
+),
+isl AS (
+  SELECT doc_id, frame_id, v,
+         CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) OVER (
+           PARTITION BY doc_id ORDER BY frame_id
+         ) AS BIGINT) AS grp
+  FROM voiced
+)
+SELECT doc_id, grp AS seg_id,
+       min(frame_id) AS start_frame, max(frame_id) AS end_frame,
+       count(*) AS n_frames
+FROM isl WHERE v = 1
+GROUP BY doc_id, grp
+""",
+)
+def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection over media frames — the segmentation step
+    that precedes transcription (the reference feeds whole .mp4s to
+    Whisper; at scale you VAD first and transcribe only voiced segments):
+    an Arrow kernel emits per-frame energies (short-time RMS on real
+    audio; scrambled-byte sums under the fake backend so the oracle can
+    replay them), a threshold marks voiced frames, and gaps-and-islands
+    merges consecutive voiced frames into segments. Integer energies and
+    the mean-threshold-as-product comparison (energy ≥ 130·flen) keep
+    everything exact.
+
+    Scale shape: one narrow Arrow pass fanning out to frames (bounded by
+    payload bytes / {30}); one doc-keyed window for the islands; one
+    segment agg. No shuffle carries more than one row per frame."""
+    from nocouncil_etl_spark.operators.multimodal import (
+        frame_energy_map,
+        to_media_column,
+    )
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    media = to_media_column(docs, "text", "doc_id")
+    fr = media.select("doc_id", "content").mapInPandas(
+        frame_energy_map,
+        schema="doc_id long, frame_id long, energy long, flen long",
+    )
+    voiced = fr.select(
+        "doc_id",
+        "frame_id",
+        F.when(F.col("energy") >= 130 * F.col("flen"), 1).otherwise(0).alias("v"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_id")
+    isl = voiced.withColumn(
+        "grp", F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).over(w)
+    )
+    return (
+        isl.filter(F.col("v") == 1)
+        .groupBy("doc_id", F.col("grp").alias("seg_id"))
+        .agg(
+            F.min("frame_id").alias("start_frame"),
+            F.max("frame_id").alias("end_frame"),
+            F.count(F.lit(1)).alias("n_frames"),
+        )
+    )
