@@ -901,3 +901,79 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# 12. winsorized mean (robust location estimate)
+# --------------------------------------------------------------------------
+
+WINS_LO, WINS_HI = 0.05, 0.95
+
+
+@query(
+    "agg_winsorized_mean",
+    oracle=f"""
+WITH r AS (
+  SELECT event_type, round(value, 2) AS v2,
+         row_number() OVER (PARTITION BY event_type ORDER BY round(value, 2))
+           AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+fences AS (
+  SELECT event_type,
+         max(CASE WHEN rn = CAST(ceil({WINS_LO} * n) AS BIGINT) THEN v2 END)
+           AS lo,
+         max(CASE WHEN rn = CAST(ceil({WINS_HI} * n) AS BIGINT) THEN v2 END)
+           AS hi
+  FROM r GROUP BY event_type
+)
+SELECT r.event_type, CAST(max(r.n) AS BIGINT) AS n,
+       max(f.lo) AS p05, max(f.hi) AS p95,
+       round(CAST(sum(CAST(least(greatest(r.v2, f.lo), f.hi)
+                           AS DECIMAL(18,6))) AS DOUBLE) / max(r.n), 6)
+         AS winsorized_mean
+FROM r JOIN fences f USING (event_type)
+GROUP BY r.event_type
+""",
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group: clamp every value into the exact
+    [p05, p95] order-statistic fence, then average — the robust location
+    estimate that keeps sample size (unlike trimming) while bounding
+    outlier leverage. Fences come from the rank method (no group buffer);
+    the clamped average folds on the DECIMAL grid so combine order can't
+    move it.
+
+    Scale shape: one partition sort for the fences + a broadcast of the
+    5-row fence table back over the scan + one decimal agg."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.round("value", 2).alias("v2")
+    )
+    wo = Window.partitionBy("event_type").orderBy("v2")
+    wp = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type", "v2",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    fences = r.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(WINS_LO) * F.col("n")).cast("long"),
+                   F.col("v2"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(WINS_HI) * F.col("n")).cast("long"),
+                   F.col("v2"))
+        ).alias("hi"),
+    )
+    j = r.join(F.broadcast(fences), "event_type")
+    clamped = F.least(F.greatest(F.col("v2"), F.col("lo")), F.col("hi"))
+    return j.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("lo").alias("p05"),
+        F.max("hi").alias("p95"),
+        F.round(
+            F.sum(clamped.cast("decimal(18,6)")).cast("double") / F.max("n"), 6
+        ).alias("winsorized_mean"),
+    )

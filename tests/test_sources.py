@@ -157,3 +157,34 @@ def test_json_array_state_write_is_reference_format(spark, tmp_path):
     assert {r["id"] for r in raw} == {"abc", "def"}
     back = read_json_array(spark, p, "id STRING, url STRING")
     assert sorted(r.id for r in back.collect()) == ["abc", "def"]
+
+
+def test_corrupt_parquet_file_degrades_alone(spark, sf_dir, tmp_path):
+    """100 TB read posture: one corrupt parquet file in a directory must
+    not fail the scan — with ignoreCorruptFiles the valid files' rows
+    survive and the poison file degrades alone (the file-level sibling of
+    the PERMISSIVE JSONL quarantine)."""
+    from pyspark.sql import functions as F
+
+    from nocouncil_etl_spark.io import load
+
+    out = str(tmp_path / "mixed")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    docs.repartition(4).write.parquet(out)
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(out, "*.parquet")))
+    assert len(files) >= 2
+    with open(files[0], "wb") as fh:  # clobber one file's magic + body
+        fh.write(b"NOTPARQUET" * 64)
+
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        got = spark.read.schema("doc_id long, source string").parquet(out)
+        n = got.count()
+        assert 0 < n < docs.count()
+        # surviving rows are genuine rows, not junk
+        assert got.join(docs, ["doc_id", "source"], "left_anti").count() == 0
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
