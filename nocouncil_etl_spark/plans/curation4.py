@@ -373,3 +373,62 @@ def curation4_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_words").cast(DEC)).cast("double") / F.count(F.lit(1)), 4
         ).alias("avg_words"),
     )
+
+
+def _sem_clusters_oracle() -> str:
+    from nocouncil_etl_spark.plans.clustering import kmeans_cte, quantize_sql
+
+    return f"""
+WITH RECURSIVE base AS ({_E}),
+aug AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000, v[1:63] || [v[64] + 0.05] FROM base WHERE vec_id % 5 = 0
+),
+augq AS (SELECT vec_id, {quantize_sql("v")} AS xq FROM aug),
+{kmeans_cte("augq", SEM_K, SEM_ITERS)},
+clustered AS (
+  SELECT f.cid AS cent_id, a.vec_id, a.v
+  FROM aug a JOIN asg_final f ON a.vec_id = f.vid
+),
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM clustered a JOIN clustered b
+    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+  WHERE {_COS_AB} >= {SEM_THRESHOLD}
+),
+sym AS (SELECT src AS a, dst AS b FROM pairs UNION SELECT dst, src FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT s.b AS node, reach.r FROM reach JOIN sym s ON s.a = reach.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT component, count(*) AS n_members
+FROM comp GROUP BY component
+"""
+
+
+@query("dedup_semantic_clusters", oracle=_sem_clusters_oracle())
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pairs → transitive duplicate CLUSTERS: the trained-centroid
+    near-duplicate pairs (dedup_semantic_centroid) feed min-label
+    connected components, yielding one canonical group per semantic
+    duplicate family with its member count — the keep-one-per-cluster
+    step between pair mining and row dropping, now on EMBEDDING-space
+    duplicates (the text-fingerprint twin is dedup_cluster_components).
+    The oracle replays k-means + pair scan + a recursive-CTE reachability.
+
+    Scale shape: the pair set is the SemDeDup output (bounded, in-cluster
+    only); components are per-level equi-join + min-agg with
+    diameter-bounded iterations."""
+    from nocouncil_etl_spark.operators.dedup import connected_components
+
+    pairs = dedup_semantic_centroid(spark, sf_dir).select(
+        F.col("id_keep").alias("src"), F.col("id_dup").alias("dst")
+    )
+    comp = connected_components(pairs)
+    return comp.groupBy(F.col("comp").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )

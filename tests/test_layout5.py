@@ -133,3 +133,30 @@ def test_publish_versioned_atomic_pointer_swap(spark, sf_dir, tmp_path):
     assert eng.read_current(root).count() == half.count()
     # rollback = the old version is still there, intact
     assert spark.read.parquet(f"{root}/v=1").count() == docs.count()
+
+
+def test_observation_metrics_track_quality_gate(spark, sf_dir):
+    """Pipeline observability: df.observe() accumulates gate metrics AS the
+    job runs (no second pass) — the counters a production curation run
+    exports to its metrics sink. Observed values must equal recomputed
+    ones."""
+    from pyspark.sql import Observation
+
+    docs = load(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    obs = Observation("gate")
+    gated = (
+        docs.withColumn("n_words", n_words)
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.count(F.when(F.col("n_words") < 10, 1)).alias("too_short"),
+            F.sum("n_words").alias("tok_in"),
+        )
+        .filter(F.col("n_words") >= 10)
+    )
+    kept = gated.count()  # one action drives both the filter and the metrics
+    m = obs.get
+    assert m["rows_in"] == docs.count()
+    assert m["rows_in"] - m["too_short"] == kept
+    assert m["tok_in"] == docs.select(F.sum(n_words)).collect()[0][0]
