@@ -977,3 +977,74 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(clamped.cast("decimal(18,6)")).cast("double") / F.max("n"), 6
         ).alias("winsorized_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# 13. Wilson confidence interval for conversion rates
+# --------------------------------------------------------------------------
+
+WILSON_Z2 = 3.8416  # z² for 95% (z = 1.96), an exact decimal literal
+
+
+@query(
+    "agg_conversion_wilson",
+    oracle=f"""
+WITH c AS (
+  SELECT user_id,
+         CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS views,
+         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+           AS buys
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT CAST(sum(views) + sum(buys) AS BIGINT) AS n,
+         CAST(sum(buys) AS BIGINT) AS k,
+         user_id % 5 AS cohort
+  FROM c GROUP BY user_id % 5
+)
+SELECT cohort, n, k,
+       round(CAST(k AS DOUBLE) / n, 6) AS rate,
+       round((k + {WILSON_Z2} / 2) / (n + {WILSON_Z2})
+             - sqrt({WILSON_Z2}) * sqrt((CAST(k AS DOUBLE) * (n - k)) / n
+                                        + {WILSON_Z2} / 4) / (n + {WILSON_Z2}),
+             6) AS wilson_lo,
+       round((k + {WILSON_Z2} / 2) / (n + {WILSON_Z2})
+             + sqrt({WILSON_Z2}) * sqrt((CAST(k AS DOUBLE) * (n - k)) / n
+                                        + {WILSON_Z2} / 4) / (n + {WILSON_Z2}),
+             6) AS wilson_hi
+FROM g
+""",
+)
+def agg_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% confidence interval for per-cohort conversion rates
+    (purchases per view-or-purchase interaction, so k ≤ n structurally) — the interval that behaves at small n and
+    extreme rates where the normal approximation fails; what an
+    experimentation readout actually reports next to the point estimate.
+    All inputs are exact integers (n, k) and z² is an exact decimal
+    literal, so both engines evaluate the identical closed form on
+    identical doubles — no accumulation-order surface at all.
+
+    Scale shape: two keyed aggs (user, then cohort); O(cohorts) output."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("buys"),
+    )
+    g = c.groupBy((F.col("user_id") % 5).alias("cohort")).agg(
+        (F.sum("views") + F.sum("buys")).cast("long").alias("n"),
+        F.sum("buys").cast("long").alias("k"),
+    )
+    n, k = F.col("n"), F.col("k")
+    z2 = F.lit(WILSON_Z2)
+    center = (k + z2 / 2) / (n + z2)
+    half = (
+        F.sqrt(z2)
+        * F.sqrt(k.cast("double") * (n - k) / n + z2 / 4)
+        / (n + z2)
+    )
+    return g.select(
+        "cohort", "n", "k",
+        F.round(k.cast("double") / n, 6).alias("rate"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"),
+    )

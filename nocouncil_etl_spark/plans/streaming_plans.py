@@ -323,3 +323,46 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max("total_v4").alias("total_v4"),
     )
+
+
+@query(
+    "stream_static_enrich",
+    oracle=f"""
+SELECT n.n_name, e.event_type, count(*) AS n, {rsum_sql("e.value")} AS total
+FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+GROUP BY n.n_name, e.event_type
+""",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the standard streaming shape the
+    stream-stream attribution join doesn't cover: a live event stream
+    joins a slowly-changing dimension (static frame, broadcast to every
+    micro-batch) and aggregates per enriched key. availableNow + complete
+    mode drains the source so the batch oracle is exact.
+
+    Scale shape: the dim broadcasts once per micro-batch (no stream-side
+    state at all — unlike stream-stream joins); the agg keeps one row per
+    (nation, type)."""
+    from nocouncil_etl_spark.functions.numeric import exact_sum
+    from nocouncil_etl_spark.io import load as _load
+    from nocouncil_etl_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_dir).select(
+        (F.col("user_id") % 25).alias("nk"), "event_type", "value"
+    )
+    nation = _load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), "n_name"
+    )
+    agg = (
+        ev.join(F.broadcast(nation), "nk")
+        .groupBy("n_name", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), exact_sum("value").alias("_t"))
+        .select(
+            "n_name", "event_type", "n",
+            F.round(F.col("_t"), 2).cast("double").alias("total"),
+        )
+    )
+    return run_to_memory(agg, mode="complete")
