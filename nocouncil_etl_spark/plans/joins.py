@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from nocouncil_etl_spark.functions.numeric import rsum, rsum_sql
 from nocouncil_etl_spark.io import load
 from nocouncil_etl_spark.registry import query
 
@@ -414,4 +415,65 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "event_id", "user_id", nearest.cast("long").alias("nearest_signup_us")
+    )
+
+
+@query(
+    "join_scd2_point_in_time",
+    oracle=f"""
+WITH vers AS (
+  SELECT n_nationkey AS nk, n_name || ' v' || v AS dim_name,
+         CAST(CASE v WHEN 1 THEN '2024-01-01' WHEN 2 THEN '2024-01-11'
+                     ELSE '2024-01-21' END AS TIMESTAMP) AS valid_from,
+         CAST(CASE v WHEN 1 THEN '2024-01-11' WHEN 2 THEN '2024-01-21'
+                     ELSE '2099-01-01' END AS TIMESTAMP) AS valid_to
+  FROM nation, (SELECT unnest([1, 2, 3]) AS v)
+)
+SELECT d.dim_name, count(*) AS n, {rsum_sql("e.value")} AS total
+FROM events e
+JOIN vers d ON e.user_id % 25 = d.nk
+           AND e.ts >= d.valid_from AND e.ts < d.valid_to
+GROUP BY d.dim_name
+""",
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) point-in-time join: each fact row
+    joins the dimension VERSION that was valid at its event time — the
+    temporal-correctness contract of every warehouse star schema (joining
+    the current version silently rewrites history). Dimension versions are
+    synthesized as three validity windows per nation.
+
+    Scale shape: the join is EQUI on the surrogate key (BroadcastHashJoin
+    on the tiny dim); the validity-interval predicate is a residual filter
+    on the matched rows, never a range cross-join — each fact row meets
+    only its key's ~3 versions."""
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 25).alias("nk"), "ts", "value"
+    )
+    nation = load(spark, sf_dir, "nation")
+    vers = nation.select(
+        F.col("n_nationkey").alias("nk"),
+        "n_name",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("v"),
+    ).select(
+        "nk",
+        F.concat("n_name", F.lit(" v"), F.col("v").cast("string")).alias(
+            "dim_name"
+        ),
+        F.when(F.col("v") == 1, F.lit("2024-01-01"))
+        .when(F.col("v") == 2, F.lit("2024-01-11"))
+        .otherwise(F.lit("2024-01-21"))
+        .cast("timestamp")
+        .alias("valid_from"),
+        F.when(F.col("v") == 1, F.lit("2024-01-11"))
+        .when(F.col("v") == 2, F.lit("2024-01-21"))
+        .otherwise(F.lit("2099-01-01"))
+        .cast("timestamp")
+        .alias("valid_to"),
+    )
+    return (
+        ev.join(F.broadcast(vers), "nk")
+        .filter((F.col("ts") >= F.col("valid_from")) & (F.col("ts") < F.col("valid_to")))
+        .groupBy("dim_name")
+        .agg(F.count(F.lit(1)).alias("n"), rsum("value").alias("total"))
     )
