@@ -288,3 +288,31 @@ def test_money_split_sum_equals_decimal_kernel(spark):
     got = {r.k: (r.s2, r.a4) for r in split.collect()}
     want = {r.k: (r.s2, r.a4) for r in dec.collect()}
     assert got == want, f"{got} != {want}"
+
+
+def test_round6_like_spark_matches_engines_on_adversarial_values(spark, duck):
+    """The HALF_UP rounding twin (similarity._round6_like_spark) must agree
+    with BOTH engines' round(x, 6) on adversarial inputs — exact half-way
+    points on the 1e-7 grid, near-half values one ulp either side, and a
+    hypothesis-style sweep of random doubles. This is the parity rule
+    every kernel-emitted similarity leans on."""
+    import random
+
+    from nocouncil_etl_spark.operators.similarity import _round6_like_spark
+
+    vals = [0.1234565, 0.9999995, 0.0000005, 1.0000005, 0.1234575]
+    vals += [v + e for v in vals for e in (-1e-12, 1e-12)]
+    rng = random.Random(42)
+    vals += [rng.uniform(-1, 1) for _ in range(500)]
+
+    sdf = spark.createDataFrame([(v,) for v in vals], "x double")
+    got_spark = [r["r"] for r in
+                 sdf.selectExpr("round(x, 6) AS r").collect()]
+    got_duck = [row[0] for row in duck.execute(
+        "SELECT round(x, 6) FROM (SELECT unnest(?) AS x)", [vals]
+    ).fetchall()]
+    ours = [_round6_like_spark(v) for v in vals]
+    mism_s = [(v, o, g) for v, o, g in zip(vals, ours, got_spark) if o != g]
+    mism_d = [(v, o, g) for v, o, g in zip(vals, ours, got_duck) if o != g]
+    assert not mism_s, f"helper vs Spark: {mism_s[:3]}"
+    assert not mism_d, f"helper vs DuckDB: {mism_d[:3]}"
