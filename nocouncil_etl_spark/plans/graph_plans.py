@@ -168,3 +168,73 @@ def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes, edges, _ = _graph(spark, sf_dir)
     ind = edges.groupBy("dst").agg(F.count("*").alias("in_deg"))
     return ind.groupBy("in_deg").agg(F.count("*").alias("n_nodes"))
+
+
+@query(
+    "graph_jaccard_link_pred",
+    oracle=f"""
+WITH {_EDGES_SQL},
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges0
+),
+nbr AS (SELECT a AS node, b AS nb FROM und UNION SELECT b, a FROM und),
+ndeg AS (SELECT node, count(*) AS d FROM nbr GROUP BY node),
+wedge AS (
+  SELECT x.node AS u, y.node AS v, count(*) AS common
+  FROM nbr x JOIN nbr y ON x.nb = y.nb AND x.node < y.node
+  GROUP BY x.node, y.node
+),
+linked AS (SELECT a, b FROM und)
+SELECT w.u, w.v, w.common,
+       round(CAST(w.common AS DOUBLE)
+             / (du.d + dv.d - w.common), 6) AS jaccard
+FROM wedge w
+JOIN ndeg du ON du.node = w.u
+JOIN ndeg dv ON dv.node = w.v
+LEFT JOIN linked l ON l.a = w.u AND l.b = w.v
+WHERE l.a IS NULL AND w.common >= 2
+""",
+)
+def graph_jaccard_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood Jaccard: for NON-adjacent node pairs
+    sharing ≥2 neighbors, score |N(u)∩N(v)| / |N(u)∪N(v)| — the classic
+    citation/recommendation candidate generator. Candidates come only from
+    the wedge join (pairs with a common neighbor), so the pair space is
+    bounded by Σ deg², never node² — the same discipline as the triangle
+    count; the adjacency anti-join removes already-linked pairs.
+
+    Scale shape: one wedge equi-join + map-side-combined pair counts +
+    two degree joins + one anti-join. Integer counts; one rounded ratio."""
+    _, edges, _ = _graph(spark, sf_dir)
+    und = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    nbr = und.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nb"))
+    ).distinct()
+    deg = nbr.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    x = nbr.select(F.col("node").alias("u"), "nb")
+    y = nbr.select(F.col("node").alias("v"), "nb")
+    wedge = (
+        x.join(y, "nb")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= 2)
+    )
+    linked = und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    return (
+        wedge.join(linked, ["u", "v"], "left_anti")
+        .join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u", "v", "common",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -283,3 +283,67 @@ def ts_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zscore",
         )
     )
+
+
+@query(
+    "ts_seasonal_weekday_baseline",
+    oracle="""
+WITH base AS (
+  SELECT event_type,
+         CAST(isodow(CAST(ts AS DATE)) AS INT) AS dow,
+         round(value, 2) AS v2
+  FROM events
+),
+prof AS (
+  SELECT event_type, dow,
+         CAST(count(*) AS BIGINT) AS n,
+         round(CAST(sum(CAST(v2 AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+           AS dow_mean
+  FROM base GROUP BY event_type, dow
+),
+tot AS (
+  SELECT event_type,
+         round(CAST(sum(CAST(v2 AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+           AS overall_mean
+  FROM base GROUP BY event_type
+)
+SELECT p.event_type, p.dow, p.n, p.dow_mean,
+       round(p.dow_mean - t.overall_mean, 6) AS seasonal_effect
+FROM prof p JOIN tot t USING (event_type)
+""",
+)
+def ts_seasonal_weekday_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonal profile: per (type, ISO weekday) mean value and its
+    deviation from the type's overall mean — the additive seasonal
+    baseline every anomaly detector subtracts before flagging (a quiet
+    Sunday is not an incident). Means are decimal-exact ratios rounded
+    identically; weekday goes through ISO numbering (locale-relative
+    dayofweek differs between engines).
+
+    Scale shape: two map-side-combined aggs + one broadcast-sized join;
+    O(types × 7) output."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CAST(CASE WHEN dayofweek(CAST(ts AS DATE)) = 1 THEN 7 "
+            "ELSE dayofweek(CAST(ts AS DATE)) - 1 END AS INT)"
+        ).alias("dow"),
+        F.round("value", 2).alias("v2"),
+    )
+    prof = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("v2").cast(DEC)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("dow_mean"),
+    )
+    tot = ev.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.col("v2").cast(DEC)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("overall_mean"),
+    )
+    return prof.join(tot, "event_type").select(
+        "event_type", "dow", "n", "dow_mean",
+        F.round(F.col("dow_mean") - F.col("overall_mean"), 6).alias(
+            "seasonal_effect"
+        ),
+    )
