@@ -1048,3 +1048,74 @@ def agg_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(center - half, 6).alias("wilson_lo"),
         F.round(center + half, 6).alias("wilson_hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# 14. cohort LTV curves
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_cohort_ltv",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week FROM events
+  GROUP BY user_id
+),
+rev AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts))
+              AS INT) AS week_offset,
+         CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS wk_rev
+  FROM events e JOIN first_seen f USING (user_id)
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT epoch_us(CAST(cohort_week AS TIMESTAMP)) AS cohort_us, week_offset,
+       CAST(round(wk_rev, 2) AS DOUBLE) AS week_revenue,
+       CAST(round(sum(wk_rev) OVER (
+         PARTITION BY cohort_week ORDER BY week_offset
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+         AS cumulative_ltv
+FROM rev
+""",
+)
+def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: purchase revenue per (first-seen week, weeks
+    since), plus the running cumulative — the lifetime-value readout next
+    to cohort_retention's user counts. Revenue folds on the DECIMAL grid
+    end-to-end (weekly sums AND the cumulative window), so the running
+    totals are combine-order-exact; the window runs over the tiny
+    cohort×offset matrix, never the event stream.
+
+    Scale shape: first-seen agg + one broadcast-shaped join + one keyed
+    agg; the cumulative window sorts O(cohorts × offsets) rows."""
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.floor(
+                    F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                    / 7
+                )
+            ).cast("int").alias("week_offset"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("wk_rev"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return rev.select(
+        F.unix_micros("cohort_week").alias("cohort_us"),
+        "week_offset",
+        F.round("wk_rev", 2).cast("double").alias("week_revenue"),
+        F.round(F.sum("wk_rev").over(w), 2).cast("double").alias("cumulative_ltv"),
+    )

@@ -464,3 +464,74 @@ def curation_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(nll_micro) div count(*)") > PPL_FLAG_MICRO
         ).alias("flagged"),
     )
+
+
+@query(
+    "io_snapshot_diff",
+    oracle="""
+WITH chg AS (
+  SELECT doc_id, 'U' AS op, 'rev2: ' || substr(text, 1, 40) AS new_text
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, 'D', NULL FROM documents WHERE doc_id % 7 = 3 AND doc_id % 5 <> 0
+  UNION ALL
+  SELECT doc_id + 200000, 'I', 'new: ' || substr(text, 1, 40)
+  FROM documents WHERE doc_id % 9 = 1
+),
+v2 AS (
+  SELECT b.doc_id, coalesce(c.new_text, b.text) AS text
+  FROM documents b
+  LEFT JOIN (SELECT * FROM chg WHERE op <> 'I') c ON b.doc_id = c.doc_id
+  WHERE c.op IS NULL OR c.op = 'U'
+  UNION ALL
+  SELECT doc_id, new_text FROM chg WHERE op = 'I'
+),
+d AS (
+  SELECT CASE
+           WHEN a.doc_id IS NULL THEN 'added'
+           WHEN b.doc_id IS NULL THEN 'removed'
+           WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+           ELSE 'unchanged'
+         END AS status
+  FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+)
+SELECT status, count(*) AS n FROM d GROUP BY status
+""",
+)
+def io_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff two corpus versions (v1 = base, v2 =
+    after the CDC apply) into added / removed / changed / unchanged
+    counts via one full-outer join on the key with content-hash
+    comparison — the audit report run after every merge or migration
+    ("did the upgrade touch exactly what the change feed said it
+    would"). Content equality goes through md5 so the comparison ships
+    hashes, not full text, across the join at scale.
+
+    Scale shape: one full-outer equi-join on the primary key + a 4-row
+    agg; the hash projection prunes the text columns before the
+    shuffle."""
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    chg = _changes(load(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    matched = chg.filter(F.col("op") != "I")
+    v2 = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .join(matched, "doc_id", "left")
+        .filter(F.col("op").isNull() | (F.col("op") == "U"))
+        .select("doc_id", F.md5(F.coalesce("new_text", "text")).alias("h2"))
+        .unionByName(
+            chg.filter(F.col("op") == "I").select(
+                "doc_id", F.md5("new_text").alias("h2")
+            )
+        )
+    )
+    d = base.join(v2, "doc_id", "full_outer").select(
+        F.when(F.col("h").isNull(), "added")
+        .when(F.col("h2").isNull(), "removed")
+        .when(F.col("h") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+        .alias("status")
+    )
+    return d.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
