@@ -1119,3 +1119,77 @@ def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("wk_rev", 2).cast("double").alias("week_revenue"),
         F.round(F.sum("wk_rev").over(w), 2).cast("double").alias("cumulative_ltv"),
     )
+
+
+# --------------------------------------------------------------------------
+# 15. Benford first-digit audit
+# --------------------------------------------------------------------------
+
+# log10(1 + 1/d), d = 1..9, as exact decimal literals (shared by both sides)
+BENFORD_P = [
+    "0.301030", "0.176091", "0.124939", "0.096910", "0.079181",
+    "0.066947", "0.057992", "0.051153", "0.045757",
+]
+
+
+@query(
+    "agg_benford_deviation",
+    oracle=f"""
+WITH digits AS (
+  SELECT CAST(substr(regexp_replace(CAST(round(value * 100) AS BIGINT)
+                     || '', '^0+', ''), 1, 1) AS INT) AS d
+  FROM events WHERE round(value * 100) >= 1
+),
+obs AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM obs),
+exp_ AS (
+  SELECT CAST(unnest(range(1, 10)) AS INT) AS d,
+         CAST(unnest([{", ".join(BENFORD_P)}]) AS DOUBLE) AS p
+)
+SELECT e.d, coalesce(o.n, 0) AS n,
+       round(CAST(coalesce(o.n, 0) AS DOUBLE) / (SELECT total FROM tot), 6)
+         AS observed_p,
+       e.p AS benford_p,
+       round(CAST(coalesce(o.n, 0) AS DOUBLE) / (SELECT total FROM tot) - e.p,
+             6) AS deviation
+FROM exp_ e LEFT JOIN obs o ON o.d = e.d
+""",
+)
+def agg_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit: the distribution of leading
+    digits of transaction values against Benford's law — the forensic
+    data-quality screen (fabricated or truncated numeric columns drift
+    from it; organically-generated multi-scale amounts follow it).
+    Values snap to integer cents first, so the leading digit comes from
+    exact integer string math; the Benford expectations are exact decimal
+    literals shared by both sides, and observed shares divide exact
+    integers.
+
+    Scale shape: a narrow per-row digit extraction + one 9-group agg +
+    a 9-row expectations join."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    digits = (
+        ev.select(cents.alias("c"))
+        .filter(F.col("c") >= 1)
+        .select(
+            F.substring(
+                F.regexp_replace(F.col("c").cast("string"), "^0+", ""), 1, 1
+            )
+            .cast("int")
+            .alias("d")
+        )
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = obs.agg(F.sum("n").cast("long").alias("total"))
+    exp_rows = [(i + 1, float(p)) for i, p in enumerate(BENFORD_P)]
+    exp_df = spark.createDataFrame(exp_rows, "d int, p double")
+    j = exp_df.join(obs, "d", "left").crossJoin(F.broadcast(tot))
+    op = F.coalesce("n", F.lit(0)).cast("double") / F.col("total")
+    return j.select(
+        "d",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.round(op, 6).alias("observed_p"),
+        F.col("p").alias("benford_p"),
+        F.round(op - F.col("p"), 6).alias("deviation"),
+    )

@@ -164,3 +164,71 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grams.groupBy("doc_id").agg(
         F.min(F.substring(F.md5("g"), 1, 16)).alias("fp")
     )
+
+
+@query(
+    "text_readability",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         string_split(text, '.') AS sents
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(greatest(len(sents), 1) AS BIGINT) AS n_sents,
+         CAST(list_sum(list_transform(ws,
+           x -> greatest(len(regexp_extract_all(lower(x), '[aeiouy]+')), 1)))
+           AS BIGINT) AS n_syll
+  FROM w
+)
+SELECT doc_id, n_words, n_sents, n_syll,
+       round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                    - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4)
+         AS flesch
+FROM m
+""",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with a vowel-group syllable proxy
+    (every maximal [aeiouy]+ run counts as one syllable, minimum one per
+    word — the standard cheap estimator) — the readability feature next
+    to the Gopher rules in a quality-scoring stack. All counts are exact
+    integers; the score formula divides identical doubles and its
+    coefficients are exact decimal literals, so round(…, 4) is
+    engine-stable.
+
+    Scale shape: pure per-row HOF expressions (regexp inside a list
+    transform, JVM-side) — zero shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    sents = F.split("text", "\\.")
+    syll = F.aggregate(
+        F.transform(
+            ws,
+            lambda x: F.greatest(
+                F.size(
+                    F.regexp_extract_all(F.lower(x), F.lit("[aeiouy]+"), 0)
+                ),
+                F.lit(1),
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    m = docs.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        F.greatest(F.size(sents), F.lit(1)).cast("long").alias("n_sents"),
+        syll.alias("n_syll"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sents"))
+        - F.lit(84.6) * (F.col("n_syll").cast("double") / F.col("n_words"))
+    )
+    return m.select(
+        "doc_id", "n_words", "n_sents", "n_syll",
+        F.round(flesch, 4).alias("flesch"),
+    )
