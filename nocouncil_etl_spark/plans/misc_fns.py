@@ -143,3 +143,72 @@ def fn_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
                "ELSE dayofweek(o_orderdate) - 1 END AS INT)").alias("iso_dow"),
         F.quarter("o_orderdate").cast("int").alias("qtr"),
     )
+
+
+@query(
+    "fn_table_checksum",
+    oracle="""
+SELECT 'documents' AS tbl, count(*) AS n_rows,
+       CAST(bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text),
+                     1, 15))::BIGINT) AS BIGINT) AS content_xor
+FROM documents
+UNION ALL
+SELECT 'orders', count(*),
+       CAST(bit_xor(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|'
+                     || o_orderstatus || '|' || CAST(o_custkey AS VARCHAR)),
+                     1, 15))::BIGINT) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'events', count(*),
+       CAST(bit_xor(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|'
+                     || event_type), 1, 15))::BIGINT) AS BIGINT)
+FROM events
+""",
+)
+def fn_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent whole-table checksums: per table, row count +
+    bit_xor of keyed row hashes — the O(1)-output primitive behind "are
+    these two tables identical" checks after a migration, compaction, or
+    replication (any changed, dropped, or duplicated row flips the xor;
+    compare two checksum rows instead of two tables). The same discipline
+    pipeline_sft_e2e uses per split, promoted to a reusable audit.
+
+    Scale shape: one scan + map-side-combined xor/count per table;
+    3 rows out."""
+
+    def cks(name: str, df: DataFrame, key_expr) -> DataFrame:
+        h = F.conv(F.substring(F.md5(key_expr), 1, 15), 16, 10).cast("long")
+        return df.select(h.alias("h")).agg(
+            F.lit(name).alias("tbl"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("content_xor"),
+        ).select("tbl", "n_rows", "content_xor")
+
+    docs = load(spark, sf_dir, "documents")
+    orders = load(spark, sf_dir, "orders")
+    events = load(spark, sf_dir, "events")
+    return (
+        cks(
+            "documents", docs,
+            F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text")),
+        )
+        .unionByName(
+            cks(
+                "orders", orders,
+                F.concat(
+                    F.col("o_orderkey").cast("string"), F.lit("|"),
+                    F.col("o_orderstatus"), F.lit("|"),
+                    F.col("o_custkey").cast("string"),
+                ),
+            )
+        )
+        .unionByName(
+            cks(
+                "events", events,
+                F.concat(
+                    F.col("event_id").cast("string"), F.lit("|"),
+                    F.col("event_type"),
+                ),
+            )
+        )
+    )

@@ -136,3 +136,50 @@ def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
             "active_users_7d",
         )
     )
+
+
+@query(
+    "window_activity_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+g AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INTEGER) AS anchor
+  FROM days
+),
+streaks AS (
+  SELECT user_id, anchor, count(*) AS len FROM g GROUP BY user_id, anchor
+)
+SELECT user_id,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(sum(len) AS BIGINT) AS active_days
+FROM streaks GROUP BY user_id
+""",
+)
+def window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user — longest streak, streak
+    count, total active days — via the date-minus-rank trick: within a
+    user's sorted distinct days, consecutive dates share (d − rank), so
+    one group-by on that anchor collapses each run. The engagement metric
+    behind retention dashboards, and the canonical consecutive-sequence
+    idiom the gaps-and-islands family lacked.
+
+    Scale shape: distinct (user, day) bounded by actives × days; one
+    window rank + two keyed aggs, all on the user key."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    g = days.select(
+        "user_id",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("anchor"),
+    )
+    streaks = g.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.sum("len").cast("long").alias("active_days"),
+    )
