@@ -1193,3 +1193,68 @@ def agg_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p").alias("benford_p"),
         F.round(op - F.col("p"), 6).alias("deviation"),
     )
+
+
+# --------------------------------------------------------------------------
+# 16. class-balanced downsampling
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sample_class_balanced",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+         ) AS rk
+  FROM events
+),
+m AS (
+  SELECT CAST(min(c) AS BIGINT) AS m FROM (
+    SELECT count(*) AS c FROM events GROUP BY event_type
+  )
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(round(sum(CAST(round(value, 2) AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS kept_value_sum
+FROM ranked WHERE rk <= (SELECT m FROM m)
+GROUP BY event_type
+""",
+)
+def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every event type keeps exactly
+    min-class-count rows, chosen by deterministic hash rank (md5 order —
+    reproducible across runs/retries, unlike rand()-based sampling) — the
+    majority-class downsample in front of any classifier-style training
+    job. The kept-value sum pins WHICH rows survived, not just how many.
+
+    Scale shape: one per-type rank window + a 1-row broadcast of the
+    minority count; linear."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    ranked = ev.select(
+        "event_type",
+        F.round("value", 2).alias("v2"),
+        F.row_number().over(w).alias("rk"),
+    )
+    m = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.min("c").cast("long").alias("m"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(m))
+        .filter(F.col("rk") <= F.col("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.round(F.sum(F.col("v2").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("kept_value_sum"),
+        )
+    )
