@@ -238,3 +238,65 @@ def graph_jaccard_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    cte = [f"WITH {_EDGES_SQL},"]
+    cte.append("""
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges0
+),
+sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+surv0 AS (SELECT DISTINCT a AS node FROM sym)""")
+    for t in range(KCORE_ROUNDS):
+        cte.append(f""",
+deg{t} AS (
+  SELECT s.a AS node, count(*) AS d
+  FROM sym s
+  JOIN surv{t} x ON x.node = s.a
+  JOIN surv{t} y ON y.node = s.b
+  GROUP BY s.a
+),
+surv{t + 1} AS (SELECT node FROM deg{t} WHERE d >= {KCORE_K})""")
+    cte.append(f"""
+SELECT node FROM surv{KCORE_ROUNDS}""")
+    return "".join(cte)
+
+
+@query("graph_kcore_members", oracle=_kcore_oracle())
+def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling ({KCORE_K}-core, {KCORE_ROUNDS} synchronous rounds):
+    repeatedly drop nodes whose degree within the SURVIVING subgraph falls
+    below k — the dense-core extractor behind spam-cluster and community-
+    nucleus detection (a node's raw degree lies; its core degree can only
+    be computed iteratively). Each round is one membership semi-join pair
+    + a degree agg, and integer membership makes every round bit-identical
+    — so the oracle unrolls one CTE block per round, the PageRank/BFS
+    technique applied to subgraph peeling.
+
+    Scale shape: per round, two semi-joins on node keys + one
+    map-side-combined count; state is one row per surviving node."""
+    _, edges, _ = _graph(spark, sf_dir)
+    und = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    surv = sym.select(F.col("a").alias("node")).distinct()
+    for _ in range(KCORE_ROUNDS):
+        alive = (
+            sym.join(surv.withColumnRenamed("node", "a"), "a")
+            .join(
+                surv.select(F.col("node").alias("b")), "b"
+            )
+        )
+        deg = alive.groupBy(F.col("a").alias("node")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        surv = deg.filter(F.col("d") >= KCORE_K).select("node")
+    return surv
