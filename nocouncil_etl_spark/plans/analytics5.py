@@ -1258,3 +1258,92 @@ def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_value_sum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 17. time-to-convert distribution
+# --------------------------------------------------------------------------
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+v AS (SELECT * FROM events WHERE event_type = 'view'),
+conv AS (
+  SELECT e.user_id % 5 AS cohort,
+         (epoch_us(e.ts) - epoch_us(s.ts)) // 1000000 AS secs
+  FROM p e ASOF JOIN v s ON e.user_id = s.user_id AND e.ts >= s.ts
+),
+r AS (
+  SELECT cohort, secs,
+         row_number() OVER (PARTITION BY cohort ORDER BY secs) AS rn,
+         count(*) OVER (PARTITION BY cohort) AS n
+  FROM conv
+)
+SELECT cohort, CAST(max(n) AS BIGINT) AS n_conversions,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN secs END)
+            AS BIGINT) AS median_secs,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN secs END)
+            AS BIGINT) AS p90_secs
+FROM r GROUP BY cohort
+""",
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for each purchase, the seconds since
+    the SAME user's most recent prior view (backward as-of), summarized
+    per cohort as exact median and p90 latencies — the "how long does the
+    funnel take" readout next to funnel_conversion's counts. Composes two
+    proven disciplines: the union-tag as-of carry and the rank-window
+    exact quantiles (purchases with no prior view drop out, matching the
+    inner ASOF oracle). Integer second gaps end-to-end.
+
+    Scale shape: one user-keyed as-of window + one cohort-keyed rank
+    sort; O(cohorts) output."""
+    ev = load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("is_left"), F.col("ts").alias("v_ts")
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(0).alias("is_left"), F.col("ts").alias("v_ts")
+    )
+    merged = left.unionByName(right)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = F.last(
+        F.when(F.col("is_left") == 0, F.col("v_ts")), ignorenulls=True
+    ).over(w)
+    conv = (
+        merged.withColumn("prior_view", carried)
+        .filter((F.col("is_left") == 1) & F.col("prior_view").isNotNull())
+        .select(
+            (F.col("user_id") % 5).alias("cohort"),
+            F.expr(
+                "(unix_micros(ts) - unix_micros(prior_view)) div 1000000"
+            ).alias("secs"),
+        )
+    )
+    wo = Window.partitionBy("cohort").orderBy("secs")
+    wp = Window.partitionBy("cohort")
+    r = conv.select(
+        "cohort", "secs",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+
+    def pick(p: float, name: str):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("long"),
+                F.col("secs"),
+            )
+        ).cast("long").alias(name)
+
+    return r.groupBy("cohort").agg(
+        F.max("n").cast("long").alias("n_conversions"),
+        pick(0.5, "median_secs"),
+        pick(0.9, "p90_secs"),
+    )
