@@ -512,3 +512,70 @@ def vec_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         eq.unpersist()
+
+
+# --------------------------------------------------------------------------
+# centroid drift between corpus snapshots
+# --------------------------------------------------------------------------
+
+DRIFT_K = 8
+DRIFT_ITERS = 2
+
+
+@query(
+    "vec_centroid_drift",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+eq AS (SELECT vec_id, {quantize_sql("v")} AS xq FROM e),
+snapa AS (SELECT vec_id, xq FROM eq WHERE vec_id % 2 = 0),
+snapb AS (SELECT vec_id, xq FROM eq WHERE vec_id % 2 = 1),
+{kmeans_cte("snapa", DRIFT_K, DRIFT_ITERS, prefix="a")},
+{kmeans_cte("snapb", DRIFT_K, DRIFT_ITERS, prefix="b")},
+pairs AS (
+  SELECT x.cid AS cid_a, y.cid AS cid_b,
+         CAST(list_sum(list_transform(range(1, {DIMS + 1}),
+           i -> (x.cv[i] - y.cv[i]) * (x.cv[i] - y.cv[i]))) AS BIGINT) AS dist
+  FROM acent{DRIFT_ITERS} x CROSS JOIN bcent{DRIFT_ITERS} y
+)
+SELECT cid_a, cid_b, dist FROM (
+  SELECT cid_a, cid_b, dist,
+         row_number() OVER (PARTITION BY cid_a ORDER BY dist, cid_b) AS rn
+  FROM pairs
+) WHERE rn = 1
+""",
+)
+def vec_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: train the same fixed-k
+    quantizer on two corpus snapshots (even/odd halves standing in for
+    week-N vs week-N+1) and pair every snapshot-A centroid with its
+    nearest snapshot-B centroid by integer L2 — large matched distances
+    mean the embedding distribution moved, the signal that triggers
+    codebook/index retraining in an ML-ops loop. The k×k pairing is
+    driver-trivial; both trainings replay in the oracle as
+    prefix-namespaced unrolled CTE blocks.
+
+    Scale shape: two fixed-k trainings (each O(n·k·d) per round) + a k×k
+    integer argmin; output is k rows regardless of corpus size."""
+    import numpy as np
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    eq = quantize_vectors(e, "v", "xq").select("vec_id", "xq").persist()
+    try:
+        ids_a, cm_a = kmeans_fit(
+            eq.filter(F.col("vec_id") % 2 == 0), DRIFT_K, DRIFT_ITERS
+        )
+        ids_b, cm_b = kmeans_fit(
+            eq.filter(F.col("vec_id") % 2 == 1), DRIFT_K, DRIFT_ITERS
+        )
+        rows = []
+        for i, ca in enumerate(ids_a):
+            d = ((cm_a[i][None, :] - cm_b) ** 2).sum(axis=1)
+            order = np.lexsort((ids_b, d))
+            j = order[0]
+            rows.append((int(ca), int(ids_b[j]), int(d[j])))
+        return spark.createDataFrame(rows, "cid_a long, cid_b long, dist long")
+    finally:
+        eq.unpersist()
