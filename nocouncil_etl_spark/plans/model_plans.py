@@ -541,3 +541,65 @@ def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_frames"),
         )
     )
+
+
+SHOT_DELTA = 400  # energy jump that counts as a cut
+
+
+@query(
+    "multimodal_shot_boundaries",
+    oracle=f"""
+WITH pos AS (
+  SELECT doc_id, unnest(range(1, length(text) + 1)) AS p, text FROM documents
+),
+fr AS (
+  SELECT doc_id, CAST((p - 1) // 30 AS BIGINT) AS frame_id,
+         CAST(sum((unicode(substr(text, p, 1)) * 131) % 256) AS BIGINT)
+           AS energy
+  FROM pos GROUP BY doc_id, (p - 1) // 30
+),
+d AS (
+  SELECT doc_id, frame_id,
+         abs(energy - lag(energy) OVER (
+           PARTITION BY doc_id ORDER BY frame_id)) AS delta
+  FROM fr
+)
+SELECT doc_id,
+       CAST(count(*) FILTER (WHERE delta > {SHOT_DELTA}) AS BIGINT)
+         AS n_cuts,
+       CAST(count(*) AS BIGINT) AS n_frames
+FROM d GROUP BY doc_id
+""",
+)
+def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over media frames: a cut is a frame whose
+    energy jumps by more than {SHOT_DELTA} from its predecessor — the
+    frame-DELTA sibling of VAD's absolute threshold (on real video this
+    is the histogram-difference detector feeding the frame sampler so
+    keyframes land on shots, not mid-pan). Same Arrow frame-energy kernel,
+    one lag window per doc, integer deltas throughout.
+
+    Scale shape: frame fan-out bounded by payload/30; one doc-keyed
+    window + agg."""
+    from nocouncil_etl_spark.operators.multimodal import (
+        frame_energy_map,
+        to_media_column,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    media = to_media_column(docs, "text", "doc_id")
+    fr = media.select("doc_id", "content").mapInPandas(
+        frame_energy_map,
+        schema="doc_id long, frame_id long, energy long, flen long",
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_id")
+    d = fr.select(
+        "doc_id",
+        F.abs(F.col("energy") - F.lag("energy").over(w)).alias("delta"),
+    )
+    return d.groupBy("doc_id").agg(
+        F.count(F.when(F.col("delta") > SHOT_DELTA, 1)).cast("long").alias(
+            "n_cuts"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+    )
