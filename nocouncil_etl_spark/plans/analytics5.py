@@ -1347,3 +1347,68 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.5, "median_secs"),
         pick(0.9, "p90_secs"),
     )
+
+
+# --------------------------------------------------------------------------
+# 18. audience overlap between event types
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_audience_overlap",
+    oracle="""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (SELECT event_type, count(*) AS n FROM du GROUP BY event_type),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM du a JOIN du b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT i.type_a, i.type_b, i.n_both,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       round(CAST(i.n_both AS DOUBLE) / (sa.n + sb.n - i.n_both), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.event_type = i.type_a
+JOIN sizes sb ON sb.event_type = i.type_b
+""",
+)
+def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix: for every event-type pair, the users doing
+    BOTH and the Jaccard of the two audiences — the segmentation readout
+    behind "do clickers also purchase" questions (and the user-space twin
+    of graph_jaccard_link_pred's neighborhood version). The self-join runs
+    on DISTINCT (type, user) rows keyed by user, so each user contributes
+    at most |types|² pairs — bounded fan-out, never event×event.
+
+    Scale shape: one distinct agg + a user-keyed self-join with tiny
+    per-key fan-out + two broadcast-sized size joins; O(types²) output."""
+    ev = load(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    sizes = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = du.select(F.col("event_type").alias("type_a"), "user_id")
+    b = du.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b", "n_both",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -365,3 +365,33 @@ def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("q_total"),
     )
+
+
+@query(
+    "io_jsonl_gzip_roundtrip",
+    oracle="""
+SELECT doc_id, source, n_chars FROM documents
+""",
+)
+def io_jsonl_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/S1 under compression: JSONL written with the gzip codec, read
+    back with a declared schema — identity against the direct-parquet
+    oracle proves the compressed sink/scan path end-to-end (at 100 TB the
+    wire format is always compressed; a codec mismatch or partial-flush
+    bug shows up as lost/garbled rows here). Splittability note: gzip
+    files are single-reader — at scale prefer zstd/bzip2 or many smaller
+    files, which is exactly what the partitioned write produces."""
+    out = os.path.join(
+        tempfile.gettempdir(), "nocouncil_etl_spark_scratch", "docs_jsonl_gz"
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    (
+        docs.select(F.to_json(F.struct("doc_id", "source", "n_chars")).alias("value"))
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .text(out)
+    )
+    return (
+        spark.read.schema("doc_id long, source string, n_chars long")
+        .json(out)
+    )
