@@ -500,3 +500,89 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("canonical")
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_variants"))
     )
+
+
+# --------------------------------------------------------------------------
+# 8. Markov stationary distribution (integer power iteration)
+# --------------------------------------------------------------------------
+
+PI_SCALE = 10**9
+PI_ITERS = 6
+
+_MARKOV_BASE = """
+t AS (
+  SELECT event_type AS to_state,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_state
+  FROM events
+),
+m AS (
+  SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+  FROM t WHERE from_state IS NOT NULL GROUP BY from_state, to_state
+),
+rs AS (SELECT from_state, CAST(sum(n) AS BIGINT) AS tot FROM m GROUP BY from_state),
+states AS (SELECT DISTINCT from_state AS s FROM m),
+meta AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM states)
+"""
+
+
+def _stationary_oracle() -> str:
+    cte = [f"WITH {_MARKOV_BASE},"]
+    cte.append(
+        f"pi0 AS (SELECT s, {PI_SCALE}::BIGINT // (SELECT ns FROM meta) AS pi"
+        " FROM states)"
+    )
+    for k in range(PI_ITERS):
+        cte.append(f""",
+pi{k + 1} AS (
+  SELECT m.to_state AS s,
+         CAST(sum((p.pi * m.n) // r.tot) AS BIGINT) AS pi
+  FROM m
+  JOIN pi{k} p ON p.s = m.from_state
+  JOIN rs r ON r.from_state = m.from_state
+  GROUP BY m.to_state
+)""")
+    cte.append(f"""
+SELECT s AS state, pi AS pi_1e9 FROM pi{PI_ITERS}""")
+    return "".join(cte)
+
+
+@query("markov_stationary", oracle=_stationary_oracle())
+def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain by power
+    iteration: π ← πP for {PI_ITERS} synchronous steps from uniform, in
+    1e-9 integer units with per-term floor division — where user behavior
+    settles in the long run, the equilibrium view of
+    session_transitions' one-step probabilities. Integer state makes
+    every step bit-identical, so the oracle unrolls one CTE per step
+    (the PageRank recurrence on a 5-state chain — same math, behavioral
+    matrix instead of a link graph).
+
+    Scale shape: the stream collapses to the |types|² matrix first; the
+    iteration then runs on constant-size frames."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.col("event_type").alias("to_state"),
+        F.lag("event_type").over(w).alias("from_state"),
+    ).filter(F.col("from_state").isNotNull())
+    m = t.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).persist()
+    rs = m.groupBy("from_state").agg(F.sum("n").cast("long").alias("tot"))
+    states = m.select(F.col("from_state").alias("s")).distinct()
+    ns = states.count()
+    pi = states.withColumn("pi", F.lit(PI_SCALE // ns).cast("long"))
+    mr = m.join(rs, "from_state")
+    for _ in range(PI_ITERS):
+        pi = (
+            mr.join(pi, mr["from_state"] == pi["s"])
+            .select(
+                F.col("to_state").alias("s2"),
+                F.expr("(pi * n) div tot").alias("c"),
+            )
+            .groupBy(F.col("s2").alias("s"))
+            .agg(F.sum("c").cast("long").alias("pi"))
+        )
+    m.unpersist()
+    return pi.select(F.col("s").alias("state"), F.col("pi").alias("pi_1e9"))
