@@ -82,6 +82,24 @@ class Engine:
         df.repartition(target_files).write.mode("overwrite").parquet(out_path)
         return self.spark.read.parquet(out_path)
 
+    def checksum(self, df: DataFrame, cols: list[str]) -> tuple[int, int]:
+        """Order-independent content checksum of a frame over ``cols``:
+        (row_count, bit_xor of keyed row hashes). Two frames with equal
+        checksums over the same columns are row-identical with
+        overwhelming probability — the O(1)-output comparison used after
+        migrations/compactions/replications (fn_table_checksum's verb
+        form). One scan, map-side-combined."""
+        from pyspark.sql import functions as F
+
+        key = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+        row = (
+            df.select(h.alias("h"))
+            .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("x"))
+            .collect()[0]
+        )
+        return int(row["n"]), int(row["x"] or 0)
+
     def publish_versioned(self, df: DataFrame, root: str) -> int:
         """Atomic versioned publish: write the frame to a NEW immutable
         ``v=<n+1>`` directory under ``root``, then atomically swap a

@@ -160,3 +160,20 @@ def test_observation_metrics_track_quality_gate(spark, sf_dir):
     assert m["rows_in"] == docs.count()
     assert m["rows_in"] - m["too_short"] == kept
     assert m["tok_in"] == docs.select(F.sum(n_words)).collect()[0][0]
+
+
+def test_engine_checksum_detects_any_row_change(spark, sf_dir):
+    """Engine.checksum: identical frames agree; any dropped, changed, or
+    duplicated row flips the (count, xor) pair."""
+    eng = Engine(spark)
+    docs = load(spark, sf_dir, "documents")
+    cols = ["doc_id", "source"]
+    a = eng.checksum(docs, cols)
+    assert a == eng.checksum(docs.orderBy(F.rand(7)), cols)  # order-free
+    assert a != eng.checksum(docs.filter(F.col("doc_id") != 3), cols)
+    mutated = docs.withColumn(
+        "source",
+        F.when(F.col("doc_id") == 3, F.lit("x")).otherwise(F.col("source")),
+    )
+    assert a != eng.checksum(mutated, cols)
+    assert a != eng.checksum(docs.unionByName(docs.limit(1)), cols)
