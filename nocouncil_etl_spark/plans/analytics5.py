@@ -1412,3 +1412,91 @@ def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 19. population stability index (tabular drift)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_psi_drift",
+    oracle="""
+WITH b AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS snap,
+         CASE WHEN round(value, 2) < 0 THEN 0
+              WHEN round(value, 2) >= 200 THEN 21
+              ELSE CAST(floor(round(value, 2) / 10.0) AS INT) + 1 END AS bin
+  FROM events
+),
+c AS (SELECT snap, bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY snap, bin),
+t AS (SELECT snap, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY snap),
+p AS (
+  SELECT c.bin,
+         max(CASE WHEN c.snap = 'ref'
+             THEN CAST(c.n AS DOUBLE) / t.tot END) AS pa,
+         max(CASE WHEN c.snap = 'cur'
+             THEN CAST(c.n AS DOUBLE) / t.tot END) AS pb
+  FROM c JOIN t USING (snap) GROUP BY c.bin
+),
+q AS (
+  SELECT bin,
+         CAST(round((coalesce(pa, 0.0001) - coalesce(pb, 0.0001))
+                    * ln(coalesce(pa, 0.0001) / coalesce(pb, 0.0001))
+                    * 1000000) AS BIGINT) AS psi_micro
+  FROM p
+)
+SELECT CAST(sum(psi_micro) AS BIGINT) AS psi_total_micro,
+       CAST(count(*) AS BIGINT) AS n_bins
+FROM q
+""",
+)
+def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between two snapshots of the value
+    distribution (even/odd event ids standing in for week-N vs week-N+1),
+    over the same fixed bins as agg_value_histogram: PSI = Σ (pₐ−p_b)·
+    ln(pₐ/p_b) — the tabular-feature drift monitor next to
+    vec_centroid_drift's embedding version (PSI > 0.2 conventionally
+    triggers retraining). Each bin's term quantizes ONCE to integer
+    micro-nats (shares are exact rationals, so both engines see identical
+    doubles), making the total an exact BIGINT; empty bins floor at the
+    standard 1e-4 smoothing.
+
+    Scale shape: one narrow binning pass + two tiny aggs + a 22-row
+    join; O(1) output."""
+    ev = load(spark, sf_dir, "events")
+    v2 = F.round("value", 2)
+    bin_ = (
+        F.when(v2 < 0, 0)
+        .when(v2 >= 200, 21)
+        .otherwise(F.floor(v2 / 10.0).cast("int") + 1)
+    )
+    b = ev.select(
+        F.when(F.col("event_id") % 2 == 0, "ref").otherwise("cur").alias("snap"),
+        bin_.alias("bin"),
+    )
+    c = b.groupBy("snap", "bin").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = c.groupBy("snap").agg(F.sum("n").cast("long").alias("tot"))
+    p = (
+        c.join(t, "snap")
+        .groupBy("bin")
+        .agg(
+            F.max(
+                F.when(F.col("snap") == "ref", F.col("n").cast("double") / F.col("tot"))
+            ).alias("pa"),
+            F.max(
+                F.when(F.col("snap") == "cur", F.col("n").cast("double") / F.col("tot"))
+            ).alias("pb"),
+        )
+    )
+    pa = F.coalesce("pa", F.lit(0.0001))
+    pb = F.coalesce("pb", F.lit(0.0001))
+    q = p.select(
+        F.round((pa - pb) * F.log(pa / pb) * 1000000, 0)
+        .cast("long")
+        .alias("psi_micro")
+    )
+    return q.agg(
+        F.sum("psi_micro").cast("long").alias("psi_total_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+    )

@@ -9,7 +9,7 @@ Spark plan (operators/dedup.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
@@ -277,3 +277,92 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = connected_components(edges)
     return comp.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+
+
+@query(
+    "dedup_cluster_keep_best",
+    oracle=f"""
+WITH RECURSIVE ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+fps AS (SELECT doc_id, {_fp_sql(4)} AS fp4, {_fp_sql(5)} AS fp5 FROM ws),
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM fps a JOIN fps b ON a.fp4 = b.fp4 AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id
+  FROM fps a JOIN fps b ON a.fp5 = b.fp5 AND a.doc_id < b.doc_id
+),
+sym AS (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT s.b AS node, reach.r FROM reach JOIN sym s ON s.a = reach.node
+),
+comp AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node),
+scored AS (
+  SELECT c.component, c.doc_id,
+         len(string_split(d.text, ' ')) AS quality
+  FROM comp c JOIN documents d USING (doc_id)
+)
+SELECT component,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(max(quality) AS BIGINT) AS best_quality,
+       CAST(min(CASE WHEN quality = mq THEN doc_id END) AS BIGINT) AS keep_id
+FROM (
+  SELECT component, doc_id, quality,
+         max(quality) OVER (PARTITION BY component) AS mq
+  FROM scored
+)
+GROUP BY component
+""",
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster retention policy: within each transitive
+    fingerprint cluster, keep the HIGHEST-QUALITY member (word count as
+    the quality proxy; ties → smallest id) instead of the arbitrary
+    min-id — the curation-grade version of keep-one-per-cluster (dropping
+    the longest/best copy because its id sorts higher is a real data-loss
+    bug in naive dedup). Deterministic argmax via the windowed-max +
+    min-id-at-max rule on both engines.
+
+    Scale shape: components as before (per-level equi-join + min-agg),
+    one quality join, one per-component window over cluster-sized
+    groups."""
+    from nocouncil_etl_spark.functions.text import fingerprint
+    from nocouncil_etl_spark.operators.dedup import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id",
+        fingerprint(F.split("text", " "), gram=4, width=16).alias("fp4"),
+        fingerprint(F.split("text", " "), gram=5, width=16).alias("fp5"),
+    )
+
+    def pairs_on(col: str) -> DataFrame:
+        a = fps.select(F.col("doc_id").alias("src"), F.col(col).alias("_k"))
+        b = fps.select(F.col("doc_id").alias("dst"), F.col(col).alias("_k"))
+        return (
+            a.join(b, "_k").filter(F.col("src") < F.col("dst")).select("src", "dst")
+        )
+
+    edges = pairs_on("fp4").unionByName(pairs_on("fp5")).dropDuplicates(
+        ["src", "dst"]
+    )
+    comp = connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+    scored = comp.join(
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("quality")),
+        "doc_id",
+    )
+    w = Window.partitionBy("component")
+    ranked = scored.withColumn("mq", F.max("quality").over(w))
+    return ranked.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max("quality").cast("long").alias("best_quality"),
+        F.min(
+            F.when(F.col("quality") == F.col("mq"), F.col("doc_id"))
+        ).cast("long").alias("keep_id"),
+    )
