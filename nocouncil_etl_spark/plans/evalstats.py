@@ -1,0 +1,498 @@
+"""Model-evaluation and statistical-testing operators.
+
+A training-data engine does not stop at producing datasets — it grades the
+models and heuristics trained on them, and it A/B-tests pipeline changes.
+This module adds the five evaluation primitives every such loop needs, each
+exact (integer or fixed-grid arithmetic until one final division) so the
+DuckDB oracle hash-matches bit-for-bit:
+
+- ``eval_roc_auc`` — tie-corrected Mann-Whitney AUC from (score, label).
+- ``eval_confusion_thresholds`` — tp/fp/fn/tn + precision/recall/F1 swept
+  over a threshold grid.
+- ``agg_chi_square_independence`` — chi-square statistic for
+  event_type × ISO-weekday independence.
+- ``eval_lang_id_kappa`` — Cohen's kappa between the engine's own
+  stopword language-ID heuristic (text_lang_id) and the labeled ``lang``
+  column: the engine grading its own classifier.
+- ``agg_ttest_welch`` — Welch's two-sample t statistic between event-type
+  value distributions.
+
+Reference parity note: the reference scores relevance and filters on
+thresholds (filter.py keyword gates); these are the statistically-grounded
+forms of the same judgment calls, re-expressed as distributed aggregates.
+
+Scale shape: every query is a constant-width aggregate — group counts
+shuffle one row per (class, class) or (score-distinct) key, never per
+event; the only O(distinct-scores) stage (AUC's cumulative window) is a
+single-column sort of the score histogram, not the raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nocouncil_etl_spark.functions.text import STOPWORDS, predict_lang
+from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.registry import query
+
+# positive class for the binary tasks: did this event convert?
+POS_TYPE = "purchase"
+# score with planted signal: purchases get a +50 boost over the raw value,
+# so AUC lands well above 0.5 and both tie branches still exercise
+# (value has ~6.5k distinct 2dp values → heavy score ties).
+BOOST = 50.0
+THRESHOLDS = [50, 100, 200]
+
+
+# --------------------------------------------------------------------------
+# 1. ROC AUC — tie-corrected rank-sum, integer-exact
+# --------------------------------------------------------------------------
+
+
+@query(
+    "eval_roc_auc",
+    oracle=f"""
+WITH scored AS (
+  SELECT round(value + CASE WHEN event_type = '{POS_TYPE}' THEN {BOOST} ELSE 0.0 END, 2)
+           AS score,
+         CASE WHEN event_type = '{POS_TYPE}' THEN 1 ELSE 0 END AS label
+  FROM events
+),
+hist AS (
+  SELECT score, CAST(sum(label) AS BIGINT) AS pos_s,
+         CAST(sum(1 - label) AS BIGINT) AS neg_s
+  FROM scored GROUP BY score
+),
+cum AS (
+  SELECT pos_s, neg_s,
+         coalesce(sum(neg_s) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+  FROM hist
+)
+SELECT CAST(sum(pos_s) AS BIGINT) AS n_pos,
+       CAST(sum(neg_s) AS BIGINT) AS n_neg,
+       CAST(sum(pos_s * (2 * neg_below + neg_s)) AS BIGINT) AS u2,
+       round(CAST(sum(pos_s * (2 * neg_below + neg_s)) AS DOUBLE)
+             / (2.0 * sum(pos_s) * sum(neg_s)), 6) AS auc
+FROM cum
+""",
+)
+def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected ROC AUC as the Mann-Whitney U statistic: positives are
+    '{POS_TYPE}' events, score = value + planted boost. Exactness contract:
+    collapse rows to a per-distinct-score histogram (pos_s, neg_s), take the
+    cumulative negative count below each score with a ROWS window, and
+    accumulate U2 = Σ pos_s · (2·neg_below + neg_s) — ties contribute half a
+    pair each, kept integral by the ×2 scaling. Everything is BIGINT until
+    the single final division, so combine order cannot move the hash.
+
+    Scale shape: one hash-agg to the score histogram (distinct-score rows on
+    the shuffle, not events), one single-column window sort, one 1-row
+    reduce. Reference parity: scoring gates in filter.py graded statistically.
+    """
+    ev = load(spark, sf_dir, "events")
+    scored = ev.select(
+        F.round(
+            F.col("value")
+            + F.when(F.col("event_type") == POS_TYPE, F.lit(BOOST)).otherwise(0.0),
+            2,
+        ).alias("score"),
+        F.when(F.col("event_type") == POS_TYPE, 1).otherwise(0).alias("label"),
+    )
+    hist = scored.groupBy("score").agg(
+        F.sum("label").cast("long").alias("pos_s"),
+        F.sum(F.lit(1) - F.col("label")).cast("long").alias("neg_s"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.withColumn(
+        "neg_below", F.coalesce(F.sum("neg_s").over(w), F.lit(0))
+    )
+    return cum.agg(
+        F.sum("pos_s").cast("long").alias("n_pos"),
+        F.sum("neg_s").cast("long").alias("n_neg"),
+        F.sum(F.col("pos_s") * (2 * F.col("neg_below") + F.col("neg_s")))
+        .cast("long")
+        .alias("u2"),
+        F.round(
+            F.sum(
+                F.col("pos_s") * (2 * F.col("neg_below") + F.col("neg_s"))
+            ).cast("double")
+            / (2.0 * F.sum("pos_s") * F.sum("neg_s")),
+            6,
+        ).alias("auc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. confusion metrics over a threshold grid
+# --------------------------------------------------------------------------
+
+
+@query(
+    "eval_confusion_thresholds",
+    oracle=f"""
+WITH scored AS (
+  SELECT round(value + CASE WHEN event_type = '{POS_TYPE}' THEN {BOOST} ELSE 0.0 END, 2)
+           AS score,
+         CASE WHEN event_type = '{POS_TYPE}' THEN 1 ELSE 0 END AS label
+  FROM events
+),
+grid AS (SELECT unnest([{", ".join(str(t) for t in THRESHOLDS)}]) AS thresh),
+cells AS (
+  SELECT thresh,
+         CAST(sum(CASE WHEN score >= thresh AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN score >= thresh AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN score <  thresh AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN score <  thresh AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM scored CROSS JOIN grid GROUP BY thresh
+)
+SELECT thresh, tp, fp, fn, tn,
+       round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision_,
+       round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall_,
+       round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6) AS f1
+FROM cells
+""",
+)
+def eval_confusion_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + precision/recall/F1 swept over a threshold grid in
+    ONE pass: explode the literal grid against each scored row (bounded ×3
+    fan-out), then a 3-group hash-agg of integer cells; the ratios are one
+    double division per emitted row (F1 via the 2tp/(2tp+fp+fn) form — no
+    intermediate rounding). The grid is a literal, so Catalyst folds it; at
+    100 TB the fan-out constant is len(grid), never data-sized."""
+    ev = load(spark, sf_dir, "events")
+    scored = ev.select(
+        F.round(
+            F.col("value")
+            + F.when(F.col("event_type") == POS_TYPE, F.lit(BOOST)).otherwise(0.0),
+            2,
+        ).alias("score"),
+        F.when(F.col("event_type") == POS_TYPE, 1).otherwise(0).alias("label"),
+    )
+    grid = scored.select(
+        "score",
+        "label",
+        F.explode(F.array(*[F.lit(t) for t in THRESHOLDS])).alias("thresh"),
+    )
+    hit = F.col("score") >= F.col("thresh")
+    pos = F.col("label") == 1
+    cells = grid.groupBy("thresh").agg(
+        F.sum(F.when(hit & pos, 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(hit & ~pos, 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(~hit & pos, 1).otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when(~hit & ~pos, 1).otherwise(0)).cast("long").alias("tn"),
+    )
+    return cells.select(
+        "thresh",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6).alias(
+            "precision_"
+        ),
+        F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 6).alias(
+            "recall_"
+        ),
+        F.round(
+            (2 * F.col("tp")).cast("double")
+            / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+            6,
+        ).alias("f1"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 3. chi-square independence: event_type × ISO weekday
+# --------------------------------------------------------------------------
+
+_ISO_DOW = (
+    "CAST(CASE WHEN dayofweek(CAST(ts AS DATE)) = 1 THEN 7 "
+    "ELSE dayofweek(CAST(ts AS DATE)) - 1 END AS INT)"
+)
+# DuckDB: dayofweek() is 0=Sun..6=Sat → ISO 1..7 via NULLIF-free arithmetic
+_ISO_DOW_DUCK = (
+    "CAST(CASE WHEN dayofweek(CAST(ts AS DATE)) = 0 THEN 7 "
+    "ELSE dayofweek(CAST(ts AS DATE)) END AS INT)"
+)
+
+
+@query(
+    "agg_chi_square_independence",
+    oracle=f"""
+WITH obs AS (
+  SELECT event_type, {_ISO_DOW_DUCK} AS iso_dow, CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, iso_dow, o,
+         sum(o) OVER (PARTITION BY event_type) AS row_tot,
+         sum(o) OVER (PARTITION BY iso_dow) AS col_tot,
+         sum(o) OVER () AS n
+  FROM obs
+),
+cell AS (
+  SELECT event_type, iso_dow, o,
+         round(CAST(row_tot * col_tot AS DOUBLE) / n, 6) AS expected,
+         round(
+           CAST(n * o - row_tot * col_tot AS DOUBLE)
+           * (n * o - row_tot * col_tot) / (CAST(n AS DOUBLE) * row_tot * col_tot),
+           6) AS term
+  FROM tot
+)
+SELECT event_type, iso_dow, o, expected, term,
+       CAST(sum(CAST(term AS DECIMAL(28, 8))) OVER () AS DOUBLE) AS chi2
+FROM cell
+""",
+)
+def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for event_type × ISO weekday. Cell
+    terms use the all-integer numerator form (N·o − rt·ct)²/(N·rt·ct): every
+    operand is an exact BIGINT product, so the one double division per cell
+    is bit-identical across engines; the global χ² is a DECIMAL sum of the
+    6dp-quantized terms (order-independent — 35 cells, but the discipline is
+    what survives a 1000-way combine). Weekday is normalized to ISO 1..7 on
+    both engines (they disagree on locale-relative numbering).
+
+    Scale shape: one hash-agg to the contingency table (|types|×7 rows),
+    then windows over that constant-size frame only."""
+    ev = load(spark, sf_dir, "events")
+    obs = (
+        ev.select("event_type", F.expr(_ISO_DOW).alias("iso_dow"))
+        .groupBy("event_type", "iso_dow")
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    tot = obs.select(
+        "event_type",
+        "iso_dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("iso_dow")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    num = F.col("n") * F.col("o") - F.col("row_tot") * F.col("col_tot")
+    cell = tot.select(
+        "event_type",
+        "iso_dow",
+        "o",
+        F.round(
+            (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("n"), 6
+        ).alias("expected"),
+        F.round(
+            num.cast("double")
+            * num
+            / (F.col("n").cast("double") * F.col("row_tot") * F.col("col_tot")),
+            6,
+        ).alias("term"),
+    )
+    return cell.withColumn(
+        "chi2",
+        F.sum(F.col("term").cast("decimal(28,8)"))
+        .over(Window.partitionBy())
+        .cast("double"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 4. Cohen's kappa: the engine grading its own language-ID heuristic
+# --------------------------------------------------------------------------
+
+
+def _sql_hits(ws: str, lang: str) -> str:
+    lits = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({ws}, w -> list_contains([{lits}], w)))"
+
+
+@query(
+    "eval_lang_id_kappa",
+    oracle=f"""
+WITH ws AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+scored AS (
+  SELECT doc_id, lang,
+         list_aggregate([
+           {", ".join(f"{{'score': {_sql_hits('w', lang)}, 'lang': '{lang}'}}" for lang in sorted(STOPWORDS))}
+         ], 'max') AS best
+  FROM ws
+),
+pred AS (
+  SELECT lang AS actual,
+         CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS predicted
+  FROM scored
+),
+conf AS (
+  SELECT actual, predicted, CAST(count(*) AS BIGINT) AS c
+  FROM pred GROUP BY 1, 2
+),
+sums AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN actual = predicted THEN c ELSE 0 END) AS BIGINT) AS diag
+  FROM conf
+),
+marg AS (
+  SELECT CAST(sum(ra.rt * ca.ct) AS BIGINT) AS chance
+  FROM (SELECT actual AS k, sum(c) AS rt FROM conf GROUP BY 1) ra
+  JOIN (SELECT predicted AS k, sum(c) AS ct FROM conf GROUP BY 1) ca USING (k)
+)
+SELECT n, diag, chance,
+       round(CAST(diag AS DOUBLE) / n, 6) AS accuracy,
+       round(CAST(n * diag - chance AS DOUBLE) / (CAST(n AS BIGINT) * n - chance), 6)
+         AS kappa
+FROM sums CROSS JOIN marg
+""",
+)
+def eval_lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the engine's stopword language-ID heuristic
+    (text_lang_id's exact predictor) and the labeled lang column — chance-
+    corrected agreement via the integer identity κ = (N·diag − Σ rt·ct) /
+    (N² − Σ rt·ct), so only the two final divisions touch doubles. The
+    marginal join runs on the ≤|langs|² confusion table.
+
+    Scale shape: per-doc predict (narrow codegen column) → hash-agg to the
+    confusion matrix → constant-size joins. The classifier and the grader
+    are the same engine pass — no second scan of the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    pred = docs.select(
+        F.col("lang").alias("actual"), predict_lang(ws).alias("predicted")
+    )
+    conf = pred.groupBy("actual", "predicted").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    sums = conf.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("actual") == F.col("predicted"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("diag"),
+    )
+    ra = conf.groupBy(F.col("actual").alias("k")).agg(F.sum("c").alias("rt"))
+    ca = conf.groupBy(F.col("predicted").alias("k")).agg(F.sum("c").alias("ct"))
+    marg = (
+        ra.join(ca, "k")
+        .agg(F.sum(F.col("rt") * F.col("ct")).cast("long").alias("chance"))
+    )
+    out = sums.crossJoin(F.broadcast(marg))
+    return out.select(
+        "n",
+        "diag",
+        "chance",
+        F.round(F.col("diag").cast("double") / F.col("n"), 6).alias("accuracy"),
+        F.round(
+            (F.col("n") * F.col("diag") - F.col("chance")).cast("double")
+            / (F.col("n") * F.col("n") - F.col("chance")),
+            6,
+        ).alias("kappa"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 5. Welch's t-test between event-type value distributions
+# --------------------------------------------------------------------------
+
+T_GROUP_A = "purchase"
+T_GROUP_B = "click"
+
+
+@query(
+    "agg_ttest_welch",
+    oracle=f"""
+WITH cents AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('{T_GROUP_A}', '{T_GROUP_B}')
+),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS s1, CAST(sum(v * v) AS BIGINT) AS s2
+  FROM cents GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE) / n / 100.0 AS mean,
+         (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) / 10000.0
+           AS var
+  FROM s
+),
+ab AS (
+  SELECT
+    max(CASE WHEN event_type = '{T_GROUP_A}' THEN n END) AS n_a,
+    max(CASE WHEN event_type = '{T_GROUP_B}' THEN n END) AS n_b,
+    max(CASE WHEN event_type = '{T_GROUP_A}' THEN mean END) AS mean_a,
+    max(CASE WHEN event_type = '{T_GROUP_B}' THEN mean END) AS mean_b,
+    max(CASE WHEN event_type = '{T_GROUP_A}' THEN var END) AS var_a,
+    max(CASE WHEN event_type = '{T_GROUP_B}' THEN var END) AS var_b
+  FROM m
+)
+SELECT n_a, n_b, round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+       round(var_a, 6) AS var_a, round(var_b, 6) AS var_b,
+       round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat,
+       round(
+         (var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
+         / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+            + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 6) AS df_welch
+FROM ab
+""",
+)
+def agg_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic ({T_GROUP_A} vs {T_GROUP_B} values).
+    Values quantize to integer cents, so Σv and Σv² are exact BIGINTs and
+    combine-order-independent; mean/variance/t/df finish in identical double
+    expressions on both engines (the split-long discipline of
+    functions/numeric.money_parts applied to second moments).
+
+    Scale shape: one filtered hash-agg (2 rows out), then scalar math."""
+    ev = load(spark, sf_dir, "events")
+    cents = ev.filter(F.col("event_type").isin(T_GROUP_A, T_GROUP_B)).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    s = cents.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("s2"),
+    )
+    m = s.select(
+        "event_type",
+        "n",
+        (F.col("s1").cast("double") / F.col("n") / 100.0).alias("mean"),
+        (
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+            )
+            / (F.col("n") - 1)
+            / 10000.0
+        ).alias("var"),
+    )
+
+    def pick(col: str, etype: str):
+        return F.max(F.when(F.col("event_type") == etype, F.col(col)))
+
+    ab = m.agg(
+        pick("n", T_GROUP_A).alias("n_a"),
+        pick("n", T_GROUP_B).alias("n_b"),
+        pick("mean", T_GROUP_A).alias("mean_a"),
+        pick("mean", T_GROUP_B).alias("mean_b"),
+        pick("var", T_GROUP_A).alias("var_a"),
+        pick("var", T_GROUP_B).alias("var_b"),
+    )
+    se2_a = F.col("var_a") / F.col("n_a")
+    se2_b = F.col("var_b") / F.col("n_b")
+    return ab.select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("var_a", 6).alias("var_a"),
+        F.round("var_b", 6).alias("var_b"),
+        F.round(
+            (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2_a + se2_b), 6
+        ).alias("t_stat"),
+        F.round(
+            (se2_a + se2_b)
+            * (se2_a + se2_b)
+            / (
+                se2_a * se2_a / (F.col("n_a") - 1)
+                + se2_b * se2_b / (F.col("n_b") - 1)
+            ),
+            6,
+        ).alias("df_welch"),
+    )
