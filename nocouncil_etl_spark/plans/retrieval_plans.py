@@ -1,0 +1,291 @@
+"""Retrieval & trained-text-classifier batch: BM25 ranking and a
+distributedly-trained Naive Bayes language classifier.
+
+- ``text_bm25_search`` — Okapi BM25 (Lucene idf variant) for a fixed
+  keyword query over the document corpus: the lexical half of hybrid
+  retrieval (``pipeline_rag_e2e`` covers the dense half; production RAG
+  fuses both). TF-IDF (text_corpus_plans) ranks terms per document; BM25
+  ranks documents per query with length normalization and tf saturation.
+- ``model_naive_bayes_lang`` — a multinomial Naive Bayes language
+  classifier TRAINED inside the engine (vocabulary selection → per-class
+  token counts → smoothed log-likelihoods) and evaluated on the corpus,
+  emitting the confusion matrix. The companion to ``eval_lang_id_kappa``:
+  that grades a fixed heuristic, this trains the model itself as
+  distributed aggregates — the pattern for any bag-of-words scorer at
+  100 TB (quality classifiers, topic gates, spam filters).
+
+Exactness contract shared by both: every score is Σ (integer tf) ×
+(6dp-quantized DECIMAL log term) — ln() runs on exact rationals (identical
+doubles both engines → identical 6dp rounding, the established libm-parity
+grid), and DECIMAL sums are combine-order-independent, so a 1000-way
+shuffle cannot flicker a ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.registry import query
+
+_TOK_SPARK = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
+_TOK_SQL = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+    " t -> length(t) > 0)"
+)
+
+QUERY_TERMS = ("spark", "query", "window", "stream", "vector")
+K1, B = 1.2, 0.75
+BM25_TOP = 20
+
+NB_VOCAB = 50  # vocabulary size (top document-frequency terms)
+
+
+# --------------------------------------------------------------------------
+# 1. BM25
+# --------------------------------------------------------------------------
+
+_QT = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+
+
+@query(
+    "text_bm25_search",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+meta AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN ({_QT}) GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(round(
+           ln(1.0 + ((SELECT n_docs FROM meta) - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({K1} + 1.0))
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl
+              * (SELECT n_docs FROM meta) / CAST((SELECT total_len FROM meta) AS DOUBLE))),
+           6) AS DECIMAL(18, 6)) AS part
+  FROM tf JOIN df ON tf.term = df.term JOIN dl ON tf.doc_id = dl.doc_id
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+       CAST(sum(part) AS DOUBLE) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY sum(part) DESC, doc_id LIMIT {BM25_TOP}
+""",
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 over the corpus for the fixed query {QUERY_TERMS}:
+    idf = ln(1 + (N − df + ½)/(df + ½)) (Lucene's non-negative variant),
+    tf saturation k1={K1}, length normalization b={B} against the exact
+    corpus mean length (kept as the rational dl·N/total_len so both engines
+    divide identical integers). Per-(doc, term) parts quantize to
+    DECIMAL(18,6) before the per-doc sum — order-independent, so ranking
+    ties are impossible to flip by combine order; final order (score desc,
+    doc_id) is total.
+
+    Scale shape: tokenization is one narrow pass; the tf table carries only
+    query-term hits (≤|Q| rows per doc); df is |Q| rows (broadcast); doc
+    lengths join on doc_id. TakeOrderedAndProject caps the result."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.expr(_TOK_SPARK)).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    meta = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    j = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(meta))
+    )
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + K1 * (
+        1.0
+        - B
+        + B
+        * F.col("dl")
+        * F.col("n_docs")
+        / F.col("total_len").cast("double")
+    )
+    part = F.round(idf * (F.col("tf") * (K1 + 1.0)) / norm, 6).cast(
+        "decimal(18,6)"
+    )
+    scored = j.select("doc_id", part.alias("part"))
+    out = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+        F.sum("part").alias("bm25_dec"),
+    )
+    return (
+        out.orderBy(F.desc("bm25_dec"), "doc_id")
+        .limit(BM25_TOP)
+        .select("doc_id", "n_hit_terms", F.col("bm25_dec").cast("double").alias("bm25"))
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. Naive Bayes language classifier (train + evaluate)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "model_naive_bayes_lang",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_TOK_SQL}) AS term FROM documents
+),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+  ) ORDER BY df DESC, term LIMIT {NB_VOCAB}
+),
+cls AS (SELECT lang AS c, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+meta AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM cls),
+cnt AS (
+  SELECT t.lang AS c, t.term, CAST(count(*) AS BIGINT) AS cf
+  FROM tok t JOIN vocab v USING (term) GROUP BY 1, 2
+),
+tot AS (SELECT c, CAST(sum(cf) AS BIGINT) AS tot FROM cnt GROUP BY c),
+model AS (
+  SELECT cl.c, v.term,
+         CAST(round(ln((coalesce(cnt.cf, 0) + 1.0)
+                       / (tot.tot + {NB_VOCAB}.0)), 6) AS DECIMAL(18, 6)) AS logp
+  FROM cls cl CROSS JOIN vocab v
+  JOIN tot ON tot.c = cl.c
+  LEFT JOIN cnt ON cnt.c = cl.c AND cnt.term = v.term
+),
+prior AS (
+  SELECT c, CAST(round(ln(n_docs / CAST((SELECT n_total FROM meta) AS DOUBLE)), 6)
+                 AS DECIMAL(18, 6)) AS logprior
+  FROM cls
+),
+doctf AS (
+  SELECT t.doc_id, any_value(t.lang) AS actual, t.term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok t JOIN vocab v USING (term) GROUP BY t.doc_id, t.term
+),
+docscore AS (
+  SELECT d.doc_id, any_value(d.actual) AS actual, m.c,
+         CAST(sum(d.tf * m.logp) AS DECIMAL(28, 6)) + any_value(p.logprior) AS score
+  FROM doctf d JOIN model m ON m.term = d.term
+  JOIN prior p ON p.c = m.c
+  GROUP BY d.doc_id, m.c
+),
+pred AS (
+  SELECT doc_id, actual,
+         min(CASE WHEN rn = 1 THEN c END) AS predicted
+  FROM (
+    SELECT doc_id, actual, c,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c) AS rn
+    FROM docscore
+  ) GROUP BY doc_id, actual
+)
+SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY 1, 2
+""",
+)
+def model_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained and evaluated inside the engine:
+    top-{NB_VOCAB}-df vocabulary, Laplace-smoothed per-class token
+    log-likelihoods, doc score = log prior + Σ tf·logp (all DECIMAL — see
+    module contract), argmax with (score desc, class) tie-break, confusion
+    matrix out. Docs with no vocabulary token drop (no evidence either
+    engine could score).
+
+    Scale shape: training is two hash-aggs (class-term counts: ≤|langs|·V
+    groups) + a broadcast-sized model table (|langs|·V rows); scoring joins
+    each doc's ≤V tf rows against the broadcast model — per-doc cost is
+    O(hit terms · classes), never corpus×vocab. The same shape at 100 TB:
+    the model is always broadcastable because V is chosen, not data-sized.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.expr(_TOK_SPARK)).alias("term")
+    )
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), "term")
+        .limit(NB_VOCAB)
+        .select("term")
+    )
+    cls = docs.groupBy(F.col("lang").alias("c")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    n_total = docs.count()
+    cnt = (
+        tok.join(F.broadcast(vocab), "term")
+        .groupBy(F.col("lang").alias("c"), "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    )
+    tot = cnt.groupBy("c").agg(F.sum("cf").cast("long").alias("tot"))
+    model = (
+        cls.crossJoin(F.broadcast(vocab))
+        .join(tot, "c")
+        .join(cnt, ["c", "term"], "left")
+        .select(
+            "c",
+            "term",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cf"), F.lit(0)) + 1.0)
+                    / (F.col("tot") + float(NB_VOCAB))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("logp"),
+        )
+    )
+    prior = cls.select(
+        "c",
+        F.round(F.log(F.col("n_docs") / F.lit(float(n_total))), 6)
+        .cast("decimal(18,6)")
+        .alias("logprior"),
+    )
+    doctf = (
+        tok.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id", "term")
+        .agg(
+            F.any_value("lang").alias("actual"),
+            F.count(F.lit(1)).cast("long").alias("tf"),
+        )
+    )
+    docscore = (
+        doctf.join(F.broadcast(model), "term")
+        .join(F.broadcast(prior), "c")
+        .groupBy("doc_id", "c")
+        .agg(
+            F.any_value("actual").alias("actual"),
+            (
+                F.sum(F.col("tf") * F.col("logp")).cast("decimal(28,6)")
+                + F.any_value("logprior")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "c")
+    pred = (
+        docscore.withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("actual").alias("actual"),
+            F.min(F.when(F.col("rn") == 1, F.col("c"))).alias("predicted"),
+        )
+    )
+    return pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
