@@ -710,6 +710,273 @@ class Engine:
             "is_gap",
         )
 
+    # --- retrieval / evaluation / stats -------------------------------------
+
+    def bm25(
+        self,
+        df: DataFrame,
+        id_col: str,
+        text_col: str,
+        terms: tuple[str, ...],
+        k: int = 20,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> DataFrame:
+        """Okapi BM25 top-k for ``terms`` over any document frame — the
+        text_bm25_search kernel generalized (DECIMAL-quantized per-term
+        parts so combine order cannot flip a ranking; test_api pins
+        row-identity against the oracle-checked catalog twin)."""
+        from pyspark.sql import functions as F
+
+        tok = df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.expr(
+                    f"filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t != '')"
+                )
+            ).alias("term"),
+        )
+        dl = tok.groupBy("_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+        meta = dl.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_len"),
+        )
+        tf = (
+            tok.filter(F.col("term").isin(*terms))
+            .groupBy("_id", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        )
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+        j = tf.join(F.broadcast(dfreq), "term").join(dl, "_id").crossJoin(
+            F.broadcast(meta)
+        )
+        idf = F.log(
+            1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        norm = F.col("tf") + k1 * (
+            1.0
+            - b
+            + b * F.col("dl") * F.col("n_docs") / F.col("total_len").cast("double")
+        )
+        part = F.round(idf * (F.col("tf") * (k1 + 1.0)) / norm, 6).cast(
+            "decimal(18,6)"
+        )
+        out = (
+            j.select("_id", part.alias("part"))
+            .groupBy("_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+                F.sum("part").alias("_dec"),
+            )
+        )
+        return (
+            out.orderBy(F.desc("_dec"), "_id")
+            .limit(k)
+            .select(
+                F.col("_id").alias(id_col),
+                "n_hit_terms",
+                F.col("_dec").cast("double").alias("bm25"),
+            )
+        )
+
+    def auc(self, df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+        """Tie-corrected ROC AUC (Mann-Whitney) for any (score, 0/1 label)
+        frame — integer U statistic over the per-distinct-score histogram,
+        one row out (eval_roc_auc's kernel generalized)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        hist = df.groupBy(F.col(score_col).alias("_s")).agg(
+            F.sum(label_col).cast("long").alias("pos_s"),
+            F.sum(F.lit(1) - F.col(label_col)).cast("long").alias("neg_s"),
+        )
+        w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+        cum = hist.withColumn(
+            "neg_below", F.coalesce(F.sum("neg_s").over(w), F.lit(0))
+        )
+        u2 = F.sum(F.col("pos_s") * (2 * F.col("neg_below") + F.col("neg_s")))
+        return cum.agg(
+            F.sum("pos_s").cast("long").alias("n_pos"),
+            F.sum("neg_s").cast("long").alias("n_neg"),
+            u2.cast("long").alias("u2"),
+            F.round(
+                u2.cast("double") / (2.0 * F.sum("pos_s") * F.sum("neg_s")), 6
+            ).alias("auc"),
+        )
+
+    def bootstrap_ci(
+        self, df: DataFrame, id_col: str, value_col: str, replicas: int = 32
+    ) -> DataFrame:
+        """Deterministic Poisson-bootstrap CI for the mean of ``value_col``
+        (cents-exact; hash-seeded weights keyed by ``id_col`` — the
+        agg_bootstrap_ci kernel generalized). Returns one row with the
+        full-sample mean and the 2nd/(B−1)th order-statistic interval."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from nocouncil_etl_spark.plans.stats2 import HASH_SPACE, POIS_CDF, _hv
+
+        reps = df.select(
+            F.col(id_col).alias("_id"),
+            F.round(F.col(value_col) * 100).cast("long").alias("_v"),
+            F.explode(F.array(*[F.lit(x) for x in range(replicas)])).alias("_b"),
+        )
+        u = (
+            _hv(
+                F.concat_ws(
+                    "#", F.col("_id").cast("string"), F.col("_b").cast("string")
+                )
+            )
+            / F.lit(HASH_SPACE)
+        )
+        wcol = F.when(u < POIS_CDF[0], 0)
+        for i in range(1, len(POIS_CDF)):
+            wcol = wcol.when(u < POIS_CDF[i], i)
+        wcol = wcol.otherwise(len(POIS_CDF))
+        means = (
+            reps.select("_b", "_v", wcol.alias("_w"))
+            .groupBy("_b")
+            .agg(
+                F.sum(F.col("_w") * F.col("_v")).cast("long").alias("num"),
+                F.sum("_w").cast("long").alias("den"),
+            )
+        )
+        mean_b = F.col("num") / F.col("den").cast("double") / 100.0
+        ranked = means.select(
+            mean_b.alias("mean_b"),
+            F.row_number().over(Window.orderBy(mean_b, "_b")).alias("rn"),
+        )
+        base = df.agg(
+            (
+                F.sum(F.round(F.col(value_col) * 100).cast("long"))
+                / F.count(F.lit(1)).cast("double")
+                / 100.0
+            ).alias("mean_full")
+        )
+        from pyspark.sql import functions as F2
+
+        return ranked.crossJoin(F2.broadcast(base)).agg(
+            F2.lit(replicas).cast("long").alias("n_replicas"),
+            F2.round(F2.first("mean_full"), 6).alias("mean_full"),
+            F2.round(F2.max(F2.when(F2.col("rn") == 2, F2.col("mean_b"))), 6).alias(
+                "ci_lo"
+            ),
+            F2.round(
+                F2.max(F2.when(F2.col("rn") == replicas - 1, F2.col("mean_b"))), 6
+            ).alias("ci_hi"),
+        )
+
+    def association_rules(
+        self,
+        df: DataFrame,
+        basket_col: str,
+        item_col: str,
+        min_support: int = 3,
+        top: int = 50,
+    ) -> DataFrame:
+        """Co-occurrence association rules (support/confidence/lift) over
+        (basket, item) rows — market_basket_lift generalized. Quadratic
+        only inside a basket; top rules by lift under a total order."""
+        from pyspark.sql import functions as F
+
+        basket = df.select(
+            F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
+        ).distinct()
+        n_baskets = basket.select("_bk").distinct().count()
+        item = basket.groupBy("_it").agg(F.count("*").cast("long").alias("cnt"))
+        a, b = basket.alias("a"), basket.alias("b")
+        pair = (
+            a.join(
+                b,
+                (F.col("a._bk") == F.col("b._bk"))
+                & (F.col("a._it") < F.col("b._it")),
+            )
+            .groupBy(
+                F.col("a._it").alias("item_a"), F.col("b._it").alias("item_b")
+            )
+            .agg(F.count("*").cast("long").alias("pair_cnt"))
+            .filter(F.col("pair_cnt") >= min_support)
+        )
+        ia = item.select(F.col("_it").alias("item_a"), F.col("cnt").alias("cnt_a"))
+        ib = item.select(F.col("_it").alias("item_b"), F.col("cnt").alias("cnt_b"))
+        out = (
+            pair.join(F.broadcast(ia), "item_a")
+            .join(F.broadcast(ib), "item_b")
+            .select(
+                "item_a",
+                "item_b",
+                "pair_cnt",
+                "cnt_a",
+                "cnt_b",
+                F.round(
+                    F.col("pair_cnt").cast("double") / F.lit(n_baskets), 6
+                ).alias("support"),
+                F.round(F.col("pair_cnt").cast("double") / F.col("cnt_a"), 6).alias(
+                    "confidence"
+                ),
+                F.round(
+                    F.col("pair_cnt").cast("double")
+                    * F.lit(n_baskets)
+                    / (F.col("cnt_a").cast("double") * F.col("cnt_b")),
+                    6,
+                ).alias("lift"),
+            )
+        )
+        return out.orderBy(
+            F.desc("lift"), F.desc("pair_cnt"), "item_a", "item_b"
+        ).limit(top)
+
+    def radius_join(
+        self,
+        df: DataFrame,
+        id_col: str,
+        x_col: str,
+        y_col: str,
+        radius: int,
+    ) -> DataFrame:
+        """All id pairs within ``radius`` (integer coordinates, integer
+        squared euclidean) via the 3×3 grid-cell equi-join —
+        geo_radius_join generalized to any point frame. Exact: recall-
+        lossless by construction (test proves equality with brute force)."""
+        from pyspark.sql import functions as F
+
+        pts = df.select(
+            F.col(id_col).alias("_id"),
+            F.col(x_col).cast("long").alias("_x"),
+            F.col(y_col).cast("long").alias("_y"),
+        )
+        cell = lambda c: F.expr(f"{c} div {radius}")  # noqa: E731
+        home = pts.select(
+            F.col("_id").alias("id_b"),
+            F.col("_x").alias("xb"),
+            F.col("_y").alias("yb"),
+            cell("_x").alias("cx"),
+            cell("_y").alias("cy"),
+        )
+        offs = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+        probe = (
+            pts.withColumn("dx", F.explode(offs))
+            .withColumn("dy", F.explode(offs))
+            .select(
+                F.col("_id").alias("id_a"),
+                F.col("_x").alias("xa"),
+                F.col("_y").alias("ya"),
+                (cell("_x") + F.col("dx")).alias("cx"),
+                (cell("_y") + F.col("dy")).alias("cy"),
+            )
+        )
+        d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+            F.col("ya") - F.col("yb")
+        ) * (F.col("ya") - F.col("yb"))
+        return (
+            probe.join(home, ["cx", "cy"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", d2.alias("d2"))
+            .filter(F.col("d2") <= radius * radius)
+            .distinct()
+            .select("id_a", "id_b", F.col("d2").cast("long").alias("d2"))
+        )
+
     # --- pipelines ----------------------------------------------------------
 
     def council_index(self, sf_dir: str) -> DataFrame:
