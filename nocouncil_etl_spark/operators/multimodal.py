@@ -257,3 +257,38 @@ def frame_energy_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(
             {"doc_id": ids, "frame_id": fids, "energy": es, "flen": fls}
         )
+
+
+N_SLICES = 33  # acoustic-fingerprint slices → 32 transitions
+
+
+def slice_energy_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-SLICE energy extraction for acoustic fingerprinting: split each
+    payload into {N_SLICES} EQUAL slices spanning the WHOLE clip (position p
+    → slice p·33 // n) and emit per-slice scrambled-byte energy sums. Evenly
+    spanning matters: fixed-width frames left every doc shorter than
+    33·VAD_FRAME bytes with zero high signature bits, which collapsed an
+    entire corpus into one LSH band bucket (the phash prefix lesson,
+    SCALE.md round 5, replayed in the energy domain — measured 2.75e9
+    candidate pairs at sf1 before this kernel). Emits
+    (doc_id, slice_id, energy, slen); empty slices (payloads < 33 bytes)
+    are omitted, matching the oracle's GROUP BY over existing positions."""
+    for pdf in batches:
+        ids, sids, es, sls = [], [], [], []
+        for doc_id, c in zip(pdf["doc_id"], pdf["content"]):
+            raw = (np.frombuffer(bytes(c), dtype=np.uint8).astype(np.int64)
+                   * 131) % 256
+            n = len(raw)
+            if n == 0:
+                continue
+            idx = (np.arange(n, dtype=np.int64) * N_SLICES) // n
+            e = np.bincount(idx, weights=raw, minlength=N_SLICES).astype(np.int64)
+            cnt = np.bincount(idx, minlength=N_SLICES).astype(np.int64)
+            nz = np.nonzero(cnt)[0]
+            ids.extend([doc_id] * len(nz))
+            sids.extend(nz.tolist())
+            es.extend(e[nz].tolist())
+            sls.extend(cnt[nz].tolist())
+        yield pd.DataFrame(
+            {"doc_id": ids, "slice_id": sids, "energy": es, "slen": sls}
+        )

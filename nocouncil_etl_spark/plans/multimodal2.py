@@ -1,17 +1,22 @@
 """Multimodal batch 2: acoustic fingerprint matching.
 
 ``multimodal_audio_fingerprint`` — a Shazam-style energy-delta fingerprint
-over media frames: per-frame energies (the Arrow fake-decode kernel VAD
-already uses — real audio would be short-time RMS), a 32-bit signature of
-rising/falling energy transitions, LSH banding on signature bytes, and a
-hamming-ranked candidate list. The audio sibling of
-``multimodal_phash_neardup``: same banded-join scale shape, different
-modality and signature.
+over media clips: per-slice energies from {N_SLICES} EQUAL slices spanning
+the whole payload (operators/multimodal.slice_energy_map — real audio would
+be short-time RMS), a 32-bit signature of rising/falling transitions, LSH
+banding on signature bytes, and a hamming-ranked candidate list. The audio
+sibling of ``multimodal_phash_neardup``: same banded-join scale shape,
+different modality and signature.
 
-Citations for parity: the fake decode is the documented ×131 mod 256
-scramble (operators/multimodal.py:239-259), SQL-replayable via unicode();
-the signature comparison cross-multiplies energy·flen so partial final
-frames never need a float mean.
+Slicing must span the WHOLE clip: the first cut used fixed 30-byte frames,
+so every clip shorter than ~1 KB had zero high signature bits and one band
+bucket swallowed the entire corpus — 2.75e9 candidate pairs at sf1, the
+phash prefix lesson replayed in the energy domain. Even slices restore
+~uniform band occupancy (measured 69× fewer candidates at both scales).
+
+Parity: the fake decode is the documented ×131 mod 256 scramble,
+SQL-replayable via unicode(); the transition comparison cross-multiplies
+energy·slen so uneven slice lengths never need a float mean.
 """
 
 from __future__ import annotations
@@ -25,20 +30,21 @@ from nocouncil_etl_spark.registry import query
 FP_BITS = 32
 FP_BANDS = 4  # 8-bit bands for the candidate join
 FP_TOP = 50
-VAD_FRAME = 30  # bytes per frame — matches operators/multimodal.VAD_FRAME
+N_SLICES = 33  # equal payload slices — matches operators/multimodal.N_SLICES
 
 
 @query(
     "multimodal_audio_fingerprint",
     oracle=f"""
 WITH pos AS (
-  SELECT doc_id, unnest(range(1, length(text) + 1)) AS p, text FROM documents
+  SELECT doc_id, unnest(range(1, length(text) + 1)) AS p, text,
+         length(text) AS n FROM documents
 ),
 fr AS (
-  SELECT doc_id, CAST((p - 1) // {VAD_FRAME} AS BIGINT) AS frame_id,
+  SELECT doc_id, CAST(((p - 1) * {N_SLICES}) // n AS BIGINT) AS frame_id,
          CAST(sum((unicode(substr(text, p, 1)) * 131) % 256) AS BIGINT) AS energy,
          count(*) AS flen
-  FROM pos GROUP BY doc_id, (p - 1) // {VAD_FRAME}
+  FROM pos GROUP BY doc_id, ((p - 1) * {N_SLICES}) // n
 ),
 tr AS (
   SELECT a.doc_id, a.frame_id,
@@ -67,25 +73,29 @@ FROM pairs ORDER BY hamming, id_a, id_b LIMIT {FP_TOP}
 )
 def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Acoustic fingerprint near-matching: signature bit f = [energy/sample
-    rising at transition f] over the first {FP_BITS} frame transitions
+    rising at transition f] over the {FP_BITS} slice transitions
     (cross-multiplied, integer-exact), candidates = docs sharing any of
     {FP_BANDS} signature bytes (banded equi-join — never all-pairs),
     ranked by hamming distance with a total tie-break, top {FP_TOP}.
 
-    Scale shape: one Arrow pass to frames, one doc-keyed self-join on
-    (doc, frame+1) for transitions — co-partitioned, one shuffle — then
-    {FP_BANDS} rows per doc into the band join. Identical physics to the
-    image phash path, which the sf1 run validated at 10× data."""
+    Scale shape: one Arrow pass to slices, one doc-keyed window for
+    transitions, then {FP_BANDS} rows per doc into the band join.
+    Identical physics to the image phash path."""
     from nocouncil_etl_spark.operators.multimodal import (
-        frame_energy_map,
+        slice_energy_map,
         to_media_column,
     )
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     media = to_media_column(docs, "text", "doc_id")
     fr = media.select("doc_id", "content").mapInPandas(
-        frame_energy_map,
-        schema="doc_id long, frame_id long, energy long, flen long",
+        slice_energy_map,
+        schema="doc_id long, slice_id long, energy long, slen long",
+    ).select(
+        "doc_id",
+        F.col("slice_id").alias("frame_id"),
+        "energy",
+        F.col("slen").alias("flen"),
     )
     w = Window.partitionBy("doc_id").orderBy("frame_id")
     tr = (

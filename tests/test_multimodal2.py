@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
-from nocouncil_etl_spark.plans.multimodal2 import FP_BITS, FP_TOP, VAD_FRAME
+from nocouncil_etl_spark.plans.multimodal2 import FP_BITS, FP_TOP, N_SLICES
 from nocouncil_etl_spark.registry import load_all
 
 REG = load_all()
@@ -13,10 +13,14 @@ REG = load_all()
 
 def _fingerprint(text: str) -> int:
     raw = [(b * 131) % 256 for b in text.encode()]
-    frames = [raw[i : i + VAD_FRAME] for i in range(0, len(raw), VAD_FRAME)]
+    n = len(raw)
+    slices: list[list[int]] = [[] for _ in range(N_SLICES)]
+    for p, v in enumerate(raw):
+        slices[p * N_SLICES // n].append(v)
+    slices = [s for s in slices if s]
     sig = 0
-    for f in range(min(len(frames) - 1, FP_BITS)):
-        a, b = frames[f], frames[f + 1]
+    for f in range(min(len(slices) - 1, FP_BITS)):
+        a, b = slices[f], slices[f + 1]
         if sum(a) * len(b) > sum(b) * len(a):
             sig |= 1 << f
     return sig
