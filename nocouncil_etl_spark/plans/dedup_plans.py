@@ -366,3 +366,82 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("quality") == F.col("mq"), F.col("doc_id"))
         ).cast("long").alias("keep_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# containment (asymmetric) near-dup — quoted-inclusion detection
+# --------------------------------------------------------------------------
+
+CONTAIN_TOP = 30
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct({_sql_shingles('w', 2)}) AS s FROM ws
+),
+keyed AS (
+  SELECT doc_id, s,
+         list_aggregate(list_transform(s, x -> substr(md5(x), 1, 16)), 'min') AS k
+  FROM sh WHERE len(s) > 0
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s)) AS inter,
+         len(a.s) AS na, len(b.s) AS nb
+  FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(inter AS BIGINT) AS n_shared,
+       round(CAST(inter AS DOUBLE) / least(na, nb), 4) AS containment
+FROM pairs
+ORDER BY containment DESC, id_a, id_b LIMIT {CONTAIN_TOP}
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: |A∩B| / min(|A|, |B|) over distinct
+    2-gram shingle sets — detects a document QUOTED INSIDE another, which
+    symmetric Jaccard misses (a 100-word quote inside a 10k-word article has
+    Jaccard ≈ 0.01 but containment ≈ 1.0 — the quote-inclusion leak class in
+    training data). Candidates share the corpus-wide MIN shingle hash (a
+    1-band bottom-sketch LSH: any pair with high containment of the smaller
+    set shares its minimum with probability ≈ containment); the exact
+    intersection runs on candidates only. Top-{CONTAIN_TOP} under a total
+    order.
+
+    Scale shape: shingle + min-hash are narrow per-doc columns; the
+    candidate join is an equi-join on the min-hash key (bucket sizes are
+    near-duplicate cluster sizes, AQE-splittable); no all-pairs stage."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.array_distinct(shingles(words("text"), 2)).alias("s")
+    ).filter(F.size("s") > 0)
+    keyed = sh.select(
+        "doc_id",
+        "s",
+        F.array_min(
+            F.transform("s", lambda x: F.substring(F.md5(x), 1, 16))
+        ).alias("k"),
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("id_a"), F.col("s").alias("sa"), "k"
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("id_b"), F.col("s").alias("sb"), "k"
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("n_shared"),
+            F.round(
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / F.least(F.size("sa"), F.size("sb")),
+                4,
+            ).alias("containment"),
+        )
+    )
+    return pairs.orderBy(F.desc("containment"), "id_a", "id_b").limit(CONTAIN_TOP)

@@ -64,3 +64,31 @@ def test_top_paths_are_valid_sequences(spark, sf_dir):
         steps = r.path.split(">")
         assert len(steps) == PATH_LEN
         assert set(steps) <= types
+
+
+def test_containment_detects_quoted_inclusion(spark, sf_dir):
+    """Plant a doc that quotes a slice of another: containment of the
+    smaller set must be 1.0 while Jaccard stays low."""
+    from pyspark.sql import functions as F
+
+    from nocouncil_etl_spark.operators.dedup import shingles, words
+
+    body = " ".join(f"word{i} item{i}" for i in range(60))
+    big = "alpha beta gamma delta " + body
+    quote = "alpha beta gamma delta"
+    df = spark.createDataFrame([(1, big), (2, quote)], "doc_id INT, text STRING")
+    sh = df.select("doc_id", F.array_distinct(shingles(words("text"), 2)).alias("s"))
+    rows = {r.doc_id: set(r.s) for r in sh.collect()}
+    inter = len(rows[1] & rows[2])
+    assert inter / min(len(rows[1]), len(rows[2])) == 1.0
+    assert inter / len(rows[1] | rows[2]) < 0.5
+
+
+def test_containment_query_ranks_true_pairs_first(spark, sf_dir):
+    rows = REG["dedup_containment"].fn(spark, sf_dir).collect()
+    assert rows
+    cs = [r.containment for r in rows]
+    assert cs == sorted(cs, reverse=True)
+    for r in rows:
+        assert 0.0 <= r.containment <= 1.0
+        assert r.n_shared >= 1, "candidates share at least the min shingle"
