@@ -57,6 +57,10 @@ HEADLINE: list[str] = [
                              # driver-side row serialization, not the plan;
                              # compute is ~0.4 s warm at sf0.1)
     "funnel_conversion",     # staged joins that shrink down the funnel
+    "market_basket_lift",    # basket self-join (quadratic only inside baskets)
+    "text_bm25_search",      # lexical retrieval: tokenize → tf/df → decimal-sum rank
+    "model_naive_bayes_lang",# trained bag-of-words classifier: train + score + confuse
+    "vec_pca_power",         # D² moment pass + bounded driver power iteration
 ]
 
 
