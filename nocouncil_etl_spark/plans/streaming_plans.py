@@ -366,3 +366,106 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, mode="complete")
+
+
+from nocouncil_etl_spark.plans.analytics6 import HI as _HYST_HI
+from nocouncil_etl_spark.plans.analytics6 import LO as _HYST_LO
+
+
+@query(
+    "stream_hysteresis_alerts",
+    oracle=f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN value >= {_HYST_HI} THEN 1 WHEN value <= {_HYST_LO} THEN 0 END AS trigger
+  FROM events
+),
+state AS (
+  SELECT user_id, ts, event_id,
+         coalesce(last_value(trigger IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS active
+  FROM marked
+),
+edges AS (
+  SELECT user_id, active,
+         CASE WHEN active = 1 AND coalesce(lag(active) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id), 0) = 0
+           THEN 1 ELSE 0 END AS opens
+  FROM state
+)
+SELECT user_id,
+       CAST(sum(opens) AS BIGINT) AS n_episodes,
+       CAST(sum(active) AS BIGINT) AS n_alert_events
+FROM edges GROUP BY user_id
+HAVING sum(opens) > 0
+""",
+)
+def stream_hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of window_hysteresis_episodes: a per-user
+    Schmitt-trigger alert state machine (enter ≥ HI, exit ≤ LO — the
+    analytics6 thresholds, imported so the twins cannot drift) maintained in the state store via
+    applyInPandasWithState. Unlike stream_stateful_user_stats' monotone
+    accumulators, this state is SEQUENTIAL — (active, episodes,
+    alert_events) — so the kernel sorts each group's batch by (ts,
+    event_id) before replaying the transitions; the availableNow file
+    source delivers the single parquet in one micro-batch, making the
+    replay exact (a live deployment would watermark-buffer per key before
+    applying, the standard discipline for order-sensitive state).
+
+    Oracle = the batch carry-forward form aggregated per user (only users
+    with at least one episode, since the stream only emits touched keys).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from nocouncil_etl_spark.plans.analytics6 import HI, LO
+    from nocouncil_etl_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "value"
+    )
+
+    def fsm(key, pdfs, state: GroupState):
+        active, episodes, alert_events = (
+            state.get if state.exists else (0, 0, 0)
+        )
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for v in pdf["value"]:
+            if v >= HI:
+                if active == 0:
+                    episodes += 1
+                active = 1
+            elif v <= LO:
+                active = 0
+            if active == 1:
+                alert_events += 1
+        state.update((active, episodes, alert_events))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_episodes": [episodes],
+                "n_alert_events": [alert_events],
+            }
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        fsm,
+        outputStructType="user_id long, n_episodes long, n_alert_events long",
+        stateStructType="active long, episodes long, alert_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sunk = run_to_memory(out, mode="update")
+    return (
+        sunk.groupBy("user_id")
+        .agg(
+            F.max("n_episodes").cast("long").alias("n_episodes"),
+            F.max("n_alert_events").cast("long").alias("n_alert_events"),
+        )
+        .filter(F.col("n_episodes") > 0)
+    )

@@ -76,3 +76,18 @@ def test_hysteresis_episode_semantics(spark, sf_dir):
     mine = [r for r in epi if r.user_id == uid]
     assert len(mine) == episodes
     assert sum(r.n_events for r in mine) == members
+
+
+def test_stream_hysteresis_matches_batch_census(spark, sf_dir):
+    """The streaming FSM must agree with the batch window form on both the
+    episode count and the alert-event count, per user."""
+    batch = {}
+    for r in _run("window_hysteresis_episodes", spark, sf_dir).collect():
+        b = batch.setdefault(r.user_id, [0, 0])
+        b[0] += 1
+        b[1] += r.n_events
+    stream = {
+        r.user_id: (r.n_episodes, r.n_alert_events)
+        for r in _run("stream_hysteresis_alerts", spark, sf_dir).collect()
+    }
+    assert stream == {u: tuple(v) for u, v in batch.items()}
