@@ -62,3 +62,39 @@ def test_dp_noise_deterministic_across_runs(spark, sf_dir):
     a = {(r.event_type, r.day): r.noise for r in _run("dp_count_laplace", spark, sf_dir).collect()}
     b = {(r.event_type, r.day): r.noise for r in _run("dp_count_laplace", spark, sf_dir).collect()}
     assert a == b
+
+
+def test_dpo_pipeline_composition_invariants(spark, sf_dir):
+    """The e2e build must respect every stage's contract: pairs come from
+    gated+deduped docs, margins are non-negative, splits are deterministic,
+    and renders carry both sides."""
+    from nocouncil_etl_spark.plans.dpo_pipeline import MIN_QUALITY, VAL_PCT
+
+    rows = REG["pipeline_dpo_e2e"].fn(spark, sf_dir).collect()
+    assert rows
+    keys = [r.prompt_key for r in rows]
+    assert len(keys) == len(set(keys)), "one pair per prompt group"
+    for r in rows:
+        assert r.margin >= 0
+        assert r.split in ("train", "val")
+        assert r.pair_render.startswith(f"<|prompt|>{r.prompt_key}\n<|chosen|>")
+        assert "\n<|rejected|>" in r.pair_render
+        assert r.chosen_id != r.rejected_id
+    # split is a pure function of the key → rerun gives identical splits
+    again = {r.prompt_key: r.split for r in REG["pipeline_dpo_e2e"].fn(spark, sf_dir).collect()}
+    assert again == {r.prompt_key: r.split for r in rows}
+    # the chosen doc must clear the quality gate it was selected under
+    from pyspark.sql import functions as F
+
+    from nocouncil_etl_spark.functions.text import quality_score
+    from nocouncil_etl_spark.io import load
+
+    qmap = {
+        r.doc_id: r.q
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", F.round(quality_score("text", F.split("text", " ")), 4).alias("q"))
+        .collect()
+    }
+    for r in rows:
+        assert qmap[r.chosen_id] >= MIN_QUALITY
+        assert qmap[r.rejected_id] >= MIN_QUALITY, "rejected side is still gated data"
