@@ -63,7 +63,7 @@ dirty AS (
          substr(name, 1, p - 1) || 'x' || substr(name, p + 1) AS name,
          nat, bal_cents + 37 AS bal_cents, seg
   FROM (
-    SELECT *, CAST(id % greatest(length(name) - 6, 1) + 6 AS INT) AS p
+    SELECT *, CAST(id % greatest(length(name) - 10, 1) + 6 AS INT) AS p
     FROM base WHERE id % {DIRTY_MOD} = 0
   )
 ),
@@ -77,7 +77,7 @@ blocked AS (
                   THEN {W_BAL} ELSE {W_BAL_DIS} END
            + CASE WHEN a.seg = b.seg THEN {W_SEG} ELSE {W_SEG_DIS} END AS score
   FROM uni a JOIN uni b
-    ON a.nat = b.nat AND substr(a.name, 1, 3) = substr(b.name, 1, 3)
+    ON a.nat = b.nat AND substr(a.name, length(a.name) - 3, 4) = substr(b.name, length(b.name) - 3, 4)
     AND a.id < b.id
 )
 SELECT id_a, id_b, CAST(score AS BIGINT) AS score,
@@ -90,9 +90,14 @@ FROM blocked WHERE score >= {FS_POSSIBLE}
 def join_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probabilistic record linkage over the customer master ∪ a planted
     dirty feed (every {DIRTY_MOD}th customer duplicated with one mutated
-    name character past the prefix-5 agreement zone and a 37-cent balance drift).
-    Blocking = (nation, name-3-prefix) equi-join — quadratic only inside a
-    block; scoring = Σ fixed per-field agreement log-weights (×1000
+    name character past the prefix-5 agreement zone and BEFORE the
+    blocking suffix, plus a 37-cent balance drift).
+    Blocking = (nation, name-4-SUFFIX) equi-join — the suffix varies where
+    these names' shared "Customer#" prefix does not (prefix blocking made
+    every per-nation population ONE block: 450M candidates / 255 s at sf1;
+    suffix blocks are O(replica-group)-sized and the mutation is capped
+    below the suffix so planted recall stays 100%) — quadratic only inside
+    a block; scoring = Σ fixed per-field agreement log-weights (×1000
     integers), classified match / possible by thresholds. Only scored
     candidates ≥ possible emit (the review queue + auto-link set).
 
@@ -110,7 +115,7 @@ def join_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter(F.col("id") % DIRTY_MOD == 0)
         .withColumn(
             "p",
-            (F.col("id") % F.greatest(F.length("name") - 6, F.lit(1)) + 6).cast(
+            (F.col("id") % F.greatest(F.length("name") - 10, F.lit(1)) + 6).cast(
                 "int"
             ),
         )
@@ -133,7 +138,7 @@ def join_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nat").alias("nat"),
         F.col("bal_cents").alias("ba"),
         F.col("seg").alias("sa"),
-        F.substring("name", 1, 3).alias("blk"),
+        F.expr("substr(name, length(name) - 3, 4)").alias("blk"),
     )
     b = uni.select(
         F.col("id").alias("id_b"),
@@ -141,7 +146,7 @@ def join_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nat").alias("nat"),
         F.col("bal_cents").alias("bb"),
         F.col("seg").alias("sb"),
-        F.substring("name", 1, 3).alias("blk"),
+        F.expr("substr(name, length(name) - 3, 4)").alias("blk"),
     )
     score = (
         F.when(F.col("na") == F.col("nb"), W_NAME_EXACT).otherwise(W_NAME_EXACT_DIS)

@@ -4,7 +4,7 @@ import os, sys, time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-BIG = {"dedup_span_ngrams", "join_fuzzy_dedup", "merge_upsert_cdc",
+BIG = {"dedup_span_ngrams", "join_fuzzy_dedup", "merge_upsert_cdc", "join_record_linkage_fs",
        "ts_gapfill_interpolate", "sample_quantile_strata"}
 NAMES = sys.argv[1:] or [
     "cluster_kmeans_fixed", "dedup_semantic_centroid",
