@@ -1,0 +1,269 @@
+"""Graph wave 3: community detection and graph-based keyword extraction.
+
+- ``graph_label_propagation`` — synchronous label propagation (Raghavan et
+  al., 2007) over the deterministic link graph (graph_plans._EDGES_SQL),
+  fixed rounds, min-label tie-break; emits community sizes. The standard
+  cheap community detector at web scale (no modularity matrix, just
+  neighbor majorities — one equi-join + one windowed agg per round).
+- ``text_textrank_keywords`` — TextRank (Mihalcea & Tarau, 2004): weighted
+  PageRank over the term co-occurrence graph (adjacent tokens, vocabulary-
+  bounded), integer fixed-point exactly like graph_plans.pagerank — the
+  unsupervised keyword extractor for corpus labeling at 100 TB (the LLM
+  extract_entities seam is the supervised sibling).
+
+Both oracles unroll one CTE per iteration over identical integer
+arithmetic (the technique proven on PageRank/k-core/Markov), so the
+iterative algorithms get exact value-hash checks, not rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.graph import SCALE
+from nocouncil_etl_spark.plans.graph_plans import _EDGES_SQL, _graph
+from nocouncil_etl_spark.plans.retrieval_plans import _TOK_SPARK, _TOK_SQL
+from nocouncil_etl_spark.registry import query
+
+LPA_ROUNDS = 4
+TR_ITERS = 6
+TR_VOCAB = 40
+TR_TOP = 15
+
+
+# --------------------------------------------------------------------------
+# 1. Label propagation communities
+# --------------------------------------------------------------------------
+
+
+def _lpa_oracle() -> str:
+    cte = [f"WITH {_EDGES_SQL},"]
+    cte.append("""
+und AS (SELECT src AS a, dst AS b FROM edges0 UNION SELECT dst, src FROM edges0),
+lab0 AS (SELECT node, node AS lab FROM nodes)""")
+    for k in range(LPA_ROUNDS):
+        cte.append(f""",
+cnt{k} AS (
+  SELECT u.a AS node, l.lab, CAST(count(*) AS BIGINT) AS c
+  FROM und u JOIN lab{k} l ON l.node = u.b GROUP BY 1, 2
+),
+best{k} AS (
+  SELECT node, lab FROM (
+    SELECT node, lab,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+    FROM cnt{k}
+  ) WHERE rn = 1
+),
+lab{k + 1} AS (
+  SELECT p.node, coalesce(b.lab, p.lab) AS lab
+  FROM lab{k} p LEFT JOIN best{k} b ON b.node = p.node
+)""")
+    cte.append(f"""
+SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(min(node) AS BIGINT) AS min_node, CAST(max(node) AS BIGINT) AS max_node
+FROM lab{LPA_ROUNDS} GROUP BY lab""")
+    return "".join(cte)
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{LPA_ROUNDS} synchronous label-propagation rounds on the undirected
+    link graph: every node starts as its own community, then repeatedly
+    adopts its neighbors' majority label (ties → smallest label — the total
+    order that makes synchronous LPA deterministic enough to value-hash).
+    Fixed round count rather than convergence detection: synchronous LPA
+    can 2-cycle, and a bounded round budget is also what you run at scale
+    (each round = one shuffle; an unbounded loop is an unbounded shuffle
+    bill). Emits (community, n_members, min/max member).
+
+    Scale shape: per round, one equi-join of the undirected edge list
+    against the label table (both partitioned by node id) + one
+    (node,label) hash-agg + one per-node top-1 window — all key-partitioned,
+    no global sort, lineage bounded by the fixed round count. The undirected
+    edge list is persisted for the rounds (same caller-owns-cache contract
+    as operators/graph.pagerank_fixed_point — one bounded edge-list cache
+    per invocation, released with the session)."""
+    nodes, edges, _n = _graph(spark, sf_dir)
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(
+            edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        .distinct()
+    )
+    und.persist()
+    lab = nodes.select("node", F.col("node").alias("lab"))
+    w = Window.partitionBy("node").orderBy(F.desc("c"), "lab")
+    for _ in range(LPA_ROUNDS):
+        cnt = (
+            und.join(
+                lab.select(F.col("node").alias("b"), "lab"), "b"
+            )
+            .groupBy(F.col("a").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        best = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("lab").alias("new_lab"))
+        )
+        lab = (
+            lab.join(best, "node", "left")
+            .select("node", F.coalesce("new_lab", "lab").alias("lab"))
+        )
+    out = lab.groupBy(F.col("lab").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("node").cast("long").alias("min_node"),
+        F.max("node").cast("long").alias("max_node"),
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# 2. TextRank keywords
+# --------------------------------------------------------------------------
+
+_TR_BASE_SQL = f"""
+tok AS (
+  SELECT doc_id, {_TOK_SQL} AS l FROM documents
+),
+vocab AS (
+  SELECT term FROM (
+    SELECT t.term, CAST(count(DISTINCT s.doc_id) AS BIGINT) AS df
+    FROM (SELECT doc_id, unnest(l) AS term FROM tok) s
+    JOIN (SELECT DISTINCT unnest(l) AS term FROM tok) t ON s.term = t.term
+    GROUP BY t.term
+  ) ORDER BY df DESC, term LIMIT {TR_VOCAB}
+),
+adj AS (
+  SELECT least(l[CAST(p.i AS INT)], l[CAST(p.i AS INT) + 1]) AS a,
+         greatest(l[CAST(p.i AS INT)], l[CAST(p.i AS INT) + 1]) AS b
+  FROM tok, LATERAL (SELECT unnest(range(1, len(l))) AS i) p
+  WHERE l[CAST(p.i AS INT)] <> l[CAST(p.i AS INT) + 1]
+),
+wedges AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS w
+  FROM adj
+  WHERE a IN (SELECT term FROM vocab) AND b IN (SELECT term FROM vocab)
+  GROUP BY a, b
+),
+und AS (
+  SELECT a AS u, b AS t, w FROM wedges UNION ALL SELECT b, a, w FROM wedges
+),
+wdeg AS (SELECT u, CAST(sum(w) AS BIGINT) AS wd FROM und GROUP BY u),
+prop AS (SELECT und.u, und.t, und.w, wdeg.wd FROM und JOIN wdeg ON wdeg.u = und.u),
+tnodes AS (SELECT term FROM vocab),
+tmeta AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM tnodes)
+"""
+
+
+def _tr_oracle() -> str:
+    cte = [f"WITH {_TR_BASE_SQL},"]
+    cte.append(
+        f"r0 AS (SELECT term, {SCALE}::BIGINT // (SELECT nv FROM tmeta) AS r FROM tnodes)"
+    )
+    for k in range(TR_ITERS):
+        cte.append(f""",
+agg{k} AS (
+  SELECT p.t AS term, CAST(sum((r.r * p.w) // p.wd) AS BIGINT) AS c
+  FROM prop p JOIN r{k} r ON r.term = p.u GROUP BY p.t
+),
+r{k + 1} AS (
+  SELECT n.term,
+         (15::BIGINT * {SCALE}) // (100 * (SELECT nv FROM tmeta))
+           + (85 * coalesce(a.c, 0)) // 100 AS r
+  FROM tnodes n LEFT JOIN agg{k} a ON a.term = n.term
+)""")
+    cte.append(f"""
+SELECT term, rank_1e9, rk FROM (
+  SELECT term, r AS rank_1e9,
+         CAST(row_number() OVER (ORDER BY r DESC, term) AS INT) AS rk
+  FROM r{TR_ITERS}
+) WHERE rk <= {TR_TOP}""")
+    return "".join(cte)
+
+
+@query("text_textrank_keywords", oracle=_tr_oracle())
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: build the adjacent-token co-occurrence
+    graph restricted to the top-{TR_VOCAB}-df vocabulary (edge weight =
+    corpus co-occurrence count, undirected), then run {TR_ITERS} weighted
+    PageRank iterations in integer fixed point — contribution of term u to
+    neighbor t is (r·w_ut)//wdeg_u, teleport 0.15 — and emit the top
+    {TR_TOP} keywords. Integer arithmetic end-to-end: the oracle replays
+    every iteration as an unrolled CTE and the value hash must agree.
+
+    Scale shape: the token stream collapses to vocabulary-bounded state
+    immediately (adjacent pairs filtered to vocab² before the count agg);
+    the rank iterations run on a ≤{TR_VOCAB}-node graph — broadcast-sized
+    regardless of corpus size, which is why TextRank scales: the corpus
+    pass is one narrow scan, the iteration cost is O(vocab). The vocab-sized
+    propagation table is persisted for the iterations (caller-owns-cache
+    contract, as pagerank_fixed_point)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.expr(_TOK_SPARK).alias("l"))
+    flat = tok.select("doc_id", F.explode("l").alias("term"))
+    vocab = (
+        flat.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), "term")
+        .limit(TR_VOCAB)
+        .select("term")
+    )
+    adj = (
+        tok.select(
+            "l", F.explode(F.expr("sequence(1, size(l) - 1)")).alias("i")
+        )
+        .select(
+            F.element_at("l", F.col("i").cast("int")).alias("x"),
+            F.element_at("l", F.col("i").cast("int") + 1).alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+    )
+    va = vocab.select(F.col("term").alias("a"))
+    vb = vocab.select(F.col("term").alias("b"))
+    wedges = (
+        adj.join(F.broadcast(va), "a")
+        .join(F.broadcast(vb), "b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    und = wedges.select(
+        F.col("a").alias("u"), F.col("b").alias("t"), "w"
+    ).unionByName(
+        wedges.select(F.col("b").alias("u"), F.col("a").alias("t"), "w")
+    )
+    wdeg = und.groupBy("u").agg(F.sum("w").cast("long").alias("wd"))
+    prop = und.join(wdeg, "u")
+    prop.persist()
+    nv = vocab.count()  # ≤ TR_VOCAB — a chosen constant, not data-sized
+    r = vocab.select("term", F.lit(SCALE // nv).cast("long").alias("r"))
+    for _ in range(TR_ITERS):
+        agg = (
+            prop.join(r.select(F.col("term").alias("u"), "r"), "u")
+            .groupBy(F.col("t").alias("term"))
+            .agg(
+                F.sum(F.expr("(r * w) div wd")).cast("long").alias("c")
+            )
+        )
+        r = vocab.join(agg, "term", "left").select(
+            "term",
+            (
+                F.lit(15 * SCALE // (100 * nv)).cast("long")
+                + F.expr("(85 * coalesce(c, 0L)) div 100")
+            ).alias("r"),
+        )
+    ranked = r.select(
+        "term",
+        F.col("r").alias("rank_1e9"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("r"), "term"))
+        .cast("int")
+        .alias("rk"),
+    )
+    return ranked.filter(F.col("rk") <= TR_TOP)
