@@ -191,3 +191,24 @@ def test_pq_encode_deterministic_and_copy_faithful(spark, sf_dir):
     for vid in list(enc[3]):
         assert got[vid] == got[vid + 10_000_000]
     pts.unpersist()
+
+
+def test_pq_adc_search_structure(spark, sf_dir):
+    """vec_pq_adc_search: every query emits exactly PQ_TOPK candidates,
+    rk-ordered with nondecreasing ADC distance, self excluded."""
+    from nocouncil_etl_spark.plans.pq_plans import PQ_TOPK, QUERY_MOD
+    from nocouncil_etl_spark.registry import load_all
+
+    out = load_all()["vec_pq_adc_search"].fn(spark, sf_dir).cache()
+    try:
+        per_q = out.groupBy("q_id").count()
+        assert per_q.filter(F.col("count") != PQ_TOPK).count() == 0
+        assert out.filter(F.col("c_id") == F.col("q_id")).count() == 0
+        assert out.filter(F.col("q_id") % QUERY_MOD != 0).count() == 0
+        import pyspark.sql.window as W
+
+        w = W.Window.partitionBy("q_id").orderBy("rk")
+        lagged = out.withColumn("prev_d", F.lag("adc_dist").over(w))
+        assert lagged.filter(F.col("prev_d") > F.col("adc_dist")).count() == 0
+    finally:
+        out.unpersist()
