@@ -61,6 +61,9 @@ HEADLINE: list[str] = [
     "text_bm25_search",      # lexical retrieval: tokenize → tf/df → decimal-sum rank
     "model_naive_bayes_lang",# trained bag-of-words classifier: train + score + confuse
     "vec_pca_power",         # D² moment pass + bounded driver power iteration
+    "retrieval_rrf_fusion",  # hybrid retrieval: BM25 + dense lists fused by rank
+    "graph_label_propagation",  # iterative keyed join + windowed majority, 4 rounds
+    "vec_pq_adc_search",     # train 8 codebooks + compressed-domain ADC scan
 ]
 
 

@@ -22,11 +22,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
-from nocouncil_etl_spark.operators.kmeans import (
-    assign_l2,
-    kmeans_fit,
-    quantize_vectors,
-)
+from nocouncil_etl_spark.operators.kmeans import quantize_vectors
+from nocouncil_etl_spark.operators.pq import pq_assign_codes, pq_fit
 from nocouncil_etl_spark.plans.clustering import kmeans_cte, quantize_sql
 from nocouncil_etl_spark.registry import query
 
@@ -116,51 +113,46 @@ def vec_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eq = quantize_vectors(e, "v", "xq").select("vec_id", "xq").persist()
     try:
-        code_frames = []
-        dtab_frames = []
-        for m in range(M):
-            sub = eq.select(
-                "vec_id", F.slice("xq", m * SUBD + 1, SUBD).alias("xq")
-            )
-            cent_ids, cm = kmeans_fit(sub, K_PQ, PQ_ITERS)
-            code_frames.append(
-                assign_l2(sub, cent_ids, cm)
-                .select(
-                    F.col("vec_id").alias("vid"),
-                    F.lit(m).alias("m"),
-                    F.col("cid").alias("code"),
+        # all M codebooks advance together: iters+1 corpus passes total
+        # (operators/pq.py), not M·iters — the 100 TB-correct trainer.
+        cms = pq_fit(eq, M, SUBD, K_PQ, PQ_ITERS)
+        codes = pq_assign_codes(eq, cms, SUBD).select(
+            F.col("vec_id").alias("vid"), "m", F.col("code").alias("code")
+        )
+        cent = spark.createDataFrame(
+            [
+                (m, i + 1, [int(x) for x in cms[m][i]])
+                for m in range(M)
+                for i in range(len(cms[m]))
+            ],
+            "m long, cid long, cv array<long>",
+        )
+        qsub = eq.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("q_id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).cast("long").alias("m"),
+                            F.slice("xq", m * SUBD + 1, SUBD).alias("qx"),
+                        )
+                        for m in range(M)
+                    ]
                 )
+            ).alias("sub"),
+        ).select("q_id", "sub.m", "sub.qx")
+        dtab = (
+            qsub.join(F.broadcast(cent), "m")
+            .select(
+                "q_id",
+                "m",
+                "cid",
+                F.expr(
+                    "aggregate(zip_with(qx, cv, (a, b) -> (a - b) * (a - b)), "
+                    "0L, (acc, x) -> acc + x)"
+                ).alias("d"),
             )
-            cent = spark.createDataFrame(
-                [
-                    (m, int(c), [int(x) for x in cm[i]])
-                    for i, c in enumerate(cent_ids)
-                ],
-                "m long, cid long, cv array<long>",
-            )
-            dtab_frames.append(
-                eq.filter(F.col("vec_id") % QUERY_MOD == 0)
-                .select(
-                    F.col("vec_id").alias("q_id"),
-                    F.slice("xq", m * SUBD + 1, SUBD).alias("qx"),
-                )
-                .crossJoin(F.broadcast(cent))
-                .select(
-                    "q_id",
-                    "m",
-                    "cid",
-                    F.expr(
-                        "aggregate(zip_with(qx, cv, (a, b) -> (a - b) * (a - b)), "
-                        "0L, (acc, x) -> acc + x)"
-                    ).alias("d"),
-                )
-            )
-        codes = code_frames[0]
-        for f in code_frames[1:]:
-            codes = codes.unionByName(f)
-        dtab = dtab_frames[0]
-        for f in dtab_frames[1:]:
-            dtab = dtab.unionByName(f)
+        )
         adc = (
             codes.alias("k")
             .join(
