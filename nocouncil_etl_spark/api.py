@@ -977,6 +977,94 @@ class Engine:
             .select("id_a", "id_b", F.col("d2").cast("long").alias("d2"))
         )
 
+    # --- fusion / diversification / release gates ---------------------------
+
+    def rrf(
+        self,
+        ranked: dict[str, DataFrame],
+        id_col: str,
+        k0: int = 60,
+        top: int = 20,
+    ) -> DataFrame:
+        """Reciprocal Rank Fusion of named rank lists (each with columns
+        (id_col, rank)) — the operators/fusion.rrf_fuse kernel, the same
+        implementation retrieval_rrf_fusion runs under its oracle."""
+        from nocouncil_etl_spark.operators.fusion import rrf_fuse
+
+        return rrf_fuse(ranked, id_col, k0=k0, top=top)
+
+    def mmr(
+        self,
+        vectors: DataFrame,
+        query: DataFrame,
+        id_col: str,
+        vec_col: str,
+        cand_n: int = 20,
+        k: int = 5,
+        lam: float = 0.7,
+    ) -> DataFrame:
+        """Maximal-Marginal-Relevance diversified top-k: rank ``vectors``
+        by cosine to the 1-row ``query`` frame (column ``qv``), keep the
+        top ``cand_n``, then greedily select ``k`` via
+        operators/fusion.mmr_greedy — the same kernel search_mmr_rerank
+        runs under its oracle (test_api3 pins row-identity)."""
+        from pyspark.sql import functions as F
+
+        from nocouncil_etl_spark.functions.vectors import cosine
+        from nocouncil_etl_spark.operators.fusion import mmr_greedy
+
+        cand = (
+            vectors.crossJoin(F.broadcast(query))
+            .select(
+                F.col(id_col),
+                F.col(vec_col).alias("_v"),
+                F.round(cosine(vec_col, "qv"), 6).alias("rel"),
+            )
+            .orderBy(F.desc("rel"), id_col)
+            .limit(cand_n)
+        )
+        cand.persist()
+        a = cand.select(F.col(id_col).alias("ia"), F.col("_v").alias("va"))
+        b = cand.select(F.col(id_col).alias("ib"), F.col("_v").alias("vb"))
+        sims = (
+            a.crossJoin(b)
+            .filter(F.col("ia") != F.col("ib"))
+            .select("ia", "ib", F.round(cosine("va", "vb"), 6).alias("s"))
+        )
+        sims.persist()
+        return mmr_greedy(
+            cand.select(id_col, "rel"), sims, k, lam, id_col=id_col
+        )
+
+    def k_anonymize(
+        self, df: DataFrame, qi_cols: list[str], k: int = 10
+    ) -> DataFrame:
+        """The k-anonymity PUBLISH gate (privacy_k_anonymity is the audit):
+        returns only rows whose quasi-identifier group has ≥ k members —
+        a group-size semi-join, never a row-level collect."""
+        from pyspark.sql import functions as F
+
+        big = (
+            df.groupBy(*qi_cols)
+            .agg(F.count(F.lit(1)).alias("_sz"))
+            .filter(F.col("_sz") >= k)
+            .drop("_sz")
+        )
+        return df.join(F.broadcast(big), qi_cols, "left_semi")
+
+    def quantile_normalize(
+        self, df: DataFrame, id_col: str, value_col: str, group_col: str
+    ) -> DataFrame:
+        """Quantile-normalize ``value_col`` per ``group_col`` onto the
+        pooled distribution — the operators/quantiles kernel, the same
+        implementation curation_quantile_normalize runs under its oracle
+        (test_api3 pins row-identity)."""
+        from nocouncil_etl_spark.operators.quantiles import (
+            quantile_normalize_frame,
+        )
+
+        return quantile_normalize_frame(df, id_col, value_col, group_col)
+
     # --- pipelines ----------------------------------------------------------
 
     def council_index(self, sf_dir: str) -> DataFrame:

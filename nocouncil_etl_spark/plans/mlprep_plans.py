@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.functions.vectors import cosine
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.fusion import mmr_greedy
 from nocouncil_etl_spark.plans.retrieval_plans import _TOK_SPARK, _TOK_SQL
 from nocouncil_etl_spark.registry import query
 
@@ -113,36 +114,7 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ia", "ib", F.round(cosine("va", "vb"), 6).alias("s"))
     )
     sims.persist()
-    sel = (
-        cand.orderBy(F.desc("rel"), "vec_id")
-        .limit(1)
-        .select("vec_id", F.lit(1).cast("long").alias("pick_rank"), "rel")
-    )
-    for k in range(2, MMR_K + 1):
-        sel_ids = sel.select(F.col("vec_id").alias("ib"))
-        maxsim = (
-            sims.join(F.broadcast(sel_ids), "ib")
-            .groupBy(F.col("ia").alias("vec_id"))
-            .agg(F.max("s").alias("ms"))
-        )
-        pick = (
-            cand.join(sel.select("vec_id"), "vec_id", "left_anti")
-            .join(maxsim, "vec_id")
-            .select(
-                "vec_id",
-                "rel",
-                F.round(
-                    LAM * F.col("rel") - (1 - LAM) * F.col("ms"), 6
-                ).alias("score"),
-            )
-            .orderBy(F.desc("score"), "vec_id")
-            .limit(1)
-            .select(
-                "vec_id", F.lit(k).cast("long").alias("pick_rank"), "rel"
-            )
-        )
-        sel = sel.unionByName(pick)
-    return sel
+    return mmr_greedy(cand, sims, MMR_K, LAM, id_col="vec_id")
 
 
 # ---- feature hashing ------------------------------------------------------

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import quantile_normalize_frame
 from nocouncil_etl_spark.registry import query
 
 
@@ -70,43 +71,8 @@ def curation_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline as agg_percentile_exact_rank); the at-scale variant swaps
     the pooled side for a fixed quantile grid (1000 points) and maps
     through it — same join shape, bounded sort."""
-    src = load(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.col("n_chars").cast("long").alias("v")
-    )
-    ranked = src.select(
-        "doc_id",
-        "source",
-        "v",
-        F.row_number()
-        .over(Window.partitionBy("source").orderBy("v", "doc_id"))
-        .cast("long")
-        .alias("rn"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("source"))
-        .cast("long")
-        .alias("n_s"),
-    )
-    pooled = src.select(
-        F.col("v").alias("pv"),
-        F.row_number()
-        .over(Window.orderBy("v", "doc_id"))
-        .cast("long")
-        .alias("prow"),
-    )
-    n = src.count()  # one scalar — the corpus size, not data
-    idx = ranked.select(
-        "doc_id",
-        "source",
-        "v",
-        F.when(F.col("n_s") == 1, F.lit(1).cast("long"))
-        .otherwise(
-            F.expr(f"((rn - 1) * ({n} - 1)) div (n_s - 1) + 1")
-        )
-        .alias("target"),
-    )
-    return idx.join(pooled, F.col("target") == F.col("prow")).select(
-        "doc_id", "source", F.col("v").alias("orig"), F.col("pv").alias("normalized")
-    )
+    docs = load(spark, sf_dir, "documents")
+    return quantile_normalize_frame(docs, "doc_id", "n_chars", "source")
 
 
 BT_MAX_H = 7

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.functions.vectors import cosine
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.fusion import rrf_fuse
 from nocouncil_etl_spark.registry import query
 from nocouncil_etl_spark.plans.retrieval_plans import (
     _TOK_SPARK,
@@ -170,8 +171,7 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.row_number()
             .over(Window.orderBy(F.desc("s"), "doc_id"))
-            .cast("long")
-            .alias("lex_rank"),
+            .alias("rank"),
         )
     )
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
@@ -187,39 +187,11 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.row_number()
             .over(Window.orderBy(F.desc("c"), "doc_id"))
-            .cast("long")
-            .alias("dense_rank"),
+            .alias("rank"),
         )
     )
-    zero = F.lit(0).cast("decimal(18,6)")
-    fused = lex.join(dense, "doc_id", "full_outer").select(
-        "doc_id",
-        "lex_rank",
-        "dense_rank",
-        (
-            F.coalesce(
-                F.round(1.0 / (RRF_K0 + F.col("lex_rank")), 6).cast(
-                    "decimal(18,6)"
-                ),
-                zero,
-            )
-            + F.coalesce(
-                F.round(1.0 / (RRF_K0 + F.col("dense_rank")), 6).cast(
-                    "decimal(18,6)"
-                ),
-                zero,
-            )
-        ).alias("rrf_dec"),
-    )
-    return (
-        fused.orderBy(F.desc("rrf_dec"), "doc_id")
-        .limit(FUSE_TOP)
-        .select(
-            "doc_id",
-            "lex_rank",
-            "dense_rank",
-            F.col("rrf_dec").cast("double").alias("rrf"),
-        )
+    return rrf_fuse(
+        {"lex": lex, "dense": dense}, "doc_id", k0=RRF_K0, top=FUSE_TOP
     )
 
 
