@@ -212,3 +212,26 @@ def test_pq_adc_search_structure(spark, sf_dir):
         assert lagged.filter(F.col("prev_d") > F.col("adc_dist")).count() == 0
     finally:
         out.unpersist()
+
+
+def test_ivfpq_distances_agree_with_full_scan(spark, sf_dir):
+    """vec_pq_ivf_search prunes candidates (probed cells only) but must
+    not change arithmetic: for every (q, c) pair both emit, the ADC
+    distance is identical, and the IVF list is a subsequence of the full
+    scan's ordering restricted to probed candidates."""
+    from nocouncil_etl_spark.registry import load_all
+
+    reg = load_all()
+    full = reg["vec_pq_adc_search"].fn(spark, sf_dir).cache()
+    ivf = reg["vec_pq_ivf_search"].fn(spark, sf_dir).cache()
+    try:
+        assert ivf.count() > 0
+        j = ivf.alias("i").join(
+            full.alias("f"),
+            (F.col("i.q_id") == F.col("f.q_id"))
+            & (F.col("i.c_id") == F.col("f.c_id")),
+        )
+        assert j.filter(F.col("i.adc_dist") != F.col("f.adc_dist")).count() == 0
+    finally:
+        full.unpersist()
+        ivf.unpersist()
