@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.functions.vectors import cosine
 from nocouncil_etl_spark.io import load
-from nocouncil_etl_spark.operators.fusion import rrf_fuse
+from nocouncil_etl_spark.operators.fusion import mmr_greedy, rrf_fuse
 from nocouncil_etl_spark.registry import query
 from nocouncil_etl_spark.plans.retrieval_plans import (
     _TOK_SPARK,
@@ -351,4 +351,177 @@ def eval_retrieval_pr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r_at_k"),
         F.round(1.0 / F.col("_frr"), 6).alias("mrr"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 4. End-to-end retrieval pipeline: fuse → diversify → judge
+# --------------------------------------------------------------------------
+
+E2E_CAND = 20
+E2E_K = 5
+E2E_LAM = 0.7
+
+
+def _retrieval_e2e_oracle() -> str:
+    cos = (
+        "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    cos_q = cos.format(a="e.v", b="q.qv")
+    cos_ab = cos.format(a="a.v", b="b.v")
+    head = f"""
+WITH {_BM25_PARTS_SQL},
+lex AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank
+  FROM (SELECT doc_id, sum(part) AS s FROM scored GROUP BY doc_id)
+  ORDER BY s DESC, doc_id LIMIT {LIST_N}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+dense AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY c DESC, vec_id) AS BIGINT) AS rank
+  FROM (SELECT vec_id, {cos_q} AS c FROM e CROSS JOIN q)
+  ORDER BY c DESC, vec_id LIMIT {LIST_N}
+),
+fused AS (
+  SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+         coalesce(CAST(round(1.0 / ({RRF_K0} + lex.rank), 6) AS DECIMAL(18, 6)),
+                  CAST(0 AS DECIMAL(18, 6)))
+         + coalesce(CAST(round(1.0 / ({RRF_K0} + dense.rank), 6) AS DECIMAL(18, 6)),
+                    CAST(0 AS DECIMAL(18, 6))) AS rrf_dec
+  FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+),
+cand AS (
+  SELECT f.doc_id, CAST(f.rrf_dec AS DOUBLE) AS rrf, e.v,
+         (SELECT {cos_q.replace('e.v', 'e2.v')} FROM e e2 CROSS JOIN q
+          WHERE e2.vec_id = f.doc_id) AS rel
+  FROM (SELECT doc_id, rrf_dec FROM fused
+        ORDER BY rrf_dec DESC, doc_id LIMIT {E2E_CAND}) f
+  JOIN e ON e.vec_id = f.doc_id
+),
+sims AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, {cos_ab} AS s
+  FROM cand a JOIN cand b ON a.doc_id <> b.doc_id
+),
+sel1 AS (
+  SELECT doc_id, CAST(1 AS BIGINT) AS pick_rank, rrf, rel
+  FROM cand ORDER BY rel DESC, doc_id LIMIT 1
+)"""
+    steps = []
+    for k in range(2, E2E_K + 1):
+        steps.append(f""",
+pick{k} AS (
+  SELECT c.doc_id, CAST({k} AS BIGINT) AS pick_rank, c.rrf, c.rel
+  FROM cand c
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel{k - 1})
+  ORDER BY round({E2E_LAM} * c.rel - {round(1 - E2E_LAM, 10)} * (
+           SELECT max(s.s) FROM sims s
+           JOIN sel{k - 1} t ON s.ib = t.doc_id
+           WHERE s.ia = c.doc_id), 6) DESC, c.doc_id
+  LIMIT 1
+),
+sel{k} AS (SELECT * FROM sel{k - 1} UNION ALL SELECT * FROM pick{k})""")
+    tail = f""",
+judged AS (
+  SELECT s.pick_rank, s.doc_id, s.rrf, s.rel,
+         CAST(coalesce(least(max(sc.tf), 3), 0) AS BIGINT) AS graded_rel
+  FROM sel{E2E_K} s LEFT JOIN scored sc ON sc.doc_id = s.doc_id
+  GROUP BY s.pick_rank, s.doc_id, s.rrf, s.rel
+)
+SELECT pick_rank, doc_id, rrf, rel, graded_rel,
+       CAST(round((power(2, graded_rel) - 1) / log2(pick_rank + 1), 6)
+            AS DOUBLE) AS dcg_part
+FROM judged"""
+    return head + "".join(steps) + tail
+
+
+@query("pipeline_retrieval_e2e", oracle=_retrieval_e2e_oracle())
+def pipeline_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full retrieval serving DAG under ONE SQL oracle: BM25 lexical
+    top-{LIST_N} ⊕ dense top-{LIST_N} fused by RRF → top-{E2E_CAND}
+    candidates → MMR diversification (λ={E2E_LAM}, rel = dense cosine,
+    every greedy step an unrolled CTE) → the final {E2E_K}-slot context
+    judged against graded term-frequency relevance with its nDCG gain per
+    slot. This is what a RAG context builder runs per query, end to end —
+    candidate generation is the only corpus-scale stage, everything after
+    operates on chosen-constant-size lists.
+
+    Composes the oracle-checked pieces (retrieval_rrf_fusion,
+    search_mmr_rerank, eval_ndcg_at_k) through shared kernels
+    (operators/fusion) — the composed DAG is the thing the judge can
+    value-hash, not just its parts."""
+    e = load(spark, sf_dir, "embeddings")
+    parts = _bm25_parts(spark, sf_dir)
+    lex = (
+        parts.groupBy("doc_id")
+        .agg(F.sum("part").alias("s"))
+        .orderBy(F.desc("s"), "doc_id")
+        .limit(LIST_N)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("s"), "doc_id"))
+            .alias("rank"),
+        )
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored_dense = e.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("v"),
+        F.round(cosine("embedding", "qv"), 6).alias("c"),
+    )
+    scored_dense.persist()
+    dense = (
+        scored_dense.orderBy(F.desc("c"), "doc_id")
+        .limit(LIST_N)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), "doc_id"))
+            .alias("rank"),
+        )
+    )
+    fused = rrf_fuse(
+        {"lex": lex, "dense": dense}, "doc_id", k0=RRF_K0, top=E2E_CAND
+    )
+    cand = fused.select("doc_id", "rrf").join(
+        scored_dense.select("doc_id", "v", F.col("c").alias("rel")), "doc_id"
+    )
+    cand.persist()
+    a = cand.select(F.col("doc_id").alias("ia"), F.col("v").alias("va"))
+    b = cand.select(F.col("doc_id").alias("ib"), F.col("v").alias("vb"))
+    sims = (
+        a.crossJoin(b)
+        .filter(F.col("ia") != F.col("ib"))
+        .select("ia", "ib", F.round(cosine("va", "vb"), 6).alias("s"))
+    )
+    sims.persist()
+    sel = mmr_greedy(
+        cand.select("doc_id", "rel"), sims, E2E_K, E2E_LAM, id_col="doc_id"
+    )
+    sel = sel.join(cand.select("doc_id", "rrf"), "doc_id")
+    judged = (
+        sel.join(
+            parts.select("doc_id", "tf"), "doc_id", "left"
+        )
+        .groupBy("pick_rank", "doc_id", "rrf", "rel")
+        .agg(
+            F.coalesce(F.least(F.max("tf"), F.lit(3)), F.lit(0))
+            .cast("long")
+            .alias("graded_rel")
+        )
+    )
+    return judged.select(
+        "pick_rank",
+        "doc_id",
+        "rrf",
+        "rel",
+        "graded_rel",
+        F.round(
+            (F.pow(F.lit(2.0), F.col("graded_rel")) - 1.0)
+            / F.log2(F.col("pick_rank") + 1),
+            6,
+        ).alias("dcg_part"),
     )
