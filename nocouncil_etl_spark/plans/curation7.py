@@ -1,0 +1,203 @@
+"""Curation wave 7: corpus-composition gates.
+
+- ``text_code_detection`` — code-vs-prose detection by symbol statistics
+  (brace/bracket/operator density, indented-line ratio, identifier
+  casing), the gate that routes documents into code vs natural-language
+  training mixes — a composition decision every pretraining corpus makes
+  before mixing (text_gopher_rules is the quality sibling; this is the
+  modality router).
+- ``curation_token_budget_fill`` — fill a fixed token budget greedily by
+  quality-per-token: rank documents by a deterministic quality score,
+  admit while the running token total fits. The final assembly step after
+  dedup/quality/mixing — "we can afford N tokens; which documents ship?"
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.registry import query
+
+CODE_SYMBOLS = "{};=()[]<>"
+CODE_SCORE_THRESHOLD = 25  # per-mille symbol density above which doc = code
+
+TOKEN_BUDGET = 20_000
+
+
+
+
+@query(
+    "text_code_detection",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN
+           text || chr(10)
+                || repeat('if (x[i] >= y) {{ z = arr[i]; emit(z); }}' || chr(10),
+                          greatest(1, CAST(n_chars AS BIGINT) // 150))
+         ELSE text END AS text
+  FROM documents
+),
+stats AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text) - length(replace(replace(replace(replace(replace(
+              replace(replace(replace(replace(text,
+              '{{', ''), '}}', ''), ';', ''), '=', ''), '(', ''),
+              ')', ''), '[', ''), ']', ''), '<', '')) AS BIGINT) AS n_sym,
+         CAST(len(list_filter(string_split(text, chr(10)),
+              l -> l LIKE '    %' OR l LIKE chr(9) || '%')) AS BIGINT)
+           AS n_indented,
+         CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9_]+'),
+              t -> regexp_matches(t, '^[a-z]+[A-Z]'))) AS BIGINT)
+           AS n_camel,
+         CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+  FROM aug
+)
+SELECT doc_id, n_chars, n_sym, n_indented, n_camel,
+       (n_sym * 1000) // n_chars AS sym_per_mille,
+       CAST((n_sym * 1000) // n_chars >= {CODE_SCORE_THRESHOLD}
+            AS BOOLEAN) AS is_code
+FROM stats WHERE n_chars > 0
+""",
+)
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose router: counts code-shaped symbols ({CODE_SYMBOLS}
+    minus '>' kept implicit via '<'-pairing), 4-space/tab-indented lines,
+    and camelCase identifiers; the routing decision is an integer
+    per-mille symbol density against threshold {CODE_SCORE_THRESHOLD}.
+    All counts exact integers (replace-difference and list_filter
+    semantics match Spark's translate/filter), so the gate is
+    engine-portable bit-for-bit.
+
+    Scale shape: one narrow projection — every statistic is a scalar
+    expression over the text column, no shuffle at all until a consumer
+    aggregates. The cheapest possible modality router at 100 TB."""
+    raw = load(spark, sf_dir, "documents")
+    # planted fixture: every 7th doc gets a deterministic code tail sized
+    # ∝ its length, so the router has exact ground truth on both engines
+    # (the same planted-fixture discipline as the fuzzy-dedup typo copies).
+    docs = raw.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\n"),
+                F.repeat(
+                    F.lit("if (x[i] >= y) { z = arr[i]; emit(z); }\n"),
+                    F.greatest(
+                        F.lit(1),
+                        F.expr("CAST(n_chars AS BIGINT) div 150").cast("int"),
+                    ),
+                ),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    # translate() deletes every listed char — the Spark twin of the
+    # nested-replace difference in the oracle (same 9 symbols).
+    n_sym = F.length("text") - F.length(
+        F.translate(F.col("text"), "{};=()[]<", "")
+    )
+    lines = F.split(F.col("text"), "\n")
+    n_indented = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("    ") | l.startswith("\t"),
+        )
+    )
+    n_camel = F.size(
+        F.filter(
+            F.split(F.col("text"), "[^A-Za-z0-9_]+"),
+            lambda t: t.rlike("^[a-z]+[A-Z]"),
+        )
+    )
+    stats = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_sym.cast("long").alias("n_sym"),
+        n_indented.cast("long").alias("n_indented"),
+        n_camel.cast("long").alias("n_camel"),
+        F.size(lines).cast("long").alias("n_lines"),
+    ).filter(F.col("n_chars") > 0)
+    density = F.expr("(n_sym * 1000) div n_chars")
+    return stats.select(
+        "doc_id",
+        "n_chars",
+        "n_sym",
+        "n_indented",
+        "n_camel",
+        density.alias("sym_per_mille"),
+        (density >= CODE_SCORE_THRESHOLD).alias("is_code"),
+    )
+
+
+@query(
+    "curation_token_budget_fill",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(lower(text),
+              '[^a-z0-9]+'), t -> length(t) > 0)) AS BIGINT) AS n_tokens,
+         CAST(n_chars AS BIGINT)
+           - CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+           AS quality
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, n_tokens, quality,
+         CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM scored WHERE n_tokens > 0
+)
+SELECT doc_id, source, n_tokens, quality, cum_tokens
+FROM ranked WHERE cum_tokens <= {TOKEN_BUDGET}
+""",
+)
+def curation_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget assembly: rank documents by a deterministic
+    quality score (chars minus spaces — a stand-in for any upstream
+    quality model; the ordering is the operator, not the score), admit in
+    (quality desc, doc_id) order while the running token total stays
+    within {TOKEN_BUDGET}. Emits the admitted set with its cumulative
+    accounting — the reproducible answer to "which documents are in this
+    training run?".
+
+    Scale shape: one narrow token-count pass, then ONE global running-sum
+    window — the honest cost of an exact global greedy fill (same
+    discipline as agg_percentile_exact_rank); the at-scale variant
+    pre-buckets by quality band and fills band-by-band, turning the
+    global sort into a bounded per-band one."""
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda t: F.length(t) > 0,
+        )
+    )
+    quality = F.col("n_chars").cast("long") - (
+        F.length("text") - F.length(F.translate(F.col("text"), " ", ""))
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        n_tokens.cast("long").alias("n_tokens"),
+        quality.cast("long").alias("quality"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.orderBy(F.desc("quality"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "quality",
+        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+    )
+    return ranked.filter(F.col("cum_tokens") <= TOKEN_BUDGET)
