@@ -395,3 +395,63 @@ def io_jsonl_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.schema("doc_id long, source string, n_chars long")
         .json(out)
     )
+
+
+@query(
+    "io_fixed_width_roundtrip",
+    oracle="""
+SELECT o_orderkey,
+       o_custkey,
+       o_orderstatus,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS order_day,
+       o_orderpriority
+FROM orders
+""",
+)
+def io_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S/K surface for the mainframe-era format that still feeds real
+    warehouses: orders → fixed-width text lines (zero-padded numerics,
+    space-padded strings, declared column offsets — no delimiters at all)
+    → text sink → substring-parse back to typed columns matching the
+    direct-parquet oracle. Money crosses as integer cents and dates as
+    epoch days, so the roundtrip is format-exact with no float or
+    timezone hazard.
+
+    Scale shape: render and parse are narrow per-row expressions; the text
+    sink/scan are partition-parallel. Parsing by DECLARED offsets (like
+    the declared-schema CSV scan) — never by guessing."""
+    out = os.path.join(
+        tempfile.gettempdir(), "nocouncil_etl_spark_scratch", "orders_fixedw"
+    )
+    o = load(spark, sf_dir, "orders")
+    line = F.concat(
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+        F.lpad(F.col("o_custkey").cast("string"), 12, "0"),
+        F.rpad(F.col("o_orderstatus"), 1, " "),
+        F.lpad(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            14,
+            "0",
+        ),
+        F.lpad(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("string"),
+            7,
+            "0",
+        ),
+        F.rpad(F.col("o_orderpriority"), 15, " "),
+    )
+    o.select(line.alias("value")).write.mode("overwrite").text(out)
+    raw = spark.read.text(out)
+    v = F.col("value")
+    return raw.select(
+        F.substring(v, 1, 12).cast("long").alias("o_orderkey"),
+        F.substring(v, 13, 12).cast("long").alias("o_custkey"),
+        F.trim(F.substring(v, 25, 1)).alias("o_orderstatus"),
+        F.substring(v, 26, 14).cast("long").alias("cents"),
+        F.substring(v, 40, 7).cast("long").alias("order_day"),
+        F.rtrim(F.substring(v, 47, 15)).alias("o_orderpriority"),
+    )
