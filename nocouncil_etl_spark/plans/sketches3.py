@@ -337,3 +337,87 @@ def model_bradley_terry_leaderboard(
         .cast("int")
         .alias("rk"),
     )
+
+
+# --------------------------------------------------------------------------
+# Lorenz curve (pairs with the Gini coefficient in analytics5)
+# --------------------------------------------------------------------------
+
+N_DECILES = 10
+
+
+@query(
+    "agg_lorenz_curve",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT cents,
+         CAST(row_number() OVER (ORDER BY cents, user_id) AS BIGINT) AS rn,
+         CAST(sum(cents) OVER (ORDER BY cents, user_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM per_user
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+  FROM per_user
+),
+dec AS (SELECT unnest(range(1, {N_DECILES} + 1)) AS decile)
+SELECT d.decile,
+       (d.decile * t.n) // {N_DECILES} AS n_users_cum,
+       r.cum AS cum_cents,
+       (r.cum * 1000000) // t.s AS share_ppm
+FROM dec d
+CROSS JOIN tot t
+JOIN ranked r ON r.rn = (d.decile * t.n) // {N_DECILES}
+""",
+)
+def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of user spend at decile boundaries: users ranked by
+    total cents ascending; at each decile boundary (rank = ⌊d·n/10⌋) emit
+    the cumulative spend and its parts-per-million share — exact integer
+    arithmetic end to end. The curve behind the Gini coefficient
+    (analytics5): the Gini is twice the area between this curve and the
+    diagonal; the curve itself says WHERE the concentration lives.
+
+    Scale shape: one per-user hash-agg, one bounded sort over users (the
+    honest exact-quantile discipline), a {N_DECILES}-row broadcast join —
+    no data-sized state past the ranking."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    per_user.persist()
+    w = Window.orderBy("cents", "user_id")
+    ranked = per_user.select(
+        "cents",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.sum("cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum"),
+    )
+    tot = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    dec = spark.range(1, N_DECILES + 1).select(F.col("id").alias("decile"))
+    return (
+        dec.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            F.expr(f"(decile * n) div {N_DECILES}").alias("n_users_cum"),
+            "s",
+        )
+        .join(ranked, F.col("rn") == F.col("n_users_cum"))
+        .select(
+            "decile",
+            "n_users_cum",
+            F.col("cum").alias("cum_cents"),
+            F.expr("(cum * 1000000) div s").alias("share_ppm"),
+        )
+    )

@@ -295,3 +295,81 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked into this image
     pass
+
+
+def test_streaming_quantile_histogram_merges_to_batch_answer(
+    spark, sf_dir, tmp_path
+):
+    """The quantile-histogram sketch's mergeability claim, proven through
+    Structured Streaming: micro-batches each contribute PARTIAL bucket
+    counts (merged via foreachBatch into a state parquet); the final
+    merged histogram must answer the nearest-rank quantile targets with
+    the SAME estimates the batch query computes — partial histograms add,
+    so arrival slicing cannot change the answer. Bucket geometry (min/
+    width) is pinned from the batch side up front, as a production sketch
+    pins its grid before ingestion."""
+    from nocouncil_etl_spark.plans.sketches3 import N_BUCKETS, PCTS
+    from nocouncil_etl_spark.registry import load_all
+
+    out = str(tmp_path / "hist_state")
+    ckpt = str(tmp_path / "ckpt")
+
+    ev = load(spark, sf_dir, "events")
+    cents = ev.select(F.round(F.col("value") * 100).cast("long").alias("v"))
+    mn, mx, n = cents.agg(
+        F.min("v"), F.max("v"), F.count(F.lit(1))
+    ).collect()[0]
+    w = (mx - mn) // N_BUCKETS + 1
+
+    spark.createDataFrame([], "b long, c long").write.mode(
+        "overwrite"
+    ).parquet(out)
+
+    stream = read_events_stream(spark, sf_dir).select(
+        F.expr(f"(CAST(round(value * 100) AS BIGINT) - {mn}) div {w}").alias(
+            "b"
+        )
+    )
+
+    def merge_hist(batch, epoch_id):
+        part = batch.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("c"))
+        state = batch.sparkSession.read.parquet(out)
+        merged = (
+            state.unionByName(part)
+            .groupBy("b")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+        merged.write.mode("overwrite").parquet(out + "_next")
+        batch.sparkSession.read.parquet(out + "_next").write.mode(
+            "overwrite"
+        ).parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_hist)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    hist = spark.read.parquet(out)
+    assert hist.agg(F.sum("c")).collect()[0][0] == n
+
+    cum = hist.select(
+        "b",
+        F.sum("c")
+        .over(__import__("pyspark").sql.Window.orderBy("b"))
+        .alias("cum"),
+    )
+    batch_out = {
+        r["p"]: r["est"]
+        for r in load_all()["sketch_quantile_histogram"].fn(spark, sf_dir).collect()
+    }
+    for p in PCTS:
+        r = (p * n + 99) // 100
+        minb = (
+            cum.filter(F.col("cum") >= r).agg(F.min("b")).collect()[0][0]
+        )
+        est = mn + minb * w + w // 2
+        assert est == batch_out[p], (p, est, batch_out[p])
