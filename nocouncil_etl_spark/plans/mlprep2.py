@@ -15,7 +15,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
@@ -207,4 +207,77 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         us("latest").cast("long").alias("latest_us"),
         lag_min.alias("lag_minutes"),
         (lag_min > FRESH_SLO_MIN).alias("slo_breach"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Median imputation (planted missingness)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ml_impute_median",
+    oracle="""
+WITH masked AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 13 = 0 THEN NULL
+              ELSE CAST(n_chars AS BIGINT) END AS v
+  FROM documents
+),
+obs AS (
+  SELECT source, v, doc_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY v, doc_id)
+              AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS cnt
+  FROM masked WHERE v IS NOT NULL
+),
+med AS (
+  SELECT source, v AS med FROM obs WHERE rn = (cnt + 1) // 2
+)
+SELECT m.doc_id, m.source,
+       coalesce(m.v, d.med) AS value_filled,
+       CAST(m.v IS NULL AS BOOLEAN) AS was_imputed
+FROM masked m JOIN med d ON d.source = m.source
+""",
+)
+def ml_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group median imputation with planted missingness (doc_id % 13
+    → NULL, so both engines mask the identical rows — ground truth by
+    construction): each missing value is filled with its source's exact
+    lower median of the OBSERVED values (rank pick, (value, id) total
+    order). Emits every row with the fill flag — the standard tabular
+    preprocessing step, exact and reproducible.
+
+    Scale shape: one window sort per source partition for the rank-picked
+    median (groups sort independently — no global sort), then a broadcast
+    join of the |sources|-row median table back onto the data."""
+    docs = load(spark, sf_dir, "documents")
+    masked = docs.select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None))
+        .otherwise(F.col("n_chars").cast("long"))
+        .alias("v"),
+    )
+    obs = masked.filter(F.col("v").isNotNull()).select(
+        "source",
+        "v",
+        "doc_id",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("v", "doc_id"))
+        .cast("long")
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .cast("long")
+        .alias("cnt"),
+    )
+    med = obs.filter(
+        F.col("rn") == F.expr("(cnt + 1) div 2")
+    ).select("source", F.col("v").alias("med"))
+    return masked.join(F.broadcast(med), "source").select(
+        "doc_id",
+        "source",
+        F.coalesce("v", "med").alias("value_filled"),
+        F.col("v").isNull().alias("was_imputed"),
     )
