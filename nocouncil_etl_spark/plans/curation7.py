@@ -201,3 +201,135 @@ def curation_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
     )
     return ranked.filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+
+
+# --------------------------------------------------------------------------
+# Jensen-Shannon divergence per source vs rest-of-corpus
+# --------------------------------------------------------------------------
+
+JSD_VOCAB = 30
+
+
+@query(
+    "text_jsd_sources",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest(list_filter(regexp_split_to_array(lower(text),
+       '[^a-z0-9]+'), t -> length(t) > 0)) AS term
+  FROM documents
+),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY term
+  ) ORDER BY n DESC, term LIMIT {JSD_VOCAB}
+),
+vt AS (SELECT source, term FROM tok WHERE term IN (SELECT term FROM vocab)),
+per_src AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+  FROM vt GROUP BY source, term
+),
+src_tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM per_src GROUP BY source),
+all_tot AS (
+  SELECT term, CAST(sum(c) AS BIGINT) AS c_all FROM per_src GROUP BY term
+),
+grand AS (SELECT CAST(sum(c_all) AS BIGINT) AS n_all FROM all_tot),
+cells AS (
+  SELECT s.source, v.term,
+         coalesce(p.c, 0) AS c_s, st.n AS n_s,
+         a.c_all - coalesce(p.c, 0) AS c_r,
+         (SELECT n_all FROM grand) - st.n AS n_r
+  FROM src_tot st
+  CROSS JOIN vocab v
+  JOIN (SELECT DISTINCT source FROM per_src) s ON s.source = st.source
+  JOIN all_tot a ON a.term = v.term
+  LEFT JOIN per_src p ON p.source = st.source AND p.term = v.term
+),
+terms AS (
+  SELECT source,
+         CAST(c_s AS DOUBLE) / n_s AS p,
+         CAST(c_r AS DOUBLE) / n_r AS q
+  FROM cells
+),
+parts AS (
+  SELECT source,
+         CASE WHEN p > 0 THEN
+           CAST(round(0.5 * p * ln(p / (0.5 * p + 0.5 * q)), 6)
+                AS DECIMAL(18, 6))
+         ELSE CAST(0 AS DECIMAL(18, 6)) END
+         + CASE WHEN q > 0 THEN
+           CAST(round(0.5 * q * ln(q / (0.5 * p + 0.5 * q)), 6)
+                AS DECIMAL(18, 6))
+         ELSE CAST(0 AS DECIMAL(18, 6)) END AS jsd_part
+  FROM terms
+)
+SELECT source, CAST(sum(jsd_part) AS DOUBLE) AS jsd_nats
+FROM parts GROUP BY source
+""",
+)
+def text_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's token distribution (over
+    the top-{JSD_VOCAB} corpus vocabulary) against the REST of the corpus
+    — the symmetric, bounded drift score that flags an off-distribution
+    source before it pollutes a training mix (PSI is the binned sibling;
+    JSD is the distributional one). Each ½p·ln(p/m) term quantizes to
+    DECIMAL(18,6) before the per-source sum; probabilities are exact count
+    ratios, so ln() runs on identical doubles.
+
+    Scale shape: token stream → (source, term) hash-agg restricted to the
+    chosen vocabulary (|sources|·V state), the rest is arithmetic on that
+    contingency table — one data-sized pass total."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("term"),
+    )
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(JSD_VOCAB)
+        .select("term")
+    )
+    vt = tok.join(F.broadcast(vocab), "term")
+    per_src = vt.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_src.persist()
+    src_tot = per_src.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    all_tot = per_src.groupBy("term").agg(
+        F.sum("c").cast("long").alias("c_all")
+    )
+    n_all = per_src.agg(F.sum("c")).collect()[0][0]  # one scalar
+    cells = (
+        src_tot.crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(all_tot), "term")
+        .join(per_src, ["source", "term"], "left")
+        .select(
+            "source",
+            "term",
+            F.coalesce("c", F.lit(0)).alias("c_s"),
+            F.col("n").alias("n_s"),
+            (F.col("c_all") - F.coalesce("c", F.lit(0))).alias("c_r"),
+            (F.lit(n_all) - F.col("n")).alias("n_r"),
+        )
+    )
+    p = F.col("c_s").cast("double") / F.col("n_s")
+    q = F.col("c_r").cast("double") / F.col("n_r")
+    m = 0.5 * p + 0.5 * q
+    zero = F.lit(0).cast("decimal(18,6)")
+    part = F.when(
+        p > 0, F.round(0.5 * p * F.log(p / m), 6).cast("decimal(18,6)")
+    ).otherwise(zero) + F.when(
+        q > 0, F.round(0.5 * q * F.log(q / m), 6).cast("decimal(18,6)")
+    ).otherwise(zero)
+    return (
+        cells.select("source", part.alias("jsd_part"))
+        .groupBy("source")
+        .agg(F.sum("jsd_part").alias("jsd_dec"))
+        .select("source", F.col("jsd_dec").cast("double").alias("jsd_nats"))
+    )
