@@ -286,3 +286,78 @@ def mine_sequential_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rules.orderBy(F.desc("lift"), "ante", "cons").limit(TOP_SEQ_RULES)
+
+
+# --------------------------------------------------------------------------
+# Pareto frontier (2-D skyline)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_pareto_frontier",
+    oracle="""
+WITH pts AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+),
+dedup AS (
+  SELECT price_cents, qty,
+         min(l_orderkey * 10 + l_linenumber) AS tag
+  FROM pts GROUP BY price_cents, qty
+),
+ranked AS (
+  SELECT price_cents, qty, tag,
+         max(qty) OVER (ORDER BY price_cents, tag
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_qty_cheaper
+  FROM dedup
+)
+SELECT price_cents, qty, CAST(tag AS BIGINT) AS tag
+FROM ranked
+WHERE best_qty_cheaper IS NULL OR qty > best_qty_cheaper
+""",
+)
+def agg_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline) of line items: the points where no
+    other point is both cheaper AND higher-quantity — the multi-objective
+    "best deals" set behind any cost/quality trade-off screen. Linear
+    formulation: sort by (price asc, tag), keep rows whose quantity beats
+    the running max over all strictly-cheaper-or-tied-earlier points —
+    O(n log n) instead of the naive all-pairs dominance scan. (Ties on
+    the sort key make the running max include equal-price rows seen
+    earlier; the deterministic tag makes that inclusion identical on both
+    engines — a dominance-with-tie-break skyline, exact and total.)
+
+    Scale shape: one distinct-point agg, one global sort + running-max
+    window (the exact-skyline cost; the at-scale variant pre-prunes with
+    per-partition local skylines — only each partition's frontier, a tiny
+    fraction, reaches the global sort, same two-phase discipline as
+    TakeOrdered)."""
+    li = load(spark, sf_dir, "lineitem")
+    pts = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    dedup = pts.groupBy("price_cents", "qty").agg(
+        F.min(F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("tag")
+    )
+    w = (
+        Window.orderBy("price_cents", "tag")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = dedup.select(
+        "price_cents",
+        "qty",
+        "tag",
+        F.max("qty").over(w).alias("best_qty_cheaper"),
+    )
+    return ranked.filter(
+        F.col("best_qty_cheaper").isNull()
+        | (F.col("qty") > F.col("best_qty_cheaper"))
+    ).select("price_cents", "qty", F.col("tag").cast("long").alias("tag"))
