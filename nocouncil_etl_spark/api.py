@@ -1065,6 +1065,93 @@ class Engine:
 
         return quantile_normalize_frame(df, id_col, value_col, group_col)
 
+    def pit_join(
+        self,
+        obs: DataFrame,
+        features: DataFrame,
+        obs_key: str,
+        entity_col: str,
+        event_time_col: str,
+        feat_entity_col: str,
+        valid_col: str,
+        load_col: str,
+        as_of,
+        value_cols: list[str],
+    ) -> DataFrame:
+        """Bitemporal point-in-time join (valid AND loaded by as-of) — the
+        operators/pit kernel, the same implementation
+        join_feature_store_pit runs under its oracle."""
+        from nocouncil_etl_spark.operators.pit import point_in_time_join
+
+        return point_in_time_join(
+            obs,
+            features,
+            obs_key=obs_key,
+            entity_col=entity_col,
+            event_time_col=event_time_col,
+            feat_entity_col=feat_entity_col,
+            valid_col=valid_col,
+            load_col=load_col,
+            as_of=as_of,
+            value_cols=value_cols,
+        )
+
+    def cuped(
+        self, df: DataFrame, unit_col: str, pre_col: str, post_col: str
+    ) -> DataFrame:
+        """CUPED variance-reduction readout for any (unit, pre, post)
+        frame of integer metrics: θ, var(post), adjusted variance, and the
+        reduction ratio ρ² — exact BIGINT cross-moments, one shuffle
+        (eval_cuped_adjustment's kernel generalized; test_api3 pins the
+        catalog construction)."""
+        from pyspark.sql import functions as F
+
+        mom = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(pre_col).cast("long").alias("sx"),
+            F.sum(post_col).cast("long").alias("sy"),
+            F.sum(F.col(pre_col) * F.col(pre_col)).cast("long").alias("sxx"),
+            F.sum(F.col(post_col) * F.col(post_col))
+            .cast("long")
+            .alias("syy"),
+            F.sum(F.col(pre_col) * F.col(post_col))
+            .cast("long")
+            .alias("sxy"),
+        )
+        n = F.col("n")
+        cxx = (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx") / n
+        )
+        cyy = (
+            F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy") / n
+        )
+        cxy = (
+            F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy") / n
+        )
+        s = mom.select(
+            n.alias("n_units"),
+            (cxy / cxx).alias("theta"),
+            (cyy / (n - 1)).alias("var_y"),
+            (cxx / (n - 1)).alias("var_x"),
+            (cxy / (n - 1)).alias("cov_xy"),
+        )
+        var_adj = (
+            F.col("var_y")
+            - F.col("cov_xy") * F.col("cov_xy") / F.col("var_x")
+        )
+        return s.select(
+            "n_units",
+            F.round("theta", 6).alias("theta"),
+            F.round(F.col("var_y"), 6).alias("var_post"),
+            F.round(var_adj, 6).alias("var_adjusted"),
+            F.round(1.0 - var_adj / F.col("var_y"), 6).alias(
+                "variance_reduction"
+            ),
+        )
+
     # --- pipelines ----------------------------------------------------------
 
     def council_index(self, sf_dir: str) -> DataFrame:

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.pit import point_in_time_join
 from nocouncil_etl_spark.registry import query
 
 N_VERSIONS = 4
@@ -125,30 +126,18 @@ def join_feature_store_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the same discipline as join_asof_tolerance, with the second time
     axis as a pushed filter."""
     feats, obs = _features_spark(spark, sf_dir)
-    cand = (
-        obs.join(
-            feats.filter(F.col("load_day") <= AS_OF_DAY),
-            (F.col("custkey") == F.col("o_custkey"))
-            & (F.col("valid_from") <= F.col("event_day")),
-        )
-        .select(
-            "o_orderkey",
-            "o_custkey",
-            "event_day",
-            "version",
-            "feature_cents",
-            F.row_number()
-            .over(
-                Window.partitionBy("o_orderkey").orderBy(
-                    F.desc("valid_from")
-                )
-            )
-            .alias("rn"),
-        )
-        .filter(F.col("rn") == 1)
-        .select("o_orderkey", "version", "feature_cents")
-    )
-    return obs.join(cand, "o_orderkey", "left").select(
+    return point_in_time_join(
+        obs,
+        feats,
+        obs_key="o_orderkey",
+        entity_col="o_custkey",
+        event_time_col="event_day",
+        feat_entity_col="custkey",
+        valid_col="valid_from",
+        load_col="load_day",
+        as_of=AS_OF_DAY,
+        value_cols=["version", "feature_cents"],
+    ).select(
         "o_orderkey", "o_custkey", "event_day", "version", "feature_cents"
     )
 

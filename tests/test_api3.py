@@ -79,3 +79,51 @@ def test_rrf_verb_math_and_absentee_handling(eng, spark):
     assert out[4]["lex_rank"] is None
     assert out[4]["rrf"] == pytest.approx(round(1 / 62, 6), abs=1e-9)
     assert out[2]["rrf"] > out[1]["rrf"]  # both-lists beats single-list here
+
+
+def test_pit_join_verb_matches_catalog(eng, spark, sf_dir):
+    from nocouncil_etl_spark.plans.featurestore_plans import (
+        AS_OF_DAY,
+        _features_spark,
+    )
+
+    feats, obs = _features_spark(spark, sf_dir)
+    verb = eng.pit_join(
+        obs,
+        feats,
+        obs_key="o_orderkey",
+        entity_col="o_custkey",
+        event_time_col="event_day",
+        feat_entity_col="custkey",
+        valid_col="valid_from",
+        load_col="load_day",
+        as_of=AS_OF_DAY,
+        value_cols=["version", "feature_cents"],
+    ).select("o_orderkey", "o_custkey", "event_day", "version", "feature_cents")
+    twin = REG["join_feature_store_pit"].fn(spark, sf_dir)
+    assert _rows(verb) == _rows(twin)
+
+
+def test_cuped_verb_matches_catalog_statistics(eng, spark, sf_dir):
+    """The verb over the catalog's own per-user pre/post frame must agree
+    with eval_cuped_adjustment's theta and variance_reduction (the verb
+    reports raw-cents variances where the catalog scales to currency²—
+    compare the scale-free columns)."""
+    from nocouncil_etl_spark.plans.experiment_plans import SPLIT_DAY
+
+    ev = eng.table(sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(day < SPLIT_DAY, cents).otherwise(0))
+        .cast("long")
+        .alias("pre"),
+        F.sum(F.when(day >= SPLIT_DAY, cents).otherwise(0))
+        .cast("long")
+        .alias("post"),
+    )
+    verb = eng.cuped(per_user, "user_id", "pre", "post").collect()[0]
+    twin = REG["eval_cuped_adjustment"].fn(spark, sf_dir).collect()[0]
+    assert verb["n_units"] == twin["n_users"]
+    assert verb["theta"] == twin["theta"]
+    assert verb["variance_reduction"] == twin["variance_reduction"]
