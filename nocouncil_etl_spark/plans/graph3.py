@@ -343,3 +343,89 @@ def graph_khop_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"n_{k}hop", F.coalesce(F.col(f"n_{k}hop"), F.lit(0))
         )
     return out
+
+
+# --------------------------------------------------------------------------
+# 4. degree assortativity
+# --------------------------------------------------------------------------
+
+
+@query(
+    "graph_assortativity",
+    oracle=f"""
+WITH {_EDGES_SQL},
+und AS (SELECT src AS a, dst AS b FROM edges0 UNION SELECT dst, src FROM edges0),
+degs AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY a),
+epairs AS (
+  SELECT da.deg AS x, db.deg AS y
+  FROM und u JOIN degs da ON da.node = u.a JOIN degs db ON db.node = u.b
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM epairs
+)
+SELECT m AS n_directed_edges,
+       round((m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / sqrt((m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * (m * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+             6) AS assortativity
+FROM mom
+""",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the undirected link graph: Pearson
+    correlation of endpoint degrees over all directed edge instances
+    (both orientations — the standard Newman formulation). Positive ⇒
+    hubs link to hubs (social-graph shape); negative ⇒ hub-and-spoke
+    (web/citation shape). Five exact BIGINT moments over the edge list,
+    one rounded double out.
+
+    Scale shape: degree table = one hash-agg; the epair join is two keyed
+    joins of the edge list against the (node, degree) table; moments are
+    a 1-row agg. Linear in edges at any scale."""
+    _nodes, edges, _n = _graph(spark, sf_dir)
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(
+            edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        .distinct()
+    )
+    und.persist()
+    degs = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    epairs = (
+        und.join(
+            degs.select(F.col("node").alias("a"), F.col("deg").alias("x")),
+            "a",
+        )
+        .join(
+            degs.select(F.col("node").alias("b"), F.col("deg").alias("y")),
+            "b",
+        )
+        .select("x", "y")
+    )
+    mom = epairs.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    m = F.col("m")
+    return mom.select(
+        m.alias("n_directed_edges"),
+        F.round(
+            (m * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy"))
+            / F.sqrt(
+                (m * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx"))
+                * (m * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy"))
+            ),
+            6,
+        ).alias("assortativity"),
+    )

@@ -219,3 +219,84 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_value"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Hill tail-index estimator
+# --------------------------------------------------------------------------
+
+HILL_K = 50
+
+
+@query(
+    "agg_hill_tail_index",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT cents,
+         CAST(row_number() OVER (ORDER BY cents DESC, user_id) AS BIGINT) AS rn
+  FROM per_user
+),
+kth AS (SELECT cents AS x_k FROM ranked WHERE rn = {HILL_K} + 1),
+parts AS (
+  SELECT CAST(round(ln(CAST(r.cents AS DOUBLE) / (SELECT x_k FROM kth)), 6)
+              AS DECIMAL(18, 6)) AS lr
+  FROM ranked r WHERE r.rn <= {HILL_K}
+)
+SELECT CAST({HILL_K} AS BIGINT) AS k,
+       (SELECT CAST(x_k AS BIGINT) FROM kth) AS x_k,
+       CAST(sum(lr) AS DOUBLE) AS sum_log_ratio,
+       round(CAST(sum(lr) AS DOUBLE) / {HILL_K}, 6) AS hill_gamma,
+       round({HILL_K} / CAST(sum(lr) AS DOUBLE), 6) AS tail_alpha
+FROM parts
+""",
+)
+def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the spend distribution's tail index: over the top
+    {HILL_K} user totals, γ̂ = (1/k)·Σ ln(x_(i)/x_(k+1)) and α̂ = 1/γ̂ —
+    the standard heavy-tail diagnostic (α < 2 ⇒ infinite variance: means
+    and A/B tests on the raw metric are unstable, winsorize or CUPED
+    first). Log ratios of exact integers quantize to DECIMAL(18,6) before
+    the sum; ordering is total on (cents desc, user).
+
+    Scale shape: per-user agg then a top-(k+1) selection — at scale a
+    TakeOrdered of k+1 rows; the estimator itself is k-bounded."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    ranked = per_user.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cents"), "user_id"))
+        .cast("long")
+        .alias("rn"),
+    )
+    ranked.persist()
+    kth = ranked.filter(F.col("rn") == HILL_K + 1).select(
+        F.col("cents").alias("x_k")
+    )
+    parts = (
+        ranked.filter(F.col("rn") <= HILL_K)
+        .crossJoin(F.broadcast(kth))
+        .select(
+            F.round(
+                F.log(F.col("cents").cast("double") / F.col("x_k")), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("lr"),
+            "x_k",
+        )
+    )
+    return parts.agg(
+        F.lit(HILL_K).cast("long").alias("k"),
+        F.any_value("x_k").cast("long").alias("x_k"),
+        F.sum("lr").cast("double").alias("sum_log_ratio"),
+        F.round(F.sum("lr").cast("double") / HILL_K, 6).alias("hill_gamma"),
+        F.round(HILL_K / F.sum("lr").cast("double"), 6).alias("tail_alpha"),
+    )
