@@ -1023,7 +1023,6 @@ class Engine:
             .orderBy(F.desc("rel"), id_col)
             .limit(cand_n)
         )
-        cand.persist()
         a = cand.select(F.col(id_col).alias("ia"), F.col("_v").alias("va"))
         b = cand.select(F.col(id_col).alias("ib"), F.col("_v").alias("vb"))
         sims = (
@@ -1031,7 +1030,6 @@ class Engine:
             .filter(F.col("ia") != F.col("ib"))
             .select("ia", "ib", F.round(cosine("va", "vb"), 6).alias("s"))
         )
-        sims.persist()
         return mmr_greedy(
             cand.select(id_col, "rel"), sims, k, lam, id_col=id_col
         )

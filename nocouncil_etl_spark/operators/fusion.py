@@ -71,7 +71,16 @@ def mmr_greedy(
     Returns (id_col, pick_rank, rel).
 
     Scale: a serving-time loop over a CHOSEN candidate count — per step
-    one broadcast semi-join + one agg over ≤|cand|² sim rows."""
+    one broadcast semi-join + one agg over ≤|cand|² sim rows. Both inputs
+    are MATERIALIZED up front (eager localCheckpoint): each greedy pick
+    references them k more times, and without truncation the candidate
+    list's upstream lineage (a whole fusion DAG in
+    pipeline_retrieval_e2e) is re-embedded once per pick per reference —
+    the plan tree grows ~k² copies of the corpus subtree and OOMs the
+    driver at scale (observed at sf0.1). Checkpointing pins the
+    ≤|cand|²-row lists and the loop plans against those."""
+    cand = cand.localCheckpoint(eager=True)
+    sims = sims.localCheckpoint(eager=True)
     sel = (
         cand.orderBy(F.desc("rel"), id_col)
         .limit(1)

@@ -105,7 +105,6 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rel"), "vec_id")
         .limit(CAND_N)
     )
-    cand.persist()
     a = cand.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
     b = cand.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
     sims = (
@@ -113,7 +112,6 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ia") != F.col("ib"))
         .select("ia", "ib", F.round(cosine("va", "vb"), 6).alias("s"))
     )
-    sims.persist()
     return mmr_greedy(cand, sims, MMR_K, LAM, id_col="vec_id")
 
 

@@ -489,7 +489,6 @@ def pipeline_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = fused.select("doc_id", "rrf").join(
         scored_dense.select("doc_id", "v", F.col("c").alias("rel")), "doc_id"
     )
-    cand.persist()
     a = cand.select(F.col("doc_id").alias("ia"), F.col("v").alias("va"))
     b = cand.select(F.col("doc_id").alias("ib"), F.col("v").alias("vb"))
     sims = (
@@ -497,7 +496,6 @@ def pipeline_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ia") != F.col("ib"))
         .select("ia", "ib", F.round(cosine("va", "vb"), 6).alias("s"))
     )
-    sims.persist()
     sel = mmr_greedy(
         cand.select("doc_id", "rel"), sims, E2E_K, E2E_LAM, id_col="doc_id"
     )
