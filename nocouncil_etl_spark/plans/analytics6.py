@@ -311,3 +311,81 @@ def window_hysteresis_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 2).alias("peak_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# engagement stickiness (DAU / trailing-WAU)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_stickiness_dau_wau",
+    oracle="""
+WITH user_days AS (
+  SELECT DISTINCT user_id,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM user_days),
+dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM user_days GROUP BY day
+),
+wau AS (
+  SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+  FROM days d JOIN user_days u
+    ON u.day BETWEEN d.day - 6 AND d.day
+  GROUP BY d.day
+)
+SELECT d.day AS day, a.dau, w.wau,
+       round(a.dau / CAST(w.wau AS DOUBLE), 6) AS stickiness
+FROM days d JOIN dau a ON a.day = d.day JOIN wau w ON w.day = d.day
+""",
+)
+def agg_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement stickiness per day: DAU / trailing-7-day WAU (distinct
+    users, both exact) — the product-analytics ratio that separates "many
+    users occasionally" from "few users constantly" (1/7 ≈ everyone shows
+    once a week; 1.0 = everyone active daily). The WAU window joins the
+    deduped user-day table against the day spine with a BETWEEN band —
+    exact distinct inside a sliding window without any approximate
+    sketch.
+
+    Scale shape: the stream collapses to DISTINCT (user, day) first (one
+    hash-agg — the only data-sized stage); the banded join fans each
+    user-day to ≤7 spine days before the distinct-count agg. At planetary
+    scale the exact WAU distinct is the honest cost; the sketch variant
+    swaps in HLL partials (sketch_hll_custom) with the same join shape."""
+    ev = load(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    ).distinct()
+    user_days.persist()
+    days = user_days.select("day").distinct()
+    dau = user_days.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    spine = days.select(F.col("day").alias("d_day"))
+    wau = (
+        spine.join(
+            user_days,
+            (F.col("day") >= F.col("d_day") - 6)
+            & (F.col("day") <= F.col("d_day")),
+        )
+        .groupBy(F.col("d_day").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+    return (
+        days.join(dau, "day")
+        .join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
