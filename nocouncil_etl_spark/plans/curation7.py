@@ -333,3 +333,89 @@ def text_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("jsd_part").alias("jsd_dec"))
         .select("source", F.col("jsd_dec").cast("double").alias("jsd_nats"))
     )
+
+
+# --------------------------------------------------------------------------
+# license compliance gate (planted license notices)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "curation_license_gate",
+    oracle="""
+WITH aug AS (
+  SELECT doc_id, source,
+         text || CASE
+           WHEN doc_id % 11 = 0 THEN ' Licensed under CC-BY-4.0.'
+           WHEN doc_id % 11 = 1 THEN ' Licensed under CC-BY-NC-2.0.'
+           WHEN doc_id % 11 = 2 THEN ' All rights reserved.'
+           ELSE '' END AS text
+  FROM documents
+),
+classified AS (
+  SELECT doc_id, source,
+         CASE
+           WHEN regexp_matches(text, 'CC-BY-NC') THEN 'cc-by-nc'
+           WHEN regexp_matches(text, 'CC-BY') THEN 'cc-by'
+           WHEN regexp_matches(lower(text), 'all rights reserved')
+             THEN 'all-rights-reserved'
+           ELSE 'unknown' END AS license,
+         CASE
+           WHEN regexp_matches(text, 'CC-BY-NC') THEN FALSE
+           WHEN regexp_matches(text, 'CC-BY') THEN TRUE
+           WHEN regexp_matches(lower(text), 'all rights reserved') THEN FALSE
+           ELSE FALSE END AS train_ok
+  FROM aug
+)
+SELECT license, train_ok, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM classified GROUP BY license, train_ok
+""",
+)
+def curation_license_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License-compliance gate: classify each document by its license
+    notice (precedence: CC-BY-NC before CC-BY — the substring trap that
+    mislabels NC content as permissive is exactly what the ordering
+    guards) and decide trainability (permissive CC-BY only; NC,
+    all-rights-reserved, and UNKNOWN all excluded — unknown-means-no is
+    the conservative policy every compliant corpus runs). License tails
+    are planted deterministically (doc_id % 11 ∈ {0,1,2}) so the gate has
+    exact ground truth on both engines. Emits the audit rollup per
+    (license, decision).
+
+    Scale shape: one narrow regex classification pass + a tiny rollup —
+    the gate composes as a filter pushed into any downstream curation
+    scan."""
+    raw = load(spark, sf_dir, "documents")
+    docs = raw.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" Licensed under CC-BY-4.0."))
+            .when(F.col("doc_id") % 11 == 1, F.lit(" Licensed under CC-BY-NC-2.0."))
+            .when(F.col("doc_id") % 11 == 2, F.lit(" All rights reserved."))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    is_nc = F.col("text").rlike("CC-BY-NC")
+    is_by = F.col("text").rlike("CC-BY")
+    is_arr = F.lower(F.col("text")).rlike("all rights reserved")
+    classified = docs.select(
+        "doc_id",
+        F.when(is_nc, "cc-by-nc")
+        .when(is_by, "cc-by")
+        .when(is_arr, "all-rights-reserved")
+        .otherwise("unknown")
+        .alias("license"),
+        F.when(is_nc, F.lit(False))
+        .when(is_by, F.lit(True))
+        .when(is_arr, F.lit(False))
+        .otherwise(F.lit(False))
+        .alias("train_ok"),
+    )
+    return classified.groupBy("license", "train_ok").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )
