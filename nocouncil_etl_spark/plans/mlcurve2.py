@@ -4,9 +4,11 @@
   classification on the labeled embeddings: each query point (vec_id %
   QUERY_MOD) takes its 5 nearest neighbors' majority label (ties → lower
   label, the total order), scored against the truth — the lazy-learner
-  baseline every embedding space should beat a centroid model with
-  (ml_learning_curve_centroid is the parametric sibling; this one has no
-  training at all).
+  diagnostic that separates LOCAL label structure from global: on this
+  corpus it scores ~chance while the centroid model reaches 41%
+  (ml_learning_curve_centroid), i.e. the labels are linearly separable in
+  the mean but not neighborhood-clustered — exactly the distinction this
+  pair of evaluations exists to expose.
 - ``fn_intervals_coalesce`` — merge overlapping intervals (order
   fulfillment windows per customer): the gaps-and-islands kernel applied
   to (start, end) INTERVALS rather than event points (sessionize_batch is
