@@ -73,3 +73,81 @@ def pagerank_fixed_point(
                 prev.unpersist()
             prev = ranks
     return ranks
+
+
+def hits_fixed_point(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Fixed-point HITS: nodes(node), edges(src, dst) → (node, a, h) after
+    ``iters`` synchronous iterations, hub-initialized at ``scale``.
+
+    Each iteration: auth(v) = Σ_{(u,v)} hub(u), max-normalized to ``scale``
+    (a·scale // max(a), integer floor division); then hub(u) = Σ_{(u,v)}
+    auth(v), normalized the same way. All integer arithmetic → bit-identical
+    across engines, so an unrolled-CTE oracle value-hashes exactly (the
+    PageRank discipline, doubled).
+
+    Scale shape: per half-step one edges⋈scores equi-join + one
+    map-side-combined sum + one left join back to the node set. The
+    normalizer max is fetched to the driver as ONE scalar per half-step
+    (the `_graph` n-count pattern) rather than crossJoined as a 1-row
+    frame: a normalizer subquery embeds the half-step's whole subtree a
+    second time, so the logical plan doubles every half-step (~4^iters
+    nodes) and Catalyst OOMs generating the tree before anything runs —
+    a scalar literal keeps plan growth linear like PageRank's. Raw
+    half-step state is persisted and materialized each iteration (the
+    max is an agg over that cache, so the scalar fetch is nearly free).
+
+    Contract: the returned frame is persisted (last iteration's state);
+    the caller should ``.unpersist()`` it once consumed."""
+    hub = nodes.withColumn("h", F.lit(scale).cast("long"))
+    auth = None
+    prev_h = prev_a = None
+    for _ in range(iters):
+        araw = (
+            edges.join(hub, edges["src"] == hub["node"])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("c"))
+        )
+        araw = nodes.join(araw, nodes["node"] == araw["dst"], "left").select(
+            "node", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("a")
+        )
+        araw = araw.persist()
+        amax = max(araw.agg(F.max("a")).collect()[0][0] or 0, 1)  # one scalar
+        auth = araw.select(
+            "node", F.expr(f"(a * {scale}) div {amax}").cast("long").alias("a")
+        )
+        if prev_a is not None:
+            prev_a.unpersist()
+        prev_a = araw
+
+        hraw = (
+            edges.join(auth, edges["dst"] == auth["node"])
+            .groupBy("src")
+            .agg(F.sum("a").alias("c"))
+        )
+        hraw = nodes.join(hraw, nodes["node"] == hraw["src"], "left").select(
+            "node", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("h")
+        )
+        hraw = hraw.persist()
+        hmax = max(hraw.agg(F.max("h")).collect()[0][0] or 0, 1)
+        hub = hraw.select(
+            "node", F.expr(f"(h * {scale}) div {hmax}").cast("long").alias("h")
+        )
+        if prev_h is not None:
+            prev_h.unpersist()
+        prev_h = hraw
+
+    out = auth.join(hub, "node")
+    if prev_a is not None:
+        # the joined frame re-reads both caches lazily; hand ownership of a
+        # single persisted result to the caller and drop the halves after
+        # materializing the join.
+        out = out.persist()
+        out.count()
+        prev_a.unpersist()
+        prev_h.unpersist()
+    return out
