@@ -64,6 +64,8 @@ HEADLINE: list[str] = [
     "retrieval_rrf_fusion",  # hybrid retrieval: BM25 + dense lists fused by rank
     "graph_label_propagation",  # iterative keyed join + windowed majority, 4 rounds
     "vec_pq_adc_search",     # train 8 codebooks + compressed-domain ADC scan
+    "graph_hits_hubs_auth",  # 8 per-iteration materialized agg+join rounds
+    "sketch_theta_intersection",  # shingle → bottom-k sketches → pairwise set ops
 ]
 
 
