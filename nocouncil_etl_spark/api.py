@@ -642,6 +642,92 @@ class Engine:
         )
         return pagerank_fixed_point(nodes, e, n, iters)
 
+    def hits(
+        self,
+        edges: DataFrame,
+        src: str = "src",
+        dst: str = "dst",
+        iters: int = 4,
+    ) -> DataFrame:
+        """HITS hubs & authorities over an edge list (operators/graph.py):
+        (node, a, h) in max-normalized 1e-6 integer units after ``iters``
+        synchronous iterations — deterministic across engines and runs.
+        Node set = every id appearing as src or dst.
+
+        The returned frame is PERSISTED (the iteration materializes each
+        half-step to keep the plan linear — see hits_fixed_point); the
+        caller owns the cache — call ``.unpersist()`` when done."""
+        from pyspark.sql import functions as F
+
+        from nocouncil_etl_spark.operators.graph import hits_fixed_point
+
+        nodes = (
+            edges.select(F.col(src).alias("node"))
+            .unionByName(edges.select(F.col(dst).alias("node")))
+            .distinct()
+        )
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        return hits_fixed_point(nodes, e, iters)
+
+    def covisitation(
+        self,
+        df: DataFrame,
+        basket_col: str,
+        item_col: str,
+        k: int = 3,
+    ) -> DataFrame:
+        """Top-k co-visited items per item ("bought X also bought Y") from
+        any (basket, item) event frame — squared-cosine integer scores,
+        basket-bounded joins (operators/recsys.covisitation_topk, the
+        kernel behind rec_item_covisitation)."""
+        from nocouncil_etl_spark.operators.recsys import covisitation_topk
+
+        return covisitation_topk(df, basket_col, item_col, k)
+
+    def isotonic_calibrate(
+        self,
+        df: DataFrame,
+        prob_col: str,
+        label_col: str,
+        n_bins: int = 20,
+    ) -> DataFrame:
+        """Isotonic calibration curve of ``label_col`` (0/1) against
+        ``prob_col`` (∈[0,1]) over ``n_bins`` equal-width bins: returns
+        (bin, n, pos, obs_1e9, iso_1e9) with iso the monotone fit in exact
+        1e-9 units (operators/calibration.isotonic_fit — the minimax PAVA
+        kernel behind ml_isotonic_calibration). Cut model-score thresholds
+        on iso, not on raw scores."""
+        from pyspark.sql import functions as F
+
+        from nocouncil_etl_spark.operators.calibration import isotonic_fit
+
+        binned = df.select(
+            F.least(F.lit(n_bins - 1), F.floor(F.col(prob_col) * n_bins))
+            .cast("long")
+            .alias("bin"),
+            F.col(label_col).cast("long").alias("y"),
+        )
+        bins = binned.groupBy("bin").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+        return isotonic_fit(bins)
+
+    def rouge(
+        self,
+        df: DataFrame,
+        id_col: str,
+        ref_col: str,
+        cand_col: str,
+    ) -> DataFrame:
+        """ROUGE-1/2 P/R/F1 (exact integer millionths) of a candidate text
+        column against a reference per row — summarization/generation eval
+        over e.g. the LLM seam's outputs (operators/texteval.rouge_scores,
+        the kernel behind eval_rouge_ngram)."""
+        from nocouncil_etl_spark.operators.texteval import rouge_scores
+
+        return rouge_scores(df, id_col, ref_col, cand_col)
+
     # --- timeseries / behavioral -------------------------------------------
 
     def funnel(

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
 from nocouncil_etl_spark.operators.graph import hits_fixed_point
+from nocouncil_etl_spark.operators.recsys import covisitation_topk
 from nocouncil_etl_spark.plans.graph_plans import _EDGES_SQL, _graph
 from nocouncil_etl_spark.registry import query
 
@@ -250,40 +251,6 @@ def rec_item_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins are against the item dimension (broadcast-sized); top-k per
     item is one window over the scored pairs."""
     li = load(spark, sf_dir, "lineitem")
-    basket = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
-    ).distinct()
-    cnt = basket.groupBy("item").agg(F.count("*").cast("long").alias("c"))
-    a = basket.select("ok", F.col("item").alias("ia"))
-    b = basket.select("ok", F.col("item").alias("ib"))
-    pairs = (
-        a.join(b, "ok")
-        .filter(F.col("ia") < F.col("ib"))
-        .groupBy("ia", "ib")
-        .agg(F.count("*").cast("long").alias("co"))
+    return covisitation_topk(
+        li, "l_orderkey", "l_partkey", REC_TOPK, scale=REC_SCALE
     )
-    sym = pairs.select(
-        F.col("ia").alias("item"), F.col("ib").alias("rec"), "co"
-    ).unionByName(
-        pairs.select(F.col("ib").alias("item"), F.col("ia").alias("rec"), "co")
-    )
-    scored = (
-        sym.join(cnt.select(F.col("item"), F.col("c").alias("ca")), "item")
-        .join(
-            cnt.select(F.col("item").alias("rec"), F.col("c").alias("cb")), "rec"
-        )
-        .select(
-            "item",
-            "rec",
-            "co",
-            F.expr(f"(co * co * {REC_SCALE}) div (ca * cb)")
-            .cast("long")
-            .alias("score_1e6"),
-        )
-    )
-    w = Window.partitionBy("item").orderBy(
-        F.desc("score_1e6"), F.desc("co"), F.asc("rec")
-    )
-    return scored.select(
-        "item", "rec", "co", "score_1e6", F.row_number().over(w).cast("int").alias("rk")
-    ).filter(F.col("rk") <= REC_TOPK)

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
-from nocouncil_etl_spark.operators.dedup import make_shingle_udf
+from nocouncil_etl_spark.operators.texteval import rouge_scores
 from nocouncil_etl_spark.plans.dedup_plans import _sql_shingles
 from nocouncil_etl_spark.registry import query
 
@@ -391,8 +391,6 @@ def eval_rouge_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in gram instances, the contamination_ngrams shape pointed at
     evaluation."""
     docs = load(spark, sf_dir, "documents")
-    sh1 = make_shingle_udf(1)
-    sh2 = make_shingle_udf(2)
     toks = docs.select(
         "doc_id",
         F.col("text").alias("ref_text"),
@@ -403,64 +401,4 @@ def eval_rouge_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("cand_text"),
     )
-
-    def side(n: int, udf) -> DataFrame:
-        g = toks.select(
-            "doc_id",
-            udf("ref_text").alias("gr"),
-            udf("cand_text").alias("gc"),
-        )
-        g = g.persist()
-        ref = (
-            g.select("doc_id", F.explode("gr").alias("gram"))
-            .groupBy("doc_id", "gram")
-            .agg(F.count("*").cast("long").alias("cr"))
-        )
-        cand = (
-            g.select("doc_id", F.explode("gc").alias("gram"))
-            .groupBy("doc_id", "gram")
-            .agg(F.count("*").cast("long").alias("cc"))
-        )
-        ov = (
-            ref.join(cand, ["doc_id", "gram"])
-            .groupBy("doc_id")
-            .agg(F.sum(F.least("cr", "cc")).cast("long").alias("ov"))
-        )
-        tot = g.select(
-            "doc_id",
-            F.size("gr").cast("long").alias("nref"),
-            F.size("gc").cast("long").alias("ncand"),
-        )
-        return (
-            tot.join(ov, "doc_id", "left")
-            .filter((F.col("nref") > 0) & (F.col("ncand") > 0))
-            .select(
-                "doc_id",
-                F.coalesce("ov", F.lit(0)).cast("long").alias("ov"),
-                "nref",
-                "ncand",
-            )
-        )
-
-    m1 = side(1, sh1)
-    m2 = side(2, sh2).select(
-        F.col("doc_id"),
-        F.col("ov").alias("ov2"),
-        F.col("nref").alias("nref2"),
-        F.col("ncand").alias("ncand2"),
-    )
-    return m1.join(m2, "doc_id", "left").select(
-        "doc_id",
-        F.col("ov").alias("r1_overlap"),
-        F.expr(f"(ov * {ROUGE_SCALE}) div ncand").cast("long").alias("r1_p_1e6"),
-        F.expr(f"(ov * {ROUGE_SCALE}) div nref").cast("long").alias("r1_r_1e6"),
-        F.expr(f"(2 * ov * {ROUGE_SCALE}) div (ncand + nref)")
-        .cast("long")
-        .alias("r1_f1_1e6"),
-        F.coalesce("ov2", F.lit(0)).cast("long").alias("r2_overlap"),
-        F.coalesce(
-            F.expr(f"(2 * ov2 * {ROUGE_SCALE}) div (ncand2 + nref2)"), F.lit(0)
-        )
-        .cast("long")
-        .alias("r2_f1_1e6"),
-    )
+    return rouge_scores(toks, "doc_id", "ref_text", "cand_text", scale=ROUGE_SCALE)

