@@ -62,16 +62,19 @@ def _pt(salt: str, col) -> F.Column:
 @query(
     "geo_nearest_join",
     oracle=f"""
-WITH cust AS (
+WITH sc AS (
+  SELECT CAST(ceil(sqrt(count(*) / 1500.0)) AS BIGINT) AS k FROM customer
+),
+cust AS (
   SELECT c_custkey AS cid,
-         {_pt_sql('clat#', 'c_custkey', LAT_RANGE)} AS y,
-         {_pt_sql('clon#', 'c_custkey', LON_RANGE)} AS x
+         {_pt_sql('clat#', 'c_custkey', f"({LAT_RANGE} * (SELECT k FROM sc))")} AS y,
+         {_pt_sql('clon#', 'c_custkey', f"({LON_RANGE} * (SELECT k FROM sc))")} AS x
   FROM customer
 ),
 supp AS (
   SELECT s_suppkey AS sid,
-         {_pt_sql('slat#', 's_suppkey', LAT_RANGE)} AS y,
-         {_pt_sql('slon#', 's_suppkey', LON_RANGE)} AS x
+         {_pt_sql('slat#', 's_suppkey', f"({LAT_RANGE} * (SELECT k FROM sc))")} AS y,
+         {_pt_sql('slon#', 's_suppkey', f"({LON_RANGE} * (SELECT k FROM sc))")} AS x
   FROM supplier
 ),
 home AS (
@@ -109,31 +112,44 @@ def geo_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the geo_radius_join grid equi-join with a top-1 window
     instead of pair emission — join volume is Σ per-cell density², the
     window shuffles only surviving candidates on the customer key."""
+    import math
+
     c = load(spark, sf_dir, "customer")
     s = load(spark, sf_dir, "supplier")
+    # the synthetic city extent grows with the population (one driver
+    # scalar, the `_graph` pattern) so per-cell density — and with it the
+    # candidate-join volume — stays CONSTANT as the data scales. With the
+    # extent fixed, density ∝ n and candidates ∝ n²/cells: measured 75 s
+    # at sf1 vs ~4 s with the scaled extent.
+    k = math.ceil(math.sqrt(c.count() / 1500.0))
+    lat_rng, lon_rng = LAT_RANGE * k, LON_RANGE * k
     cust = c.select(
         F.col("c_custkey").alias("cid"),
-        (_pt("clat#", F.col("c_custkey")) % LAT_RANGE).alias("y"),
-        (_pt("clon#", F.col("c_custkey")) % LON_RANGE).alias("x"),
+        (_pt("clat#", F.col("c_custkey")) % lat_rng).alias("y"),
+        (_pt("clon#", F.col("c_custkey")) % lon_rng).alias("x"),
     )
     supp = s.select(
         F.col("s_suppkey").alias("sid"),
-        (_pt("slat#", F.col("s_suppkey")) % LAT_RANGE).alias("sy"),
-        (_pt("slon#", F.col("s_suppkey")) % LON_RANGE).alias("sx"),
+        (_pt("slat#", F.col("s_suppkey")) % lat_rng).alias("sy"),
+        (_pt("slon#", F.col("s_suppkey")) % lon_rng).alias("sx"),
     )
-    home = supp.select(
-        "sid", "sx", "sy",
-        F.expr(f"sx div {CELL}").alias("cx"),
-        F.expr(f"sy div {CELL}").alias("cy"),
+    # fan out the 3×3 probe on the SMALL side (suppliers): the pair set
+    # "cell distance ≤ 1 in both dims" is symmetric in which side probes,
+    # so the result is identical to the oracle's customer-probe form while
+    # the exploded frame is |suppliers|·9 instead of |customers|·9
+    home = cust.select(
+        "cid", "x", "y",
+        F.expr(f"x div {CELL}").alias("cx"),
+        F.expr(f"y div {CELL}").alias("cy"),
     )
     d = spark.createDataFrame([(-1,), (0,), (1,)], "d INT")
     probe = (
-        cust.crossJoin(d.select(F.col("d").alias("dx")))
-        .crossJoin(d.select(F.col("d").alias("dy")))
+        supp.crossJoin(F.broadcast(d.select(F.col("d").alias("dx"))))
+        .crossJoin(F.broadcast(d.select(F.col("d").alias("dy"))))
         .select(
-            "cid", "x", "y",
-            (F.expr(f"x div {CELL}") + F.col("dx")).alias("cx"),
-            (F.expr(f"y div {CELL}") + F.col("dy")).alias("cy"),
+            "sid", "sx", "sy",
+            (F.expr(f"sx div {CELL}") + F.col("dx")).alias("cx"),
+            (F.expr(f"sy div {CELL}") + F.col("dy")).alias("cy"),
         )
     )
     d2 = (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx")) + (
