@@ -38,7 +38,9 @@ TR_TOP = 15
 # --------------------------------------------------------------------------
 
 
-def _lpa_oracle() -> str:
+def _lpa_cte_body() -> str:
+    """The shared unrolled-LPA CTE chain (through ``lab{LPA_ROUNDS}``) —
+    spliced into both the community and the modularity oracles."""
     cte = [f"WITH {_EDGES_SQL},"]
     cte.append("""
 und AS (SELECT src AS a, dst AS b FROM edges0 UNION SELECT dst, src FROM edges0),
@@ -60,11 +62,17 @@ lab{k + 1} AS (
   SELECT p.node, coalesce(b.lab, p.lab) AS lab
   FROM lab{k} p LEFT JOIN best{k} b ON b.node = p.node
 )""")
-    cte.append(f"""
+    return "".join(cte)
+
+
+def _lpa_oracle() -> str:
+    return (
+        _lpa_cte_body()
+        + f"""
 SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members,
        CAST(min(node) AS BIGINT) AS min_node, CAST(max(node) AS BIGINT) AS max_node
-FROM lab{LPA_ROUNDS} GROUP BY lab""")
-    return "".join(cte)
+FROM lab{LPA_ROUNDS} GROUP BY lab"""
+    )
 
 
 @query("graph_label_propagation", oracle=_lpa_oracle())
@@ -85,6 +93,20 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge list is persisted for the rounds (same caller-owns-cache contract
     as operators/graph.pagerank_fixed_point — one bounded edge-list cache
     per invocation, released with the session)."""
+    lab, _und, _edges = _lpa_labels(spark, sf_dir)
+    out = lab.groupBy(F.col("lab").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("node").cast("long").alias("min_node"),
+        F.max("node").cast("long").alias("max_node"),
+    )
+    return out
+
+
+def _lpa_labels(spark: SparkSession, sf_dir: str):
+    """Shared LPA kernel: returns (labels(node, lab) after LPA_ROUNDS,
+    persisted undirected edge frame, raw edges) — consumed by both
+    graph_label_propagation and graph_modularity_score so the partition
+    under evaluation is the partition that was produced."""
     nodes, edges, _n = _graph(spark, sf_dir)
     und = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
@@ -113,12 +135,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             lab.join(best, "node", "left")
             .select("node", F.coalesce("new_lab", "lab").alias("lab"))
         )
-    out = lab.groupBy(F.col("lab").alias("community")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_members"),
-        F.min("node").cast("long").alias("min_node"),
-        F.max("node").cast("long").alias("max_node"),
-    )
-    return out
+    return lab, und, edges
 
 
 # --------------------------------------------------------------------------
@@ -428,4 +445,95 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("assortativity"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Modularity of the LPA partition
+# --------------------------------------------------------------------------
+
+
+def _modularity_oracle() -> str:
+    return (
+        _lpa_cte_body()
+        + f""",
+canon AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges0
+),
+mtot AS (SELECT CAST(count(*) AS BIGINT) AS m FROM canon),
+degs AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY a),
+ein AS (
+  SELECT la.lab AS community, CAST(count(*) AS BIGINT) AS e_in
+  FROM canon c
+  JOIN lab{LPA_ROUNDS} la ON la.node = c.a
+  JOIN lab{LPA_ROUNDS} lb ON lb.node = c.b
+  WHERE la.lab = lb.lab
+  GROUP BY la.lab
+),
+dsum AS (
+  SELECT l.lab AS community, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(sum(coalesce(d.deg, 0)) AS BIGINT) AS deg_sum
+  FROM lab{LPA_ROUNDS} l LEFT JOIN degs d ON d.node = l.node
+  GROUP BY l.lab
+)
+SELECT ds.community, ds.n_members,
+       CAST(coalesce(e.e_in, 0) AS BIGINT) AS e_in, ds.deg_sum,
+       round(CAST(coalesce(e.e_in, 0) AS DOUBLE) / (SELECT m FROM mtot)
+             - (CAST(ds.deg_sum AS DOUBLE) / (2.0 * (SELECT m FROM mtot)))
+               * (CAST(ds.deg_sum AS DOUBLE) / (2.0 * (SELECT m FROM mtot))), 6)
+         AS q_part
+FROM dsum ds LEFT JOIN ein e ON ds.community = e.community"""
+    )
+
+
+@query("graph_modularity_score", oracle=_modularity_oracle())
+def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA partition, per community: q_part =
+    e_in/m − (deg_sum/2m)², so Q = Σ q_part — the standard "are these
+    communities denser than chance" score, computed for exactly the
+    partition graph_label_propagation emits (shared _lpa_labels kernel).
+    Detection without evaluation is half an operator; this is the other
+    half.
+
+    Scale shape: on top of the LPA rounds, one canonical-edge self-join
+    against the label table (keyed on node), one degree agg, one
+    community combine — all key-partitioned; the m normalizer is a 1-row
+    broadcast."""
+    lab, und, edges = _lpa_labels(spark, sf_dir)
+    canon = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    mtot = canon.agg(F.count("*").cast("long").alias("m"))
+    degs = und.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    la = lab.select(F.col("node").alias("a"), F.col("lab").alias("la"))
+    lb = lab.select(F.col("node").alias("b"), F.col("lab").alias("lb"))
+    ein = (
+        canon.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("community"))
+        .agg(F.count("*").cast("long").alias("e_in"))
+    )
+    dsum = (
+        lab.join(degs, "node", "left")
+        .groupBy(F.col("lab").alias("community"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum(F.coalesce("deg", F.lit(0))).cast("long").alias("deg_sum"),
+        )
+    )
+    joined = dsum.join(ein, "community", "left").crossJoin(F.broadcast(mtot))
+    half = F.col("deg_sum").cast("double") / (2.0 * F.col("m"))
+    return joined.select(
+        "community",
+        "n_members",
+        F.coalesce("e_in", F.lit(0)).cast("long").alias("e_in"),
+        "deg_sum",
+        F.round(
+            F.coalesce("e_in", F.lit(0)).cast("double") / F.col("m")
+            - half * half,
+            6,
+        ).alias("q_part"),
     )

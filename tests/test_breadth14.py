@@ -88,3 +88,31 @@ def test_ridge_coefficients_are_finite_and_stable(spark, sf_dir):
     assert row.beta2 > 0
     again = REG["ml_ridge_closed_form"].fn(spark, sf_dir).collect()[0]
     assert tuple(row) == tuple(again)
+
+
+# --------------------------------------------------------------------------
+# graph_modularity_score
+# --------------------------------------------------------------------------
+
+
+def test_modularity_parts_account_for_all_edges_and_degrees(spark, sf_dir):
+    rows = REG["graph_modularity_score"].fn(spark, sf_dir).collect()
+    assert rows
+    comm = {r.community: r for r in REG["graph_label_propagation"].fn(spark, sf_dir).collect()}
+    assert set(r.community for r in rows) == set(comm)
+    for r in rows:
+        assert r.n_members == comm[r.community].n_members
+    from nocouncil_etl_spark.plans.graph_plans import _graph
+    from pyspark.sql import functions as F
+
+    _, edges, _ = _graph(spark, sf_dir)
+    m = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .count()
+    )
+    # degree sums over communities add to 2m; within-edges can't exceed m
+    assert sum(r.deg_sum for r in rows) == 2 * m
+    assert 0 <= sum(r.e_in for r in rows) <= m
+    q = sum(r.q_part for r in rows)
+    assert -0.5 <= q <= 1.0  # Newman modularity bounds
