@@ -500,6 +500,11 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     community combine — all key-partitioned; the m normalizer is a 1-row
     broadcast."""
     lab, und, edges = _lpa_labels(spark, sf_dir)
+    # the label table feeds THREE consumers (both triangle sides + the
+    # degree sum); without materializing it each one replays the full
+    # 4-round LPA plan (measured 14 s vs ~5 s at sf0.1)
+    lab = lab.persist()
+    lab.count()
     canon = edges.select(
         F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
     ).distinct()
@@ -526,7 +531,7 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = dsum.join(ein, "community", "left").crossJoin(F.broadcast(mtot))
     half = F.col("deg_sum").cast("double") / (2.0 * F.col("m"))
-    return joined.select(
+    out = joined.select(
         "community",
         "n_members",
         F.coalesce("e_in", F.lit(0)).cast("long").alias("e_in"),
@@ -537,3 +542,8 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("q_part"),
     )
+    out = out.persist()
+    out.count()  # materialize, then release the upstream caches
+    lab.unpersist()
+    und.unpersist()
+    return out
