@@ -90,3 +90,27 @@ def test_rouge_recall_tracks_half_split(spark, sf_dir):
     rows = REG["eval_rouge_ngram"].fn(spark, sf_dir).collect()
     for r in rows:
         assert r.r1_r_1e6 >= int(0.4 * ROUGE_SCALE)
+
+
+# --------------------------------------------------------------------------
+# ml_gbdt_two_features
+# --------------------------------------------------------------------------
+
+
+def test_gbdt_two_features_dominates_single_feature(spark, sf_dir):
+    """With a strictly larger candidate set per round, the first round's
+    committed gain can't be worse than the single-feature trainer's."""
+    one = sorted(
+        REG["ml_gbdt_stump_rounds"].fn(spark, sf_dir).collect(), key=lambda r: r.round
+    )
+    two = sorted(
+        REG["ml_gbdt_two_features"].fn(spark, sf_dir).collect(), key=lambda r: r.round
+    )
+    assert len(two) == len(one)
+    assert two[0].gain >= one[0].gain
+    for r in two:
+        assert r.feature in (1, 2)
+        assert r.n_left >= 1 and r.n_right >= 1
+    maes = [r.mae_after for r in two]
+    for a, b in zip(maes, maes[1:]):
+        assert b <= a * 1.05
