@@ -45,8 +45,17 @@ def main() -> int:
     import duckdb
     from pyspark.sql import SparkSession
 
-    # deliberately a plain session: the driver owns its own; tune() must cope
-    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    # deliberately a plain session (the driver owns its own; tune() must
+    # cope) — except for driver heap: a single session running the FULL
+    # 370+-query catalog accumulates the documented caller-owned caches
+    # (pagerank/HITS/LPA/etc.) and broadcast remnants, and the 1g default
+    # heap OOMs ~270 queries in. The per-query clearCache below is the
+    # structural fix; the heap bump is insurance for the marathon run.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.driver.memory", "6g")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod
@@ -84,6 +93,11 @@ def main() -> int:
             print(f"{name}: EXC {str(exc)[:140]}")
         if not ok:
             bad.append(name)
+        # queries are independent: drop any cache a query left behind
+        # (several iterative operators hand a persisted frame to the
+        # caller by contract) so session memory stays flat across the
+        # whole catalog
+        spark.catalog.clearCache()
 
     if bad:
         print("FAILED:", bad)
