@@ -66,6 +66,7 @@ HEADLINE: list[str] = [
     "vec_pq_adc_search",     # train 8 codebooks + compressed-domain ADC scan
     "graph_hits_hubs_auth",  # 8 per-iteration materialized agg+join rounds
     "sketch_theta_intersection",  # shingle → bottom-k sketches → pairwise set ops
+    "ml_gbdt_two_features",  # per-feature histogram split search, 2 boosting rounds
 ]
 
 
