@@ -104,3 +104,61 @@ def test_hw_seasonals_sum_is_bounded(spark, sf_dir):
     term_level = abs(rows[0].level_fp) or FP
     for r in rows:
         assert abs(r.seas_fp) <= 5 * term_level
+
+
+# --------------------------------------------------------------------------
+# count-min mergeability (the streaming/partition-merge proof)
+# --------------------------------------------------------------------------
+
+
+def test_countmin_cells_merge_across_partitions(spark, sf_dir):
+    """CMS is mergeable by cell-wise addition: sketching two disjoint
+    halves of the corpus and adding the cell matrices equals sketching the
+    whole corpus — the property that lets per-partition (or per-micro-
+    batch) sketches combine at 100 TB without touching rows twice."""
+    from pyspark.sql import functions as F
+
+    from nocouncil_etl_spark.plans.analytics5 import CMS_D, CMS_W
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def cells(df):
+        toks = df.select(F.explode(F.split("text", " ")).alias("term"))
+        cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+        js = F.explode(F.array(*[F.lit(j) for j in range(CMS_D)])).alias("j")
+        fan = cnt.select("term", "n", js)
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("term"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (
+            fan.select("j", (h % CMS_W).alias("bucket"), "n")
+            .groupBy("j", "bucket")
+            .agg(F.sum("n").cast("long").alias("c"))
+        )
+
+    whole = {(r.j, r.bucket): r.c for r in cells(docs).collect()}
+    a = cells(docs.filter(F.col("doc_id") % 2 == 0))
+    b = cells(docs.filter(F.col("doc_id") % 2 == 1))
+    merged = (
+        a.select("j", "bucket", F.col("c").alias("ca"))
+        .join(
+            b.select("j", "bucket", F.col("c").alias("cb")),
+            ["j", "bucket"],
+            "full_outer",
+        )
+        .select(
+            "j",
+            "bucket",
+            (F.coalesce("ca", F.lit(0)) + F.coalesce("cb", F.lit(0)))
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    got = {(r.j, r.bucket): r.c for r in merged.collect()}
+    assert got == whole
