@@ -481,7 +481,7 @@ SELECT ds.community, ds.n_members,
        round(CAST(coalesce(e.e_in, 0) AS DOUBLE) / (SELECT m FROM mtot)
              - (CAST(ds.deg_sum AS DOUBLE) / (2.0 * (SELECT m FROM mtot)))
                * (CAST(ds.deg_sum AS DOUBLE) / (2.0 * (SELECT m FROM mtot))), 6)
-         AS q_part
+         + 0.0 AS q_part
 FROM dsum ds LEFT JOIN ein e ON ds.community = e.community"""
     )
 
@@ -536,10 +536,16 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         F.coalesce("e_in", F.lit(0)).cast("long").alias("e_in"),
         "deg_sum",
-        F.round(
-            F.coalesce("e_in", F.lit(0)).cast("double") / F.col("m")
-            - half * half,
-            6,
+        (
+            F.round(
+                F.coalesce("e_in", F.lit(0)).cast("double") / F.col("m")
+                - half * half,
+                6,
+            )
+            # + 0.0 normalizes IEEE negative zero: DuckDB's round keeps the
+            # sign of a tiny negative (-0.0), Spark's does not — the values
+            # compare equal but format differently in the value digest
+            + F.lit(0.0)
         ).alias("q_part"),
     )
     out = out.persist()
