@@ -25,6 +25,8 @@ def rrf_fuse(
 
     Scale: inputs are already top-N lists (constant-size); the fusion is
     a constant-size multi-way outer join."""
+    if not ranked:
+        raise ValueError("rrf_fuse: `ranked` must be a non-empty dict of rank lists")
     zero = F.lit(0).cast("decimal(18,6)")
     fused = None
     names = list(ranked)

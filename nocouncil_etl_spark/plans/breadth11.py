@@ -372,6 +372,8 @@ SELECT a.doc_id,
        CAST((a.ov * {ROUGE_SCALE}) // a.nref AS BIGINT) AS r1_r_1e6,
        CAST((2 * a.ov * {ROUGE_SCALE}) // (a.ncand + a.nref) AS BIGINT) AS r1_f1_1e6,
        CAST(coalesce(b.ov, 0) AS BIGINT) AS r2_overlap,
+       CAST(coalesce((b.ov * {ROUGE_SCALE}) // b.ncand, 0) AS BIGINT) AS r2_p_1e6,
+       CAST(coalesce((b.ov * {ROUGE_SCALE}) // b.nref, 0) AS BIGINT) AS r2_r_1e6,
        CAST(coalesce((2 * b.ov * {ROUGE_SCALE}) // (b.ncand + b.nref), 0) AS BIGINT)
          AS r2_f1_1e6
 FROM m1 a LEFT JOIN m2 b ON a.doc_id = b.doc_id
