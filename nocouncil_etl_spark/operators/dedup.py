@@ -357,3 +357,80 @@ def lsh_near_duplicates(
     verified.count()  # materialize the pair set so the shingle cache can drop
     shd.unpersist()
     return verified
+
+
+def salted_band_pairs(
+    banded: DataFrame, id_col: str, n_salt: int
+) -> DataFrame:
+    """Distinct (id_a < id_b) candidate pairs from a (id, band) frame via a
+    SALTED self-join — the hot-bucket fallback SCALE.md names for
+    boilerplate-heavy corpora, where one shared page template puts 10% of
+    the corpus into a single band bucket and AQE's skew splitting can't
+    break up the join's probe side.
+
+    The classic replicate-one-side salt, applied to a self-join: side A
+    carries salt = id % n_salt (its bucket rows split n_salt ways); side B
+    is replicated across ALL n_salt salts; the join key becomes
+    (band, salt). Every pair (a, b) with id_a < id_b meets EXACTLY once
+    per shared band — in the shard keyed by a's salt — so the result is
+    row-identical to the unsalted join on ANY corpus (not just bounded
+    buckets), while the largest per-task build group shrinks from
+    |bucket| to ~|bucket|/n_salt. Cost: the B side shuffles n_salt×
+    (band, id) rows — keys only, never shingle arrays.
+
+    The salt is xxhash64(id) % n_salt — a HASH, not id % n_salt, because
+    real id spaces have arithmetic structure (every-10th synthetic copies,
+    sharded id ranges) that aliases against a modulus and leaves shards
+    empty. The salt never reaches the output, so an engine-specific hash
+    is fine here (unlike the md5-only rule for oracle-checked values).
+    """
+    a = banded.select(
+        F.col(id_col).alias("id_a"),
+        "band",
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt)).alias("salt"),
+    )
+    b = banded.select(F.col(id_col).alias("id_b"), "band").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return (
+        a.join(b, ["band", "salt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def lsh_near_duplicates_salted(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    n_bands: int,
+    rows_per_band: int,
+    threshold: float,
+    n_salt: int = 8,
+) -> DataFrame:
+    """lsh_near_duplicates with the candidate self-join salted
+    (salted_band_pairs): byte-identical result, bounded per-task bucket
+    groups under pathological band-key skew. Same staging and cache
+    lifecycle as the unsalted pipeline; the returned verified pair set is
+    persisted and caller-owned."""
+    sh_udf = make_shingle_udf(shingle_n)
+    shd = df.select(F.col(id_col), sh_udf(text_col).alias("_sh")).persist()
+    sig = minhash_signatures(shd, id_col, "_sh", n_bands * rows_per_band)
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(band_keys_from_signature(n_bands, rows_per_band)).alias("band"),
+    )
+    pairs = salted_band_pairs(banded, id_col, n_salt)
+    verified = (
+        pairs.join(shd.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        .join(shd.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
+        .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .persist()
+    )
+    verified.count()
+    shd.unpersist()
+    return verified

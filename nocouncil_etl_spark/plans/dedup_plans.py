@@ -466,3 +466,108 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("containment"),
     )
     return pairs.orderBy(F.desc("containment"), "id_a", "id_b").limit(CONTAIN_TOP)
+
+
+# --------------------------------------------------------------------------
+# salted band-key LSH under pathological bucket skew
+# --------------------------------------------------------------------------
+
+# One shared page template on 10% of the corpus — the boilerplate-heavy
+# shape that puts every planted doc into the same band bucket and defeats
+# AQE skew splitting (which can split the stream side of a sort-merge join
+# but not the build-side hash group of one key).
+BOILER = (
+    "cookie policy accept all terms privacy notice subscribe newsletter"
+    " footer copyright legal"
+)
+N_SALT = 8
+
+
+@query(
+    "dedup_lsh_salted",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN '{BOILER} doc ' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+),
+ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+sh AS (SELECT doc_id, {{shingles}} AS s FROM ws),
+banded AS (
+  SELECT doc_id, s,
+         unnest([{{bands}}]) AS band
+  FROM sh
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sh_a, b.s AS sh_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+ver AS (
+  SELECT id_a, id_b, round({{jac}}, 4) AS j
+  FROM pairs
+  WHERE {{jac}} >= {{thr}}
+),
+sides AS (
+  SELECT id_a AS doc_id, j FROM ver
+  UNION ALL
+  SELECT id_b AS doc_id, j FROM ver
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dups, max(j) AS j_max
+FROM sides GROUP BY doc_id
+""".format(
+        shingles=_sql_shingles("w", SHINGLE_N),
+        bands=", ".join(_sql_band("s", b, ROWS_PER_BAND) for b in range(N_BANDS)),
+        jac=_sql_jaccard("sh_a", "sh_b"),
+        thr=JACCARD_THRESHOLD,
+    ),
+)
+def dedup_lsh_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH dedup with a SALTED candidate self-join
+    (operators/dedup.lsh_near_duplicates_salted) on a planted pathological
+    corpus: every 10th doc's text is replaced by one shared boilerplate
+    template plus a per-doc tail, so 10% of the corpus lands in a single
+    band bucket. The salt splits side A's bucket rows across
+    (band, id % {N_SALT}) shards and replicates side B's (band, id) keys
+    across all shards — every pair still meets exactly once per shared
+    band, so the result is row-identical to the unsalted join (the oracle
+    runs UNSALTED — semantic equivalence is the check), while the largest
+    per-task group shrinks by ~{N_SALT}x (asserted value-level in
+    tests/test_dedup_salted.py). Output is per-doc (verified-duplicate
+    partner count, max Jaccard) — linear even when the planted cluster is
+    a near-clique.
+
+    This is SCALE.md's documented fallback for when AQE skew handling is
+    not enough: AQE can split oversized PROBE partitions, but a single
+    band key's build-side hash group is indivisible without changing the
+    key — salting changes the key."""
+    from nocouncil_etl_spark.operators.dedup import lsh_near_duplicates_salted
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.lit(BOILER + " doc "), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    pairs = lsh_near_duplicates_salted(
+        corpus,
+        id_col="doc_id",
+        text_col="text",
+        shingle_n=SHINGLE_N,
+        n_bands=N_BANDS,
+        rows_per_band=ROWS_PER_BAND,
+        threshold=JACCARD_THRESHOLD,
+        n_salt=N_SALT,
+    )
+    sides = pairs.select(F.col("id_a").alias("doc_id"), "jaccard").unionByName(
+        pairs.select(F.col("id_b").alias("doc_id"), "jaccard")
+    )
+    return sides.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dups"),
+        F.max("jaccard").alias("j_max"),
+    )
