@@ -177,3 +177,63 @@ def ts_backtest_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mape_snaive"
         ),
     )
+
+
+GRID_G = 64
+
+
+@query(
+    "curation_quantile_normalize_grid",
+    oracle=f"""
+WITH src AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v FROM documents
+),
+meta AS (SELECT CAST(count(*) AS BIGINT) AS n FROM src),
+ranked AS (
+  SELECT doc_id, source, v,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY v, doc_id) AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_s
+  FROM src
+),
+gq AS (
+  SELECT doc_id, source, v,
+         CASE WHEN n_s = 1 THEN 0
+              ELSE ((rn - 1) * {GRID_G}) // (n_s - 1) END AS g
+  FROM ranked
+),
+hist AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM src GROUP BY v),
+cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cle FROM hist),
+grid AS (
+  SELECT CAST(g AS BIGINT) AS g,
+         1 + (((SELECT n FROM meta) - 1) * g) // {GRID_G} AS pr
+  FROM (SELECT unnest(range(0, {GRID_G + 1})) AS g)
+),
+gv AS (
+  SELECT grid.g, min(cum.v) AS gval
+  FROM grid JOIN cum ON cum.cle >= grid.pr
+  GROUP BY grid.g
+)
+SELECT q.doc_id, q.source, q.v AS orig,
+       CAST(q.g AS BIGINT) AS grid_q, gv.gval AS normalized
+FROM gq q JOIN gv ON gv.g = q.g
+""",
+)
+def curation_quantile_normalize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid twin of curation_quantile_normalize — the shape that survives
+    100 TB (the exact twin's docstring always named it): within-source rank
+    maps to a fixed {GRID_G}-point quantile grid, and the grid's pooled
+    order statistics are computed with NO global sort —
+    operators/quantiles.prefix_counts turns "rows ≤ v" into a Fenwick-style
+    binary block decomposition (histogram explode ×31 levels + equi-join +
+    sum), so the plan is hash aggregates and keyed joins end-to-end; the
+    only non-equi join is against the broadcast 65-row grid. The oracle
+    replays the same integer arithmetic (its cumulative window over
+    DISTINCT values is semantics, not mechanism — same cle values).
+    Asserted in tests/test_quantile_grid.py: no single-partition WindowExec
+    anywhere in the plan, unlike the exact twin's pooled row_number."""
+    from nocouncil_etl_spark.operators.quantiles import quantile_normalize_grid
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return quantile_normalize_grid(
+        docs, "doc_id", "n_chars", "source", n_grid=GRID_G
+    ).select("doc_id", "source", "orig", "grid_q", "normalized")
