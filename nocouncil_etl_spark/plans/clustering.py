@@ -34,8 +34,17 @@ K = 16
 ITERS = 4
 DIMS = 64
 
-# trained-IVF search knobs
-KC = 8           # coarse cells — fixed, corpus-size-independent
+# trained-IVF search knobs. KC is the IVF nlist: probed-candidate volume
+# per query is ~NPROBE·n/KC, so TOTAL search cost grows ∝ n²/KC when the
+# query set also scales with the corpus — the sf1 run measured the old
+# KC=8 at 40 s (15× at 10× data) because 500k vectors / 8 cells = 62k-row
+# cells. Production sizing is nlist ≈ √n (FAISS rule: cell ≈ √n, probe
+# cost ∝ √n per query); the catalog pins a constant because the oracle
+# unrolls one CTE block per training iteration with k seeds, so KC=64
+# here — sized to the sf-range the correctness gates run at (sf1: 40 s at
+# KC=8 → 10.0/6.6 s train/serve at KC=64) — and the √n rule is the
+# documented knob for real deployments (SCALE.md).
+KC = 64
 KC_ITERS = 2     # training iterations for the coarse quantizer
 NPROBE = 2
 TOPK = 5
