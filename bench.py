@@ -63,6 +63,9 @@ HEADLINE: list[str] = [
                              # compute is ~0.4 s warm at sf0.1)
     "funnel_conversion",     # staged joins that shrink down the funnel
     "market_basket_lift",    # basket self-join (quadratic only inside baskets)
+    "join_bloom_pruned",     # bloom bitset pruning before the join shuffle
+    "cep_pattern_match",     # MATCH_RECOGNIZE-style pattern over user streams
+    "curation_quantile_normalize_grid",  # sort-free grid quantile normalize
     "text_bm25_search",      # lexical retrieval: tokenize → tf/df → decimal-sum rank
     "model_naive_bayes_lang",# trained bag-of-words classifier: train + score + confuse
     "vec_pca_power",         # D² moment pass + bounded driver power iteration

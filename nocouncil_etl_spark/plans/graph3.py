@@ -553,3 +553,109 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab.unpersist()
     und.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# personalized PageRank (seeded restart)
+# --------------------------------------------------------------------------
+
+PPR_ITERS = 4
+PPR_SEED_MOD = 50
+PPR_TOPK = 25
+
+
+def _ppr_oracle() -> str:
+    cte = [f"WITH {_EDGES_SQL},"]
+    cte.append(f"""
+seeds AS (SELECT node FROM nodes WHERE node % {PPR_SEED_MOD} = 0),
+smeta AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM seeds),
+ppr0 AS (
+  SELECT n.node,
+         CASE WHEN s.node IS NOT NULL
+              THEN {SCALE}::BIGINT // (SELECT ns FROM smeta) ELSE 0 END AS r
+  FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+)""")
+    for k in range(PPR_ITERS):
+        cte.append(f""",
+pagg{k} AS (
+  SELECT e.dst AS node, CAST(sum(p.r // e.d) AS BIGINT) AS c
+  FROM edges e JOIN ppr{k} p ON e.src = p.node GROUP BY e.dst
+),
+ppr{k + 1} AS (
+  SELECT n.node,
+         CASE WHEN s.node IS NOT NULL
+              THEN (15::BIGINT * {SCALE}) // (100 * (SELECT ns FROM smeta))
+              ELSE 0 END
+           + (85 * coalesce(a.c, 0)) // 100 AS r
+  FROM nodes n
+  LEFT JOIN seeds s ON n.node = s.node
+  LEFT JOIN pagg{k} a ON n.node = a.node
+)""")
+    cte.append(f"""
+SELECT node, is_seed, rank_1e9, rk FROM (
+  SELECT p.node, s.node IS NOT NULL AS is_seed, p.r AS rank_1e9,
+         CAST(row_number() OVER (ORDER BY p.r DESC, p.node) AS INT) AS rk
+  FROM ppr{PPR_ITERS} p LEFT JOIN seeds s ON p.node = s.node
+) WHERE rk <= {PPR_TOPK}""")
+    return "".join(cte)
+
+
+@query("graph_ppr_seeded", oracle=_ppr_oracle())
+def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: the restart mass concentrates on a SEED set
+    (every {PPR_SEED_MOD}th node) instead of spreading uniformly —
+    r_{{k+1}}(v) = 0.15·SCALE/|S|·[v∈S] + 0.85·Σ r_k(u)/deg(u) — so the
+    stationary scores measure proximity TO THE SEEDS (the 'related
+    documents / personalized recommendations' primitive; uniform-base
+    PageRank is the global-importance special case). Same integer
+    fixed-point discipline as graph_pagerank_topk, so the oracle replays
+    the recurrence as {PPR_ITERS} unrolled CTEs exactly. Top-{PPR_TOPK}
+    with seed flags — non-seed nodes ranking high are the discovery
+    output.
+
+    Scale shape: identical to PageRank (keyed join + map-side-combined
+    sum + left joins per iteration, one row per node of state); the seed
+    membership joins against a tiny broadcast set."""
+    nodes, edges, _ = _graph(spark, sf_dir)
+    seeds = nodes.filter(F.col("node") % PPR_SEED_MOD == 0)
+    ns = seeds.count()  # one scalar — the seed-set size
+    base_seed = (15 * SCALE) // (100 * ns)
+    is_seed = F.col("s").isNotNull()
+    ranks = (
+        nodes.join(seeds.select(F.col("node").alias("s")),
+                   nodes["node"] == F.col("s"), "left")
+        .select(
+            "node",
+            F.when(is_seed, F.lit(SCALE // ns)).otherwise(F.lit(0)).alias("r"),
+        )
+    )
+    for _ in range(PPR_ITERS):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .select("dst", F.expr("r div d").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("c"))
+        )
+        ranks = (
+            nodes.join(seeds.select(F.col("node").alias("s")),
+                       nodes["node"] == F.col("s"), "left")
+            .join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.when(is_seed, F.lit(base_seed)).otherwise(F.lit(0))
+                    + F.expr("(85 * coalesce(c, 0L)) div 100")
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = ranks.join(
+        seeds.select(F.col("node").alias("s")), ranks["node"] == F.col("s"), "left"
+    ).select(
+        "node", F.col("s").isNotNull().alias("is_seed"), F.col("r").alias("rank_1e9")
+    )
+    w = Window.orderBy(F.desc("rank_1e9"), F.asc("node"))
+    return (
+        out.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= PPR_TOPK)
+    )

@@ -244,3 +244,136 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("acf"),
     )
+
+
+# --------------------------------------------------------------------------
+# t-closeness audit (EMD between group and global sensitive distributions)
+# --------------------------------------------------------------------------
+
+TC_BUCKET = 100          # sensitive attribute: n_chars div 100
+TC_FLAG_1E6 = 120_000    # flag groups with normalized EMD > 0.12
+
+
+@query(
+    "privacy_t_closeness",
+    oracle=f"""
+WITH src AS (
+  SELECT source, n_chars // {TC_BUCKET} AS sv FROM documents
+),
+buckets AS (SELECT DISTINCT sv FROM src),
+groups AS (SELECT source, CAST(count(*) AS BIGINT) AS n_g FROM src GROUP BY source),
+meta AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST((SELECT count(*) FROM buckets) AS BIGINT) AS nb
+  FROM src
+),
+gcnt AS (
+  SELECT source, sv, CAST(count(*) AS BIGINT) AS c
+  FROM src GROUP BY source, sv
+),
+dense AS (
+  SELECT g.source, b.sv, coalesce(c.c, 0) AS c
+  FROM groups g CROSS JOIN buckets b
+  LEFT JOIN gcnt c ON c.source = g.source AND c.sv = b.sv
+),
+cums AS (
+  SELECT source, sv,
+         CAST(sum(c) OVER (PARTITION BY source ORDER BY sv) AS BIGINT) AS cum_g
+  FROM dense
+),
+gl AS (
+  SELECT sv, CAST(count(*) AS BIGINT) AS c FROM src GROUP BY sv
+),
+glc AS (
+  SELECT sv, CAST(sum(c) OVER (ORDER BY sv) AS BIGINT) AS cum_all FROM gl
+),
+emd AS (
+  SELECT c.source,
+         CAST(sum(abs(c.cum_g * (SELECT n FROM meta)
+                      - g.cum_all * gr.n_g)) AS BIGINT) AS emd_num
+  FROM cums c
+  JOIN glc g ON c.sv = g.sv
+  JOIN groups gr ON gr.source = c.source
+  GROUP BY c.source
+)
+SELECT e.source, gr.n_g, e.emd_num,
+       gr.n_g * (SELECT n FROM meta) * ((SELECT nb FROM meta) - 1) AS denom,
+       CAST((e.emd_num * 1000000)
+            // (gr.n_g * (SELECT n FROM meta) * ((SELECT nb FROM meta) - 1))
+            AS BIGINT) AS t_1e6,
+       (e.emd_num * 1000000)
+         // (gr.n_g * (SELECT n FROM meta) * ((SELECT nb FROM meta) - 1))
+         > {TC_FLAG_1E6} AS flagged
+FROM emd e JOIN groups gr ON gr.source = e.source
+""",
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the distributional upgrade of k-anonymity /
+    l-diversity (privacy_k_anonymity, privacy_l_diversity): a
+    quasi-identifier group leaks if its SENSITIVE-attribute distribution
+    differs from the global one, measured as Earth Mover's Distance over
+    the ordered sensitive buckets (EMD for ordered histograms = sum of
+    |cumulative differences|). Computed as pure integers on the common
+    denominator n_g·N — EMD_num = Σ_v |cum_g(v)·N − cum_all(v)·n_g| —
+    then normalized to 1e-6 units by the max-EMD denominator
+    n_g·N·(buckets−1); groups above t = {TC_FLAG_1E6}/1e6 are flagged.
+
+    Scale shape: per-(group, bucket) hash agg; the dense grid is
+    groups × buckets (both value-domain-sized); the only single-partition
+    window is the GLOBAL cumulative over the bucket histogram —
+    bucket-count rows, post-aggregation. Group cumulatives are windows
+    PARTITIONED by group."""
+    src = load(spark, sf_dir, "documents").select(
+        "source", F.expr(f"n_chars div {TC_BUCKET}").alias("sv")
+    )
+    buckets = src.select("sv").distinct()
+    groups = src.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g")
+    )
+    n = src.count()  # scalars: table size + bucket count, not data
+    nb = buckets.count()
+    gcnt = src.groupBy("source", "sv").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    dense = (
+        groups.crossJoin(F.broadcast(buckets))
+        .join(gcnt, ["source", "sv"], "left")
+        .select("source", "sv", F.coalesce("c", F.lit(0)).alias("c"), "n_g")
+    )
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy("source").orderBy("sv")
+    cums = dense.select(
+        "source",
+        "sv",
+        "n_g",
+        F.sum("c").over(wg).cast("long").alias("cum_g"),
+    )
+    gl = src.groupBy("sv").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wa = Window.orderBy("sv")
+    glc = gl.select("sv", F.sum("c").over(wa).cast("long").alias("cum_all"))
+    emd = (
+        cums.join(F.broadcast(glc), "sv")
+        .groupBy("source", "n_g")
+        .agg(
+            F.sum(
+                F.abs(F.col("cum_g") * n - F.col("cum_all") * F.col("n_g"))
+            )
+            .cast("long")
+            .alias("emd_num")
+        )
+    )
+    denom = F.col("n_g") * n * (nb - 1)
+    return emd.select(
+        "source",
+        "n_g",
+        "emd_num",
+        denom.alias("denom"),
+        F.expr(f"CAST((emd_num * 1000000) div (n_g * {n} * {nb - 1}) AS BIGINT)").alias(
+            "t_1e6"
+        ),
+        (
+            F.expr(f"(emd_num * 1000000) div (n_g * {n} * {nb - 1})")
+            > TC_FLAG_1E6
+        ).alias("flagged"),
+    )
