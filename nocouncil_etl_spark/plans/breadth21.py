@@ -351,9 +351,7 @@ CEP_WINDOW_US = 24 * 3600 * 1_000_000  # 24 hours — sized to the
 # at every sf (12 matches at sf0.001, 1099 at sf0.1)
 
 
-@query(
-    "cep_pattern_match",
-    oracle=f"""
+_CEP_ORACLE = f"""
 WITH ev AS (
   SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us FROM events
 ),
@@ -404,8 +402,10 @@ WHERE event_type = 'purchase'
   AND cv_us < c_us AND c_us < t_us
   AND t_us - cv_us <= {CEP_WINDOW_US}
   AND err_cum - cv_err = 0
-""",
-)
+"""
+
+
+@query("cep_pattern_match", oracle=_CEP_ORACLE)
 def cep_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Complex-event-processing pattern (MATCH_RECOGNIZE / Flink-CEP shape)
     on plain windows: per user, a PURCHASE matches if the latest preceding

@@ -469,3 +469,103 @@ def stream_hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_episodes") > 0)
     )
+
+
+@query("stream_cep_pattern", oracle=None)
+def stream_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of cep_pattern_match (breadth21): the
+    view→click→purchase pattern with no-error negation runs as a per-user
+    FSM under applyInPandasWithState — state carries (err_cum, last view,
+    last click + the view/error snapshot AT that click), each micro-batch
+    replays its group's events in (ts, event_id) order, and matches emit
+    in append mode. With the availableNow single-batch file source the
+    replay is exact, so the result is checked against the SAME batch
+    oracle; a live deployment would watermark-buffer per key before
+    applying (the stream_hysteresis_alerts discipline for
+    order-sensitive state).
+
+    Scale shape: one shuffle on user_id; state per key is nine longs —
+    O(active users), not O(stream); emission is append-only."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from nocouncil_etl_spark.plans.breadth21 import CEP_WINDOW_US
+    from nocouncil_etl_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+    )
+
+    def fsm(key, pdfs, state: GroupState):
+        if state.exists:
+            (err_cum, v_id, v_us, v_err, c_id, c_us, cv_id, cv_us, cv_err) = (
+                state.get
+            )
+        else:
+            err_cum, v_id, v_us, v_err = 0, -1, -1, -1
+            c_id, c_us, cv_id, cv_us, cv_err = -1, -1, -1, -1, -1
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["t_us", "event_id"])
+        out = []
+        for _, r in pdf.iterrows():
+            et, eid, t = r["event_type"], int(r["event_id"]), int(r["t_us"])
+            if et == "error":
+                err_cum += 1
+            elif et == "view":
+                v_id, v_us, v_err = eid, t, err_cum
+            elif et == "click":
+                c_id, c_us = eid, t
+                cv_id, cv_us, cv_err = v_id, v_us, v_err
+            elif et == "purchase":
+                if (
+                    c_id != -1
+                    and cv_id != -1
+                    and cv_us < c_us < t
+                    and t - cv_us <= CEP_WINDOW_US
+                    and err_cum - cv_err == 0
+                ):
+                    out.append((eid, int(key[0]), cv_id, c_id, t - cv_us))
+        state.update(
+            (err_cum, v_id, v_us, v_err, c_id, c_us, cv_id, cv_us, cv_err)
+        )
+        yield pd.DataFrame(
+            out,
+            columns=["purchase_id", "user_id", "view_id", "click_id", "span_us"],
+        )
+
+    matched = ev.groupBy("user_id").applyInPandasWithState(
+        fsm,
+        outputStructType=(
+            "purchase_id long, user_id long, view_id long, click_id long, "
+            "span_us long"
+        ),
+        stateStructType=(
+            "err_cum long, v_id long, v_us long, v_err long, c_id long, "
+            "c_us long, cv_id long, cv_us long, cv_err long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(matched, mode="append")
+
+
+# share the batch CEP oracle: the streaming FSM replays the identical
+# pattern, so the same SQL checks it (registered post-import to avoid a
+# circular import at module load).
+def _attach_stream_cep_oracle() -> None:
+    from nocouncil_etl_spark.plans import breadth21
+    from nocouncil_etl_spark.registry import REGISTRY, Query
+
+    q = REGISTRY["stream_cep_pattern"]
+    REGISTRY["stream_cep_pattern"] = Query(
+        name=q.name, fn=q.fn, oracle=breadth21._CEP_ORACLE, doc=q.doc
+    )
+
+
+_attach_stream_cep_oracle()
