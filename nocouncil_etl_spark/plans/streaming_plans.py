@@ -8,7 +8,7 @@ memoization idioms that replace the reference's skip-if-exists / seen-set.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.functions.numeric import rsum_sql
@@ -569,3 +569,80 @@ def _attach_stream_cep_oracle() -> None:
 
 
 _attach_stream_cep_oracle()
+
+
+_HH_TOPK = 5
+
+_HH_ORACLE = f"""
+SELECT event_type, user_id, n, rk FROM (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(row_number() OVER (
+           PARTITION BY event_type ORDER BY count(*) DESC, user_id
+         ) AS INT) AS rk
+  FROM events GROUP BY event_type, user_id
+) WHERE rk <= {_HH_TOPK}
+"""
+
+
+@query("stream_topk_heavy_hitters", oracle=_HH_ORACLE)
+def stream_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: per event type, the top-{_HH_TOPK} users
+    by event count, maintained as mergeable (ids, counts) array state
+    under applyInPandasWithState and re-emitted per micro-batch (update
+    mode). State here is EXACT (one counter per distinct key within the
+    group — O(users), the price of an exact answer, and why the result
+    hash-matches the batch oracle); the bounded-memory fallback at
+    unbounded key domains is the space-saving/Misra-Gries eviction on the
+    same state arrays, trading exactness below the top-k boundary — the
+    CMS sketch (sketch_countmin_freq) is the other standard compromise.
+
+    Scale shape: one shuffle on event_type; counts merge
+    associatively so state survives any micro-batch slicing; emission is
+    top-k-sized."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from nocouncil_etl_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_dir).select("event_type", "user_id")
+
+    def hh(key, pdfs, state: GroupState):
+        if state.exists:
+            ids, counts = state.get
+            acc = dict(zip(ids, counts))
+        else:
+            acc = {}
+        for pdf in pdfs:
+            for uid, n in pdf.groupby("user_id").size().items():
+                acc[int(uid)] = acc.get(int(uid), 0) + int(n)
+        state.update((list(acc.keys()), list(acc.values())))
+        top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:_HH_TOPK]
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(top),
+                "user_id": [t[0] for t in top],
+                "n": [t[1] for t in top],
+                "rk": list(range(1, len(top) + 1)),
+            }
+        )
+
+    out = ev.groupBy("event_type").applyInPandasWithState(
+        hh,
+        outputStructType="event_type string, user_id long, n long, rk int",
+        stateStructType="ids array<long>, counts array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sunk = run_to_memory(out, mode="update")
+    # keep each (event_type, rk)'s LAST emission (highest count wins —
+    # counts only grow across batches)
+    w = Window.partitionBy("event_type", "rk").orderBy(F.desc("n"), "user_id")
+    return (
+        sunk.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("event_type", "user_id", "n", "rk")
+    )
