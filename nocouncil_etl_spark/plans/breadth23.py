@@ -98,7 +98,14 @@ def vec_knn_hamming_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = out + b
         return out.cast("long")
 
-    packed = e.select("vec_id", pack(0).alias("p0"), pack(1).alias("p1"))
+    # materialize the codes (3 longs/row) before the join: without the
+    # barrier Catalyst inlines the 64-term packing CASE into the post-join
+    # projection, re-evaluating it once per PAIR instead of once per vector
+    # (measured 60 s vs 4 s at sf1) — and at scale the codes are a stored
+    # artifact anyway, exactly like the ann_index signatures.
+    packed = e.select(
+        "vec_id", pack(0).alias("p0"), pack(1).alias("p1")
+    ).localCheckpoint(eager=False)
     q = packed.filter(F.col("vec_id") % HAM_QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("p0").alias("q0"),

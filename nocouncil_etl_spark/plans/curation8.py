@@ -37,6 +37,7 @@ from nocouncil_etl_spark.registry import query
 ANCHOR_MOD = 50
 N_HARD = 3     # in-bucket ranks 2..4 (rank 1 = the positive)
 N_EASY = 3
+EASY_POOL_MOD = 20  # easy negatives draw from a 5% hash-sampled pool
 
 _COS_AC = (
     "round(list_dot_product(a.v, c.v) / "
@@ -64,7 +65,8 @@ easy AS (
            ORDER BY md5(CAST(a.vec_id AS VARCHAR) || '#' || CAST(c.vec_id AS VARCHAR)),
                     c.vec_id
          ) AS rnk
-  FROM anchors a JOIN b c ON c.bucket <> a.bucket
+  FROM anchors a
+  JOIN b c ON c.bucket <> a.bucket AND c.vec_id % {EASY_POOL_MOD} = 3
 )
 SELECT anchor_id, 'positive' AS role, cand_id, CAST(rnk AS BIGINT) AS rnk, sim
 FROM inbucket WHERE rnk = 1
@@ -88,11 +90,13 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     (anchor_id, role, cand_id, rnk, sim).
 
     Scale shape: the hard pool is a bucket-keyed equi-join (the LSH
-    candidate shape — linear); the easy pool is broadcast(anchors) ×
-    corpus with a bucket-mismatch filter — linear in the corpus for a
-    fixed anchor set, and in production the corpus side would be
-    pre-sampled (hash mod) before the cross, shrinking it to
-    O(anchors·pool)."""
+    candidate shape — linear); the easy pool is broadcast(anchors) × a
+    PRE-SAMPLED 1/{EASY_POOL_MOD} hash slice of the corpus (the
+    production shape — uniform negatives never need the full corpus), so
+    the ranked set is O(anchors·pool). The md5 presentation rank runs
+    before any cosine: the interpreted fold-expression similarity is
+    computed only for the {N_EASY} survivors per anchor (measured 17 s →
+    2 s at sf1 the other way around)."""
     from nocouncil_etl_spark.functions.vectors import cosine
     from nocouncil_etl_spark.operators.similarity import attach_signature
 
@@ -122,13 +126,19 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "role", F.lit("hard_neg")
     )
 
-    easy_pool = (
-        b.crossJoin(F.broadcast(anchors))
+    # easy pool: rank on the (codegen'd) md5 FIRST and compute the cosine
+    # only for the N_EASY survivors — the fold-expression cosine is
+    # interpreted (no codegen), so evaluating it on all anchors×corpus
+    # pairs before the window was the round-5 "HOF cosine in the recall
+    # evals" trap again (measured 17.3 s → ~2 s at sf1)
+    easy_keys = (
+        b.select("vec_id", "bucket")
+        .filter(F.col("vec_id") % EASY_POOL_MOD == 3)
+        .crossJoin(F.broadcast(anchors.select("anchor_id", "abucket")))
         .filter(F.col("bucket") != F.col("abucket"))
         .select(
             "anchor_id",
             F.col("vec_id").alias("cand_id"),
-            sim.alias("sim"),
             F.md5(
                 F.concat(
                     F.col("anchor_id").cast("string"),
@@ -140,10 +150,15 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_easy = Window.partitionBy("anchor_id").orderBy("h", F.asc("cand_id"))
     easy = (
-        easy_pool.withColumn("rnk", F.row_number().over(w_easy).cast("long"))
+        easy_keys.withColumn("rnk", F.row_number().over(w_easy).cast("long"))
         .filter(F.col("rnk") <= N_EASY)
-        .withColumn("role", F.lit("easy_neg"))
         .drop("h")
+        .join(
+            b.select(F.col("vec_id").alias("cand_id"), "v"), "cand_id"
+        )
+        .join(F.broadcast(anchors.select("anchor_id", "av")), "anchor_id")
+        .select("anchor_id", "cand_id", sim.alias("sim"), "rnk")
+        .withColumn("role", F.lit("easy_neg"))
     )
     cols = ["anchor_id", "role", "cand_id", "rnk", "sim"]
     return pos.select(cols).unionByName(hard.select(cols)).unionByName(

@@ -513,8 +513,9 @@ def stream_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values(["t_us", "event_id"])
         out = []
-        for _, r in pdf.iterrows():
-            et, eid, t = r["event_type"], int(r["event_id"]), int(r["t_us"])
+        for et, eid, t in zip(
+            pdf["event_type"], pdf["event_id"].astype(int), pdf["t_us"].astype(int)
+        ):
             if et == "error":
                 err_cum += 1
             elif et == "view":
