@@ -210,9 +210,23 @@ class Engine:
         shingle_n: int = 3,
         n_bands: int = 2,
         rows_per_band: int = 2,
+        n_salt: int | None = None,
     ) -> DataFrame:
-        from nocouncil_etl_spark.operators.dedup import lsh_near_duplicates
+        """MinHash-LSH near-dup pairs. Pass ``n_salt`` for boilerplate-heavy
+        corpora where one shared template makes a pathological band bucket:
+        the salted candidate self-join (operators/dedup.salted_band_pairs)
+        is result-identical but bounds the per-task bucket groups at
+        ~|bucket|/n_salt."""
+        from nocouncil_etl_spark.operators.dedup import (
+            lsh_near_duplicates,
+            lsh_near_duplicates_salted,
+        )
 
+        if n_salt is not None:
+            return lsh_near_duplicates_salted(
+                df, id_col, text_col, shingle_n, n_bands, rows_per_band,
+                threshold, n_salt=n_salt,
+            )
         return lsh_near_duplicates(
             df, id_col, text_col, shingle_n, n_bands, rows_per_band, threshold
         )
@@ -314,6 +328,59 @@ class Engine:
             idx = idx.filter(where)
         return knn_from_index(
             queries, idx, cent, k, strategy=strategy, nprobe=nprobe, **cols
+        )
+
+    def build_kmeans_index(
+        self, corpus: DataFrame, path: str, k: int = 64, iters: int = 2,
+        id_col: str = "vec_id", vec_col: str = "v",
+    ) -> None:
+        """Trained-IVF build: fixed-k integer k-means coarse quantizer
+        trained on the corpus, every vector's cell pinned into the
+        published artifact (operators/kmeans_index.publish_kmeans_index —
+        vec_knn_index_kmeans's kernel)."""
+        from nocouncil_etl_spark.operators.kmeans_index import (
+            publish_kmeans_index,
+        )
+
+        publish_kmeans_index(corpus, k, iters, path, id_col=id_col, vec_col=vec_col)
+
+    def serve_kmeans_index(
+        self, corpus: DataFrame, path: str, k: int = 64, iters: int = 2,
+        id_col: str = "vec_id", vec_col: str = "v",
+    ):
+        """Publish-if-absent trained-IVF serving: manifest-validated reuse;
+        kmeans_fit never runs on the warm path
+        (vec_knn_index_kmeans_serve's kernel)."""
+        from nocouncil_etl_spark.operators.kmeans_index import serve_kmeans_index
+
+        return serve_kmeans_index(
+            corpus, k, iters, path, id_col=id_col, vec_col=vec_col
+        )
+
+    def upsert_kmeans_index(
+        self, incoming: DataFrame, path: str,
+        id_col: str = "vec_id", vec_col: str = "v",
+    ) -> None:
+        """Incremental growth: assign ONLY the incoming batch against the
+        stored (pinned) centroids and append — existing cells never move."""
+        from nocouncil_etl_spark.operators.kmeans_index import (
+            upsert_kmeans_index,
+        )
+
+        upsert_kmeans_index(incoming, path, id_col=id_col, vec_col=vec_col)
+
+    def search_kmeans_index(
+        self, queries: DataFrame, path: str, nprobe: int = 2, k: int = 5,
+        id_col: str = "vec_id", vec_col: str = "v",
+    ) -> DataFrame:
+        """Top-k against the pinned trained-IVF artifact: query-side
+        quantize + probe; the corpus is scanned only inside probed cells."""
+        from nocouncil_etl_spark.operators.kmeans_index import (
+            search_kmeans_index,
+        )
+
+        return search_kmeans_index(
+            queries, path, nprobe, k, id_col=id_col, vec_col=vec_col
         )
 
     # --- curation (training-data ops) ---------------------------------------
@@ -477,16 +544,20 @@ class Engine:
         threshold: float = 0.99,
         k: int | None = None,
         iters: int = 4,
+        artifact_path: str | None = None,
     ) -> DataFrame:
         """SemDeDup near-duplicate pairs: nearest-centroid clustering, then
         cosine ≥ threshold inside clusters only (operators/semantic.py).
 
         Pass ``k`` to TRAIN a fixed-k integer k-means (operators/kmeans.py)
         on the corpus — the scale-correct mode: assignment is O(n·k) with a
-        constant-size closure at any corpus size. Passing ``centroids`` uses
-        that frame as-is; otherwise the legacy 1/cent_mod id sample is used
-        (whose k grows with the corpus — fine for small frames, guarded by
-        MAX_CENTROIDS beyond that)."""
+        constant-size closure at any corpus size. Add ``artifact_path`` to
+        publish-once/serve-many the trained centroids
+        (operators/centroid_artifact — dedup_semantic_serve's kernel:
+        warm calls load the pinned matrix and never retrain). Passing
+        ``centroids`` uses that frame as-is; otherwise the legacy
+        1/cent_mod id sample is used (whose k grows with the corpus — fine
+        for small frames, guarded by MAX_CENTROIDS beyond that)."""
         from pyspark.sql import functions as F
 
         from nocouncil_etl_spark.operators.semantic import (
@@ -504,7 +575,14 @@ class Engine:
 
             vq = quantize_vectors(v, "v", "xq").select("vec_id", "xq").persist()
             try:
-                cent_ids, cm = kmeans_fit(vq, k, iters)
+                if artifact_path is not None:
+                    from nocouncil_etl_spark.operators.centroid_artifact import (
+                        serve_centroids,
+                    )
+
+                    cent_ids, cm = serve_centroids(vq, k, iters, artifact_path)
+                else:
+                    cent_ids, cm = kmeans_fit(vq, k, iters)
                 best = assign_l2(vq, cent_ids, cm).withColumnRenamed(
                     "cid", "cent_id"
                 )
@@ -1137,16 +1215,29 @@ class Engine:
         return df.join(F.broadcast(big), qi_cols, "left_semi")
 
     def quantile_normalize(
-        self, df: DataFrame, id_col: str, value_col: str, group_col: str
+        self,
+        df: DataFrame,
+        id_col: str,
+        value_col: str,
+        group_col: str,
+        n_grid: int | None = None,
     ) -> DataFrame:
         """Quantile-normalize ``value_col`` per ``group_col`` onto the
         pooled distribution — the operators/quantiles kernel, the same
         implementation curation_quantile_normalize runs under its oracle
-        (test_api3 pins row-identity)."""
+        (test_api3 pins row-identity). Pass ``n_grid`` for the sort-free
+        grid form (quantile_normalize_grid — Fenwick prefix counts, no
+        single-partition window; the 100 TB path,
+        curation_quantile_normalize_grid's kernel)."""
         from nocouncil_etl_spark.operators.quantiles import (
             quantile_normalize_frame,
+            quantile_normalize_grid,
         )
 
+        if n_grid is not None:
+            return quantile_normalize_grid(
+                df, id_col, value_col, group_col, n_grid=n_grid
+            )
         return quantile_normalize_frame(df, id_col, value_col, group_col)
 
     def pit_join(
