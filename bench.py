@@ -36,6 +36,7 @@ HEADLINE: list[str] = [
     "vec_knn_blocked",       # blocked-matmul exact top-k (Arrow + numpy)
     "vec_knn_lsh",           # LSH-bucketed ANN
     "vec_knn_lsh_multi",     # OR-amplified multi-table ANN (the recall path)
+    "vec_knn_hamming_packed",# binary codes: xor+popcount brute force (32x compression)
     "vec_knn_from_index",    # materialized-index cold path (build+publish+search)
     "vec_knn_index_kmeans",  # trained-IVF: k-means cells pinned in the artifact
     "vec_knn_index_kmeans_serve",  # trained-IVF SERVING: manifest-validated
