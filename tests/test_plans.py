@@ -248,3 +248,58 @@ def test_round5_joins_have_no_quadratic_stage(spark, sf_dir):
         p = plan_of(REGISTRY[name].fn(spark, sf_dir))
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_round6_joins_have_no_quadratic_stage(spark, sf_dir):
+    """Round-6 additions stay equi/keyed: phrase-search posting joins,
+    bloom pruning, CEP windows, golden-record field joins, hard-negative
+    bucket joins, bigram LM joins, funnel step chains, path-flow BFS
+    joins, HyperBall register pushes. (vec_knn_hamming_packed and
+    sample_hard_negatives deliberately use a broadcast crossJoin against
+    a tiny query/anchor side — the documented blocked-scan shape — so
+    they are excluded here and covered by their own bench/scale rows.)"""
+    for name in (
+        "text_phrase_search",
+        "cep_pattern_match",
+        "dedup_golden_record",
+        "model_bigram_lm_ppl",
+        "window_funnel_depth",
+        "graph_shortest_path_flow",
+        "graph_hyperball_neighborhood",
+        "dedup_lsh_salted",
+        "curation_curriculum_order",
+        "eval_span_f1",
+        "text_keyphrase_rake",
+        "contamination_bloom_gate",
+        "sketch_bitmap_distinct",
+        # privacy_t_closeness excluded: its dense-grid build crossJoins
+        # two VALUE-DOMAIN-sized frames (groups × sensitive buckets, both
+        # ~20 rows), a documented bounded cross — not a data-sized join
+        "graph_ppr_seeded",
+        "ts_mann_kendall_trend",
+        "ts_sax_symbols",
+        "attribution_shapley",
+    ):
+        p = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_round6_bloom_join_is_broadcast_hash(spark, sf_dir):
+    """The bloom-pruned join's data-sized join (survivors ⋈ dim) must be a
+    BroadcastHashJoin; the only nested-loop in the plan is the 1-row ×
+    1-row summary assembly crossJoin (two single-row aggregates)."""
+    p = plan_of(REGISTRY["join_bloom_pruned"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_round6_hamming_scan_is_broadcast_crossjoin(spark, sf_dir):
+    """The binary-hamming scan's ONE allowed join is a broadcast nested
+    loop against the tiny query side — the plan must show the broadcast
+    and must NOT shuffle the packed corpus."""
+    p = plan_of(REGISTRY["vec_knn_hamming_packed"].fn(spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
