@@ -76,6 +76,9 @@ HEADLINE: list[str] = [
     "graph_hits_hubs_auth",  # 8 per-iteration materialized agg+join rounds
     "sketch_theta_intersection",  # shingle → bottom-k sketches → pairwise set ops
     "ml_gbdt_two_features",  # per-feature histogram split search, 2 boosting rounds
+    "rec_item_cosine",       # item-item CF: ratings self-join on the user key
+    "eval_bleu_ngram",       # 4-order n-gram explode + clip join + scalar reduce
+    "ts_burst_viterbi",      # per-key Arrow DP (6-int state Viterbi)
 ]
 
 

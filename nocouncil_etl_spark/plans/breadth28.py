@@ -216,6 +216,9 @@ def ml_als_half_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                 li.l_orderkey == F.col("o_orderkey"))
         .groupBy(F.col("o_custkey").alias("cid"), F.col("l_partkey").alias("pid"))
         .agg(F.round(F.sum("l_quantity")).cast("long").alias("r"))
+        # three consumers (q0, user solve, item solve) would each re-run
+        # the lineitem join+agg; pin the ratings once (HITS discipline)
+        .localCheckpoint(eager=True)
     )
     q0 = ratings.select("pid").distinct().select(
         "pid", (1000 + (F.col("pid") * 31) % 1000).alias("q")

@@ -386,6 +386,9 @@ def rec_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 li.l_orderkey == F.col("o_orderkey"))
         .groupBy(F.col("o_custkey").alias("cid"), F.col("l_partkey").alias("pid"))
         .agg(F.round(F.sum("l_quantity")).cast("long").alias("r"))
+        # three consumers (both self-join sides + norms) would each re-run
+        # the lineitem join+agg; pin the ratings once (HITS discipline)
+        .localCheckpoint(eager=True)
     )
     norms = ratings.groupBy("pid").agg(F.sum(F.col("r") * F.col("r")).cast("long").alias("n2"))
     a = ratings.select("cid", F.col("pid").alias("pid1"), F.col("r").alias("r1"))
