@@ -420,7 +420,8 @@ weighted AS (
 SELECT CAST(r AS BIGINT) AS r,
        CAST(sum(w) AS BIGINT) AS n_eff,
        CAST(sum(w * cents) AS BIGINT) AS sum_cents,
-       (1000 * CAST(sum(w * cents) AS BIGINT)) // sum(w) AS mean_milli
+       CAST((1000 * CAST(sum(w * cents) AS BIGINT)) // sum(w) AS BIGINT)
+         AS mean_milli
 FROM weighted GROUP BY r
 """,
 )

@@ -464,7 +464,8 @@ SELECT CAST(sum(n_a) AS BIGINT) AS n,
        CAST(sum(n_match) AS BIGINT) AS n_matched,
        CAST(sum(CAST(round(1000.0 * s_match / n_a) AS BIGINT)) AS BIGINT)
          AS ips_value_milli,
-       (1000 * CAST(sum(s_all) AS BIGINT)) // sum(n_a) AS naive_mean_milli
+       CAST((1000 * CAST(sum(s_all) AS BIGINT)) // sum(n_a) AS BIGINT)
+         AS naive_mean_milli
 FROM (SELECT m.*, (SELECT CAST(sum(r) AS BIGINT) FROM logged l2
                    WHERE l2.arm = m.arm) AS s_all
       FROM matched m)

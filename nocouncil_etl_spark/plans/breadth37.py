@@ -521,8 +521,8 @@ fee AS (
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(cents) AS BIGINT) AS total_cents,
        CAST(sum(fee_cents) AS BIGINT) AS total_fee_cents,
-       (10000 * CAST(sum(fee_cents) AS BIGINT)) // sum(cents)
-         AS effective_bp
+       CAST((10000 * CAST(sum(fee_cents) AS BIGINT)) // sum(cents)
+            AS BIGINT) AS effective_bp
 FROM fee GROUP BY 1
 """,
 )
