@@ -84,6 +84,48 @@ FROM xy, p{LOGIT_ITERS} p GROUP BY p.b0, p.b1
     )
 
 
+
+
+def _logit_xy(ev):
+    return ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("y"),
+    )
+
+
+def _logit_pred_expr(b0v: int, b1v: int) -> "F.Column":
+    z = f"({b0v} + {b1v} * x)"
+    return F.expr(
+        f"500000 + ({z} * 500000) div (1000000 + abs({z}))"
+    ).cast("long")
+
+
+def train_logistic_gd(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """The ml_logistic_gd training loop (rational sigmoid, exact fixed
+    point), exposed so downstream ops (active-learning margin sampling)
+    reuse the identical fit. Driver state is two BIGINTs."""
+    ev = load(spark, sf_dir, "events")
+    xy = _logit_xy(ev)
+    b0, b1 = 0, 0
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // b
+        return -q if a < 0 else q
+
+    for _ in range(LOGIT_ITERS):
+        p = _logit_pred_expr(b0, b1)
+        g = xy.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(p - 1000000 * F.col("y")).cast("long").alias("g0"),
+            F.sum((p - 1000000 * F.col("y")) * F.col("x"))
+            .cast("long")
+            .alias("gx"),
+        ).collect()[0]
+        b0 = b0 - tdiv(tdiv(g.g0, g.n), LR0_DIV)
+        b1 = b1 - tdiv(tdiv(g.gx, g.n), LR1_DIV)
+    return b0, b1
+
+
 @query("ml_logistic_gd", oracle=_logit_oracle())
 def ml_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary classifier (is this event an 'error'?) on the value column,
@@ -103,35 +145,9 @@ def ml_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: ingest.py's fetch loop implies an error-prediction
     gate; this is its minimal in-engine learner."""
     ev = load(spark, sf_dir, "events")
-    xy = ev.select(
-        F.round(F.col("value") * 100).cast("long").alias("x"),
-        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("y"),
-    )
-    b0, b1 = 0, 0
-
-    def pred_expr(b0v: int, b1v: int) -> F.Column:
-        z = f"({b0v} + {b1v} * x)"
-        return F.expr(
-            f"500000 + ({z} * 500000) div (1000000 + abs({z}))"
-        ).cast("long")
-
-    for _ in range(LOGIT_ITERS):
-        p = pred_expr(b0, b1)
-        g = xy.agg(
-            F.count("*").cast("long").alias("n"),
-            F.sum(p - 1000000 * F.col("y")).cast("long").alias("g0"),
-            F.sum((p - 1000000 * F.col("y")) * F.col("x"))
-            .cast("long")
-            .alias("gx"),
-        ).collect()[0]
-        # truncating int division, matching the oracle's // on BIGINTs
-        def tdiv(a: int, b: int) -> int:
-            q = abs(a) // b
-            return -q if a < 0 else q
-
-        b0 = b0 - tdiv(tdiv(g.g0, g.n), LR0_DIV)
-        b1 = b1 - tdiv(tdiv(g.gx, g.n), LR1_DIV)
-    p = pred_expr(b0, b1)
+    xy = _logit_xy(ev)
+    b0, b1 = train_logistic_gd(spark, sf_dir)
+    p = _logit_pred_expr(b0, b1)
     correct = F.when((p >= 500000) == (F.col("y") == 1), 1).otherwise(0)
     return xy.agg(
         F.count("*").cast("long").alias("n"),
