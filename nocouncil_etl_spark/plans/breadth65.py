@@ -1,0 +1,704 @@
+"""Breadth batch 45 (round 6): Brunner-Munzel test, macro one-vs-rest
+AUC, CBO join-cardinality audit, Weibull median-rank fit, IBAN mod-97
+checks, Fisher price index.
+
+Six operators (reference scope: the modern robust two-sample test,
+multiclass ranking quality, optimizer estimation-error measurement,
+parametric survival fitting, financial check-digit validation, and
+index-number economics):
+
+- ``stat_brunner_munzel``      — Brunner-Munzel relative-effect test
+  (rank means + within-group rank variances, all exact integers).
+- ``eval_auc_macro_ovr``       — one-vs-rest AUC per event type from
+  pooled ranks, plus the macro average.
+- ``io_join_cardinality_estimate`` — the textbook |A||B|/max(ndv)
+  CBO join-size estimate vs the true cardinality.
+- ``survival_weibull_mrr``     — Weibull shape/scale by median-rank
+  regression on quantized log-log points.
+- ``fn_iban_mod97_check``      — IBAN-style mod-97-10 check digits via
+  chunked Horner folding (no big-integer type needed).
+- ``agg_price_index_fisher``   — Laspeyres, Paasche and Fisher price
+  indices between order-history halves over common parts.
+
+Reference parity: the reference's analytics stop at flat aggregates
+(`analyze.py:61-118`); these extend the same tables with the audits a
+lake-scale engine is asked for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.registry import query
+
+BM_A, BM_B = "purchase", "view"
+WB_Q = 1_000_000
+IBAN_SPLIT_YEAR = 1998  # reused period split for the price index
+
+
+# --------------------------------------------------------------------------
+# 1. Brunner-Munzel
+# --------------------------------------------------------------------------
+
+
+@query(
+    "stat_brunner_munzel",
+    oracle=f"""
+WITH s AS (
+  SELECT event_id, CAST(round(100 * value) AS BIGINT) AS x,
+         CASE WHEN event_type = '{BM_A}' THEN 1 ELSE 0 END AS is_a
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('{BM_A}', '{BM_B}')
+),
+r AS (
+  SELECT is_a,
+         CAST(row_number() OVER (ORDER BY x, event_id) AS BIGINT) AS rk,
+         CAST(row_number() OVER (PARTITION BY is_a ORDER BY x, event_id)
+              AS BIGINT) AS rkw
+  FROM s
+),
+g AS (
+  SELECT is_a, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rk) AS BIGINT) AS sr,
+         CAST(sum((rk - rkw) * (rk - rkw)) AS BIGINT) AS sq,
+         CAST(sum(rk - rkw) AS BIGINT) AS sd
+  FROM r GROUP BY is_a
+),
+ab AS (
+  SELECT a.n AS n1, b.n AS n2, a.sr AS sr1,
+         (a.sq - CAST(a.sd AS DOUBLE) * a.sd / a.n) / (a.n - 1) AS s1sq,
+         (b.sq - CAST(b.sd AS DOUBLE) * b.sd / b.n) / (b.n - 1) AS s2sq
+  FROM (SELECT * FROM g WHERE is_a = 1) a
+  CROSS JOIN (SELECT * FROM g WHERE is_a = 0) b
+)
+SELECT n1, n2,
+       CAST(round(1000000.0 * (CAST(sr1 AS DOUBLE) / n1 - (n1 + 1) / 2.0)
+                  / n2) AS BIGINT) AS p_hat_micro,
+       CAST(round(1000.0 * n1 * n2
+                  * ((CAST(sr1 AS DOUBLE) / n1 - (n1 + 1) / 2.0) / n2 - 0.5)
+                  / sqrt(n1 * s2sq + n2 * s1sq)) AS BIGINT) AS w_milli
+FROM ab
+""",
+)
+def stat_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel test of '{BM_A}' vs '{BM_B}' values — the modern
+    replacement for Mann-Whitney when variances differ: the relative
+    effect p̂ = P(X_B > X_A) from pooled mean ranks, with the variance
+    built from WITHIN-group deviations of (pooled − within) ranks
+    (placements). Ranks use the (value, event id) total order, so every
+    rank sum and squared-deviation sum is an exact integer; the
+    statistic divides once. Reports p̂ (micro) and the studentized W
+    (milli).
+
+    Scale shape: two rank windows (one pooled, one per group — both
+    sort the same two-type subset), one 2-group moment agg, 1-row
+    arithmetic."""
+    s = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull() & F.col("event_type").isin(BM_A, BM_B)
+        )
+        .select(
+            "event_id",
+            F.round(100 * F.col("value")).cast("long").alias("x"),
+            F.when(F.col("event_type") == BM_A, 1).otherwise(0).alias("is_a"),
+        )
+    )
+    r = s.select(
+        "is_a",
+        F.row_number().over(Window.orderBy("x", "event_id")).cast("long").alias("rk"),
+        F.row_number()
+        .over(Window.partitionBy("is_a").orderBy("x", "event_id"))
+        .cast("long")
+        .alias("rkw"),
+    )
+    plc = F.col("rk") - F.col("rkw")
+    g = r.groupBy("is_a").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rk").cast("long").alias("sr"),
+        F.sum(plc * plc).cast("long").alias("sq"),
+        F.sum(plc).cast("long").alias("sd"),
+    )
+    a = g.filter(F.col("is_a") == 1).select(
+        F.col("n").alias("n1"), F.col("sr").alias("sr1"),
+        F.col("sq").alias("sq1"), F.col("sd").alias("sd1"),
+    )
+    b = g.filter(F.col("is_a") == 0).select(
+        F.col("n").alias("n2"),
+        F.col("sq").alias("sq2"), F.col("sd").alias("sd2"),
+    )
+    ab = a.crossJoin(F.broadcast(b)).select(
+        "n1",
+        "n2",
+        "sr1",
+        (
+            (F.col("sq1") - F.col("sd1").cast("double") * F.col("sd1") / F.col("n1"))
+            / (F.col("n1") - 1)
+        ).alias("s1sq"),
+        (
+            (F.col("sq2") - F.col("sd2").cast("double") * F.col("sd2") / F.col("n2"))
+            / (F.col("n2") - 1)
+        ).alias("s2sq"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    p_hat = (F.col("sr1").cast("double") / n1 - (n1 + 1) / 2.0) / n2
+    return ab.select(
+        "n1",
+        "n2",
+        F.round(1_000_000.0 * p_hat).cast("long").alias("p_hat_micro"),
+        F.round(
+            1000.0
+            * n1
+            * n2
+            * (p_hat - 0.5)
+            / F.sqrt(n1 * F.col("s2sq") + n2 * F.col("s1sq"))
+        )
+        .cast("long")
+        .alias("w_milli"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. Macro one-vs-rest AUC
+# --------------------------------------------------------------------------
+
+
+@query(
+    "eval_auc_macro_ovr",
+    oracle="""
+WITH s AS (
+  SELECT event_id, event_type, CAST(round(100 * value) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT event_type,
+         CAST(row_number() OVER (ORDER BY x, event_id) AS BIGINT) AS rk,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM s
+),
+per AS (
+  SELECT event_type AS class,
+         CAST(count(*) AS BIGINT) AS n_pos,
+         CAST(max(n) - count(*) AS BIGINT) AS n_neg,
+         CAST(round(1000000.0 * (sum(rk) - count(*) * (count(*) + 1) / 2.0)
+                    / (CAST(count(*) AS DOUBLE) * (max(n) - count(*))))
+              AS BIGINT) AS auc_micro
+  FROM r GROUP BY event_type
+)
+SELECT class, n_pos, n_neg, auc_micro FROM per
+UNION ALL
+SELECT '__macro__', CAST(sum(n_pos) AS BIGINT), CAST(sum(n_neg) AS BIGINT),
+       CAST(round(avg(CAST(auc_micro AS DOUBLE))) AS BIGINT)
+FROM per
+""",
+)
+def eval_auc_macro_ovr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro one-vs-rest AUC with the value column as the score: for
+    each event type, the rank-sum (Mann-Whitney) AUC of that class
+    against all others — one GLOBAL rank pass feeds every class (the
+    multiclass extension eval_roc_auc can't give), ranks totally
+    ordered by (score, event id). Per-class AUC is exact micro; the
+    '__macro__' row averages the per-class integers (the class-balanced
+    summary macro-averaging exists for).
+
+    Scale shape: one global rank window over the scored rows
+    (documented single-sequence sort), one per-class hash agg — k
+    classes cost ONE sort, not k."""
+    s = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.round(100 * F.col("value")).cast("long").alias("x"),
+        )
+    )
+    r = s.select(
+        "event_type",
+        F.row_number()
+        .over(Window.orderBy("x", "event_id"))
+        .cast("long")
+        .alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(F.lit(1)))
+        .cast("long")
+        .alias("n"),
+    )
+    cnt = F.count(F.lit(1))
+    per = r.groupBy(F.col("event_type").alias("class")).agg(
+        cnt.cast("long").alias("n_pos"),
+        (F.max("n") - cnt).cast("long").alias("n_neg"),
+        F.round(
+            1_000_000.0
+            * (F.sum("rk") - cnt * (cnt + 1) / 2.0)
+            / (cnt.cast("double") * (F.max("n") - cnt))
+        )
+        .cast("long")
+        .alias("auc_micro"),
+    )
+    per.persist()
+    macro = per.agg(
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum("n_neg").cast("long").alias("n_neg"),
+        F.round(F.avg(F.col("auc_micro").cast("double")))
+        .cast("long")
+        .alias("auc_micro"),
+    ).select(
+        F.lit("__macro__").alias("class"), "n_pos", "n_neg", "auc_micro"
+    )
+    return per.unionByName(macro)
+
+
+# --------------------------------------------------------------------------
+# 3. CBO join-cardinality audit
+# --------------------------------------------------------------------------
+
+
+@query(
+    "io_join_cardinality_estimate",
+    oracle="""
+WITH oc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv
+  FROM orders
+),
+cc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT c_custkey) AS BIGINT) AS ndv
+  FROM customer
+),
+lo AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv
+  FROM lineitem
+),
+oo AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv
+  FROM orders
+),
+j1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS actual
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+j2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS actual
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT 'orders_customer' AS join_name,
+       (SELECT n FROM oc) * (SELECT n FROM cc)
+         // greatest((SELECT ndv FROM oc), (SELECT ndv FROM cc)) AS estimate,
+       (SELECT actual FROM j1) AS actual,
+       CAST(round(1000.0 * ((SELECT n FROM oc) * (SELECT n FROM cc)
+             // greatest((SELECT ndv FROM oc), (SELECT ndv FROM cc)))
+             / (SELECT actual FROM j1)) AS BIGINT) AS est_over_actual_milli
+UNION ALL
+SELECT 'lineitem_orders',
+       (SELECT n FROM lo) * (SELECT n FROM oo)
+         // greatest((SELECT ndv FROM lo), (SELECT ndv FROM oo)),
+       (SELECT actual FROM j2),
+       CAST(round(1000.0 * ((SELECT n FROM lo) * (SELECT n FROM oo)
+             // greatest((SELECT ndv FROM lo), (SELECT ndv FROM oo)))
+             / (SELECT actual FROM j2)) AS BIGINT)
+""",
+)
+def io_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based-optimizer join-size estimation, audited: the textbook
+    equi-join estimate |A ⋈ B| = |A|·|B| / max(ndv_A, ndv_B) (uniform
+    containment — what Catalyst/DuckDB/every CBO uses absent
+    histograms) against the TRUE cardinality for the two workhorse
+    joins, with the over/under ratio. This is the measurement loop
+    behind io_analyze_table_stats: it says how much a histogram would
+    buy (ratio ≈ 1000 = uniformity holds; skew pushes it off).
+
+    Scale shape: four 2-number stat scans + the two real joins (both
+    key-partitioned); output is 2 rows."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+
+    def stats(df: DataFrame, key: str):
+        row = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct(key).cast("long").alias("ndv"),
+        ).first()
+        return int(row.n), int(row.ndv)
+
+    n_o, ndv_oc = stats(o, "o_custkey")
+    n_c, ndv_c = stats(c, "c_custkey")
+    n_l, ndv_lo = stats(li, "l_orderkey")
+    _, ndv_oo = stats(o, "o_orderkey")
+    a1 = o.join(c, o["o_custkey"] == c["c_custkey"]).count()
+    a2 = li.join(o, li["l_orderkey"] == o["o_orderkey"]).count()
+    est1 = n_o * n_c // max(ndv_oc, ndv_c)
+    est2 = n_l * n_o // max(ndv_lo, ndv_oo)
+    rows = [
+        ("orders_customer", est1, a1, round(1000.0 * est1 / a1)),
+        ("lineitem_orders", est2, a2, round(1000.0 * est2 / a2)),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "join_name string, estimate long, actual long, "
+        "est_over_actual_milli long",
+    )
+
+
+# --------------------------------------------------------------------------
+# 4. Weibull median-rank regression
+# --------------------------------------------------------------------------
+
+
+@query(
+    "survival_weibull_mrr",
+    oracle=f"""
+WITH span AS (
+  SELECT user_id, min(ts) AS first_ts,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_buy
+  FROM events GROUP BY 1
+),
+life AS (
+  SELECT user_id,
+         CAST(date_diff('day', first_ts, first_buy) AS BIGINT) + 1 AS t
+  FROM span WHERE first_buy IS NOT NULL
+),
+pts AS (
+  SELECT CAST(round({WB_Q} * ln(CAST(t AS DOUBLE))) AS BIGINT) AS xq,
+         CAST(round({WB_Q} * ln(-ln(1.0 -
+           (row_number() OVER (ORDER BY t, user_id) - 0.3)
+           / (count(*) OVER () + 0.4)))) AS BIGINT) AS yq
+  FROM life
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xq) AS HUGEINT) AS sx, CAST(sum(yq) AS HUGEINT) AS sy,
+         CAST(sum(CAST(xq AS HUGEINT) * yq) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(xq AS HUGEINT) * xq) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(yq AS HUGEINT) * yq) AS DOUBLE) AS syy
+  FROM pts
+),
+fit AS (
+  SELECT n,
+         (n * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (n * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS k,
+         (CAST(sy AS DOUBLE) - (n * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (n * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * CAST(sx AS DOUBLE)) / n / {WB_Q} AS c,
+         (n * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         * (n * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / ((n * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * (n * syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
+  FROM mom
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(round(1000 * k) AS BIGINT) AS shape_milli,
+       CAST(round(1000 * exp(-c / k)) AS BIGINT) AS scale_days_milli,
+       CAST(round(1000 * r2) AS BIGINT) AS r2_milli
+FROM fit
+""",
+)
+def survival_weibull_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull time-to-first-purchase fit by median-rank regression
+    (the reliability-engineering standard): complete (purchased)
+    observations t = days from first activity to first purchase + 1,
+    Benard median ranks F_i = (i − 0.3)/(n + 0.4) on the (t, user)
+    total order, and OLS on the linearized
+    ln(−ln(1−F)) = k·ln t − k·ln λ. Both coordinates quantize to the
+    1e-6 grid BEFORE the moment sums (exact 128-bit integers), so the
+    fitted shape k, scale λ and R² are identical doubles on both
+    engines. k < 1 means infant-mortality churn, k > 1 wear-out — the
+    parametric companion to survival_kaplan_meier/survival_rmst.
+
+    Scale shape: per-user spans (hash agg), one rank window over the
+    uncensored lifetimes, one moment aggregate, 1-row solve."""
+    ev = load(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_buy"),
+    )
+    life = span.filter(F.col("first_buy").isNotNull()).select(
+        "user_id",
+        (F.datediff("first_buy", "first_ts") + 1).cast("long").alias("t"),
+    )
+    w = Window.orderBy("t", "user_id")
+    wn = Window.partitionBy(F.lit(1))
+    pts = life.select(
+        F.round(WB_Q * F.log(F.col("t").cast("double")))
+        .cast("long")
+        .alias("xq"),
+        F.round(
+            WB_Q
+            * F.log(
+                -F.log(
+                    1.0
+                    - (F.row_number().over(w) - 0.3)
+                    / (F.count(F.lit(1)).over(wn) + 0.4)
+                )
+            )
+        )
+        .cast("long")
+        .alias("yq"),
+    )
+    dec = "decimal(38,0)"
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("double").alias("sx"),
+        F.sum("yq").cast("double").alias("sy"),
+        F.sum((F.col("xq").cast(dec) * F.col("yq"))).cast("double").alias("sxy"),
+        F.sum((F.col("xq").cast(dec) * F.col("xq"))).cast("double").alias("sxx"),
+        F.sum((F.col("yq").cast(dec) * F.col("yq"))).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    k = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    c = (F.col("sy") - k * F.col("sx")) / n / WB_Q
+    r2 = (
+        (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (
+            (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+        )
+    )
+    return mom.select(
+        n.alias("n"),
+        F.round(1000 * k).cast("long").alias("shape_milli"),
+        F.round(1000 * F.exp(-c / k)).cast("long").alias("scale_days_milli"),
+        F.round(1000 * r2).cast("long").alias("r2_milli"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 5. IBAN mod-97 check digits
+# --------------------------------------------------------------------------
+
+
+@query(
+    "fn_iban_mod97_check",
+    oracle="""
+WITH acct AS (
+  SELECT lpad(CAST(o_orderkey AS VARCHAR), 16, '0') AS bban FROM orders
+),
+-- rearranged digit string for check-digit computation: BBAN + 'DE00'
+-- with letters mapped (D=13, E=14) -> bban || '131400'
+folded AS (
+  SELECT bban,
+         CAST(substr(bban || '131400', 1, 8) AS BIGINT) % 97 AS r1
+  FROM acct
+),
+f2 AS (
+  SELECT bban,
+         CAST(CAST(r1 AS VARCHAR) || substr(bban || '131400', 9, 7)
+              AS BIGINT) % 97 AS r2
+  FROM folded
+),
+f3 AS (
+  SELECT bban,
+         CAST(CAST(r2 AS VARCHAR) || substr(bban || '131400', 16, 7)
+              AS BIGINT) % 97 AS r
+  FROM f2
+),
+chk AS (SELECT bban, 98 - r AS check_digits FROM f3),
+-- validation pass: full rearranged string BBAN + '1314' + check -> mod 97 = 1
+v1 AS (
+  SELECT check_digits,
+         CAST(substr(bban || '1314' || lpad(CAST(check_digits AS VARCHAR),
+                                            2, '0'), 1, 8) AS BIGINT) % 97 AS r1,
+         bban
+  FROM chk
+),
+v2 AS (
+  SELECT check_digits,
+         CAST(CAST(r1 AS VARCHAR)
+              || substr(bban || '1314' || lpad(CAST(check_digits AS VARCHAR),
+                                               2, '0'), 9, 7)
+              AS BIGINT) % 97 AS r2,
+         bban
+  FROM v1
+),
+v3 AS (
+  SELECT check_digits,
+         CAST(CAST(r2 AS VARCHAR)
+              || substr(bban || '1314' || lpad(CAST(check_digits AS VARCHAR),
+                                               2, '0'), 16, 7)
+              AS BIGINT) % 97 AS r
+  FROM v2
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(count(DISTINCT check_digits) AS BIGINT) AS n_distinct_checks,
+       CAST(min(check_digits) AS BIGINT) AS min_check,
+       CAST(max(check_digits) AS BIGINT) AS max_check
+FROM v3
+""",
+)
+def fn_iban_mod97_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IBAN mod-97-10 (ISO 7064) check digits over synthetic DE IBANs
+    built from order keys: the 22-digit rearranged numeral is reduced
+    with CHUNKED Horner folding — r ← (r·10^k + next_chunk) mod 97 in
+    three fixed substr steps — so no 128-bit or string-math type is
+    needed (the same per-chunk trick banks use on mainframes). Audit:
+    every generated IBAN re-validates to mod 97 = 1 (the defining
+    property: the scheme catches ALL single-digit errors and virtually
+    all transpositions).
+
+    Scale shape: pure narrow string/integer arithmetic in whole-stage
+    codegen + one rollup; zero shuffles before it."""
+    acct = load(spark, sf_dir, "orders").select(
+        F.lpad(F.col("o_orderkey").cast("string"), 16, "0").alias("bban")
+    )
+
+    def fold(df: DataFrame, strcol, out: str) -> DataFrame:
+        r1 = F.substring(strcol, 1, 8).cast("long") % 97
+        df = df.withColumn("_r1", r1)
+        r2 = (
+            F.concat(F.col("_r1").cast("string"), F.substring(strcol, 9, 7))
+            .cast("long")
+            % 97
+        )
+        df = df.withColumn("_r2", r2)
+        r = (
+            F.concat(F.col("_r2").cast("string"), F.substring(strcol, 16, 7))
+            .cast("long")
+            % 97
+        )
+        return df.withColumn(out, r).drop("_r1", "_r2")
+
+    gen = fold(acct, F.concat(F.col("bban"), F.lit("131400")), "r")
+    chk = gen.select(
+        "bban", (98 - F.col("r")).alias("check_digits")
+    )
+    full = F.concat(
+        F.col("bban"),
+        F.lit("1314"),
+        F.lpad(F.col("check_digits").cast("string"), 2, "0"),
+    )
+    val = fold(chk, full, "rv")
+    return val.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("rv") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_valid"),
+        F.countDistinct("check_digits").cast("long").alias("n_distinct_checks"),
+        F.min("check_digits").cast("long").alias("min_check"),
+        F.max("check_digits").cast("long").alias("max_check"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 6. Fisher price index
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_price_index_fisher",
+    oracle=f"""
+WITH li AS (
+  SELECT l.l_partkey AS pk,
+         CASE WHEN extract(year FROM o.o_orderdate) < {IBAN_SPLIT_YEAR}
+              THEN 0 ELSE 1 END AS period,
+         CAST(round(100 * l.l_extendedprice) AS BIGINT) AS rev,
+         CAST(round(1000 * l.l_quantity) AS BIGINT) AS qty
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+per AS (
+  SELECT pk, period, CAST(sum(rev) AS BIGINT) AS rev,
+         CAST(sum(qty) AS BIGINT) AS qty
+  FROM li GROUP BY 1, 2
+),
+bothp AS (
+  SELECT p0.pk, p0.rev AS r0, p0.qty AS q0, p1.rev AS r1, p1.qty AS q1
+  FROM (SELECT * FROM per WHERE period = 0) p0
+  JOIN (SELECT * FROM per WHERE period = 1) p1 ON p1.pk = p0.pk
+  WHERE p0.qty > 0 AND p1.qty > 0
+),
+terms AS (
+  SELECT
+    CAST(round(CAST(r1 AS DOUBLE) / q1 * q0) AS BIGINT) AS p1q0,
+    r0 AS p0q0,
+    r1 AS p1q1,
+    CAST(round(CAST(r0 AS DOUBLE) / q0 * q1) AS BIGINT) AS p0q1
+  FROM bothp
+),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(sum(p1q0) AS BIGINT) AS s10, CAST(sum(p0q0) AS BIGINT) AS s00,
+         CAST(sum(p1q1) AS BIGINT) AS s11, CAST(sum(p0q1) AS BIGINT) AS s01
+  FROM terms
+)
+SELECT n_parts,
+       CAST(round(1000.0 * s10 / s00) AS BIGINT) AS laspeyres_milli,
+       CAST(round(1000.0 * s11 / s01) AS BIGINT) AS paasche_milli,
+       CAST(round(1000.0 * sqrt((CAST(s10 AS DOUBLE) / s00)
+                                * (CAST(s11 AS DOUBLE) / s01))) AS BIGINT)
+         AS fisher_milli
+FROM sums
+""",
+)
+def agg_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres, Paasche, and Fisher price indices between the
+    pre-{IBAN_SPLIT_YEAR} and post periods over parts traded in BOTH:
+    unit prices are period revenue/quantity (exact integer sums), the
+    cross terms p₁q₀ / p₀q₁ quantize to integer cents per part before
+    the index sums, and Fisher is the geometric mean of the two — the
+    index-number economics behind every 'revenue grew but did PRICES?'
+    question (agg_price_volume_mix decomposes one period pair's bridge;
+    these are the canonical deflators).
+
+    Scale shape: one join + two-key hash agg to per-(part, period)
+    sums, a part-keyed self-join of the two periods, 1-row index
+    arithmetic."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    base = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("l_partkey").alias("pk"),
+        F.when(F.year("o_orderdate") < IBAN_SPLIT_YEAR, 0).otherwise(1).alias(
+            "period"
+        ),
+        F.round(100 * F.col("l_extendedprice")).cast("long").alias("rev"),
+        F.round(1000 * F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    per = base.groupBy("pk", "period").agg(
+        F.sum("rev").cast("long").alias("rev"),
+        F.sum("qty").cast("long").alias("qty"),
+    )
+    p0 = per.filter(F.col("period") == 0).select(
+        "pk", F.col("rev").alias("r0"), F.col("qty").alias("q0")
+    )
+    p1 = per.filter(F.col("period") == 1).select(
+        "pk", F.col("rev").alias("r1"), F.col("qty").alias("q1")
+    )
+    both = p0.join(p1, "pk").filter((F.col("q0") > 0) & (F.col("q1") > 0))
+    terms = both.select(
+        F.round(F.col("r1").cast("double") / F.col("q1") * F.col("q0"))
+        .cast("long")
+        .alias("p1q0"),
+        F.col("r0").alias("p0q0"),
+        F.col("r1").alias("p1q1"),
+        F.round(F.col("r0").cast("double") / F.col("q0") * F.col("q1"))
+        .cast("long")
+        .alias("p0q1"),
+    )
+    sums = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("p1q0").cast("long").alias("s10"),
+        F.sum("p0q0").cast("long").alias("s00"),
+        F.sum("p1q1").cast("long").alias("s11"),
+        F.sum("p0q1").cast("long").alias("s01"),
+    )
+    lasp = 1000.0 * F.col("s10") / F.col("s00")
+    paas = 1000.0 * F.col("s11") / F.col("s01")
+    return sums.select(
+        "n_parts",
+        F.round(lasp).cast("long").alias("laspeyres_milli"),
+        F.round(paas).cast("long").alias("paasche_milli"),
+        F.round(
+            1000.0
+            * F.sqrt(
+                (F.col("s10").cast("double") / F.col("s00"))
+                * (F.col("s11").cast("double") / F.col("s01"))
+            )
+        )
+        .cast("long")
+        .alias("fisher_milli"),
+    )
