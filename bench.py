@@ -79,6 +79,9 @@ HEADLINE: list[str] = [
     "rec_item_cosine",       # item-item CF: ratings self-join on the user key
     "eval_bleu_ngram",       # 4-order n-gram explode + clip join + scalar reduce
     "ts_burst_viterbi",      # per-key Arrow DP (6-int state Viterbi)
+    "graph_spectral_bisection",  # integer power iteration on (cI - L)
+    "stat_fisher_exact",     # exact test on quantized log-factorials
+    "stat_energy_distance",  # O(n log n) rewrite of the pairwise metric
 ]
 
 
