@@ -246,7 +246,7 @@ FROM scored"""
     return f"""
 WITH d AS (
   SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
-         CAST(round(100 * value) AS BIGINT) // 1000000 AS band,
+         CAST(round(100 * value) AS BIGINT) // 2000 AS band,
          isodow(CAST(ts AS DATE)) AS dow
   FROM events WHERE value IS NOT NULL
 ),
@@ -289,7 +289,7 @@ def ml_blend_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
             F.expr(
-                "CAST(round(100 * value) AS BIGINT) div 1000000"
+                "CAST(round(100 * value) AS BIGINT) div 2000"
             ).alias("band"),
             F.when(F.dayofweek(F.col("ts").cast("date")) == 1, 7)
             .otherwise(F.dayofweek(F.col("ts").cast("date")) - 1)

@@ -394,7 +394,7 @@ def stat_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH d AS (
   SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
-         CAST(round(100 * value) AS BIGINT) // 500000 AS band,
+         CAST(round(100 * value) AS BIGINT) // 2000 AS band,
          event_id % 2 AS holdout
   FROM events WHERE value IS NOT NULL
 ),
@@ -442,7 +442,7 @@ def privacy_membership_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull())
         .select(
             F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
-            F.expr("CAST(round(100 * value) AS BIGINT) div 500000").alias(
+            F.expr("CAST(round(100 * value) AS BIGINT) div 2000").alias(
                 "band"
             ),
             (F.col("event_id") % 2).alias("holdout"),

@@ -60,7 +60,7 @@ def _sm_oracle() -> str:
         """
 d AS MATERIALIZED (
   SELECT event_type,
-         CAST(CAST(round(100 * value) AS BIGINT) // 1000000 AS DOUBLE) AS x
+         CAST(CAST(round(100 * value) AS BIGINT) // 2000 AS DOUBLE) AS x
   FROM events WHERE value IS NOT NULL
 ),
 nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM d)"""
@@ -149,7 +149,7 @@ def ml_softmax_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             (
-                F.expr("CAST(round(100 * value) AS BIGINT) div 1000000")
+                F.expr("CAST(round(100 * value) AS BIGINT) div 2000")
                 .cast("double")
             ).alias("x"),
         )

@@ -147,7 +147,7 @@ def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH d AS (
   SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
-         CAST(round(100 * value) AS BIGINT) // 500000 AS band,
+         CAST(round(100 * value) AS BIGINT) // 2000 AS band,
          CASE WHEN ({_pt_sql("lns#", "event_id", LNS_FLIP_MOD)}) = 0
               THEN 1 ELSE 0 END AS flip
   FROM events WHERE value IS NOT NULL
@@ -199,7 +199,7 @@ def ml_label_noise_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull())
         .select(
             F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
-            F.expr("CAST(round(100 * value) AS BIGINT) div 500000").alias(
+            F.expr("CAST(round(100 * value) AS BIGINT) div 2000").alias(
                 "band"
             ),
             F.when(
@@ -599,7 +599,7 @@ WITH mid AS (
   FROM events
 ),
 d AS (
-  SELECT CAST(round(100 * value) AS BIGINT) // 500000 AS band,
+  SELECT CAST(round(100 * value) AS BIGINT) // 2000 AS band,
          CASE WHEN epoch_us(ts) < (SELECT m FROM mid) THEN 0 ELSE 1 END AS y,
          event_id % 2 AS fold
   FROM events WHERE value IS NOT NULL
@@ -646,7 +646,7 @@ def stat_c2st(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("m")
     )
     d = ev.crossJoin(F.broadcast(mid)).select(
-        F.expr("CAST(round(100 * value) AS BIGINT) div 500000").alias("band"),
+        F.expr("CAST(round(100 * value) AS BIGINT) div 2000").alias("band"),
         F.when(F.unix_micros("ts") < F.col("m"), 0).otherwise(1).alias("y"),
         (F.col("event_id") % 2).alias("fold"),
     )
