@@ -74,7 +74,7 @@ def _ht_oracle() -> str:
     return (
         _ht_cte_body()
         + f"""
-SELECT h AS h_milli, CAST(count(*) AS BIGINT) AS n_nodes
+SELECT CAST(h AS BIGINT) AS h_milli, CAST(count(*) AS BIGINT) AS n_nodes
 FROM h{HT_ITERS} GROUP BY h"""
     )
 

@@ -76,7 +76,8 @@ t AS (
          lag(v4, 6) OVER w AS oldest, lead(v4, 6) OVER w AS newest
   FROM s WINDOW w AS (ORDER BY day)
 )
-SELECT CAST(day AS VARCHAR) AS day, v4, CAST(trend AS BIGINT) AS trend_v4,
+SELECT CAST(day AS VARCHAR) AS day, CAST(v4 AS BIGINT) AS v4,
+       CAST(trend AS BIGINT) AS trend_v4,
        CAST(v4 - trend AS BIGINT) AS residual_v4
 FROM t WHERE oldest IS NOT NULL AND newest IS NOT NULL
 """,

@@ -257,10 +257,10 @@ j AS (
   FROM q JOIN ref2 r ON r.day = q.day
 )
 SELECT event_id, CAST(day AS VARCHAR) AS day,
-       CASE WHEN v_next IS NOT NULL AND d_next = day + 1
+       CAST(CASE WHEN v_next IS NOT NULL AND d_next = day + 1
             THEN CAST(round(v4 + (v_next - v4)
                             * (us / 86400000000.0)) AS BIGINT)
-            ELSE v4 END AS interp_v4
+            ELSE v4 END AS BIGINT) AS interp_v4
 FROM j
 """,
 )
