@@ -11,8 +11,8 @@
   arithmetic, oracle = one unrolled CTE pair per iteration (the
   bipartite-flavored sibling of graph_pagerank_topk: PageRank ranks by
   random-walk mass, HITS separates "points at good pages" from "is
-  pointed at by good hubs"; reference ranks articles by a single score —
-  article_analyze.py — this is the two-sided generalization).
+  pointed at by good hubs"; reference has no graph analytics; this is a north-star
+  extension, the two-sided generalization of a single-score rank).
 - ``rec_item_covisitation`` — item-to-item collaborative filtering from
   order baskets: co-occurrence counts normalized by item frequencies
   (squared-cosine in exact integer millionths), top-3 recommendations
@@ -77,7 +77,7 @@ WHERE d.deg >= 2
 )
 def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient on the deterministic link graph
-    (reference's citation-graph stand-in, article_analyze.py): per node,
+    (north-star extension; no reference analogue): per node,
     the fraction of its neighbor pairs that are themselves connected —
     2·tri(v)/(deg·(deg−1)) in exact integer millionths, nodes with
     undirected degree ≥ 2.

@@ -20,8 +20,8 @@ anomaly flags, and keeping a forecast hierarchy coherent):
 - ``ts_hierarchical_reconcile`` — bottom-up vs proportional top-down
   reconciliation of per-nation revenue forecasts.
 
-Reference parity: the reference's analytics layer stops at flat aggregates
-(`analyze.py:61-118`); these are the standard deepenings a lake-scale
+Reference parity: north-star extension — no reference analogue
+(the reference has no analytics layer); these are the standard deepenings a lake-scale
 engine is asked for on the same tables.
 """
 

@@ -21,8 +21,8 @@ beyond modularity):
 - ``graph_community_conductance`` — cut/volume conductance of the
   label-propagation communities (graph3's partition, audited).
 
-Reference parity: the reference's analytics stop at flat aggregates
-(`analyze.py:61-118`) and its retrieval index is built once and reused
+Reference parity: north-star extension — no reference analogue
+(the reference has no analytics layer) and its retrieval index is built once and reused
 (`vectorize.py:119-123`); champion lists are the impact-ordered pruning
 the same serving path needs at corpus scale.
 """

@@ -20,8 +20,8 @@ with a parametric head, and multi-item reliability measurement):
 - ``stat_cronbach_alpha``     — Cronbach's alpha over the user x
   event-type count matrix from exact integer moments.
 
-Reference parity: the reference's analytics stop at flat aggregates
-(`analyze.py:61-118`); these are the model-selection/audit layers a
+Reference parity: north-star extension — no reference analogue
+(the reference has no analytics layer); these are the model-selection/audit layers a
 lake-scale engine runs on the same tables.
 """
 

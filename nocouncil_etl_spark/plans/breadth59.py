@@ -21,8 +21,8 @@ growth, and queueing/backlog accounting via the prefix-min closed form):
 - ``ts_lindley_backlog``       — daily demand vs fixed capacity backlog
   via Lindley's recursion solved as cumsum minus running minimum.
 
-Reference parity: the reference's analytics stop at flat aggregates
-(`analyze.py:61-118`); retrieval ops extend its build-once index
+Reference parity: north-star extension — no reference analogue
+(the reference has no analytics layer); retrieval ops extend its build-once index
 discipline (`vectorize.py:119-123`) to tolerant/positional queries.
 """
 

@@ -20,8 +20,8 @@ and temporal-logic classification of interval pairs):
 - ``fn_allen_interval_relations`` — Allen's interval-algebra relation
   between each order's commit window and its shipment span.
 
-Reference parity: the reference's analytics stop at flat aggregates
-(`analyze.py:61-118`); these are the audit layers a lake-scale engine
+Reference parity: north-star extension — no reference analogue
+(the reference has no analytics layer); these are the audit layers a lake-scale engine
 adds over the same tables.
 """
 

@@ -21,8 +21,8 @@ its own split):
 - ``text_train_eval_overlap``   — per-source {TE_N}-gram novelty of the
   eval split against the train split (memorization audit).
 
-Reference parity: the reference's analytics stop at flat aggregates
-(`analyze.py:61-118`); the split-novelty audit is the hygiene check its
+Reference parity: north-star extension — no reference analogue
+(the reference has no analytics layer); the split-novelty audit is the hygiene check its
 corpus pipeline (fetch→clean→vectorize) never runs but any training-data
 engine must.
 """

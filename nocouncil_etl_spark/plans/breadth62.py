@@ -20,8 +20,8 @@ pseudonymization, and quantile-based distribution shape):
 - ``agg_robust_shape_stats``       — Bowley skewness and Moors kurtosis
   from exact order statistics per event type.
 
-Reference parity: the reference's analytics stop at flat aggregates
-(`analyze.py:61-118`); these extend the same tables with the audits a
+Reference parity: north-star extension — no reference analogue
+(the reference has no analytics layer); these extend the same tables with the audits a
 lake-scale engine is asked for.
 """
 

@@ -20,8 +20,8 @@ information rate of the behavioral event stream):
 - ``ts_markov_entropy_rate``    — empirical entropy rate of the
   event-type transition chain (nats, exact-integer inputs).
 
-Reference parity: the reference's analytics stop at flat aggregates
-(`analyze.py:61-118`); these are standard lake-engine audits over the
+Reference parity: north-star extension — no reference analogue
+(the reference has no analytics layer); these are standard lake-engine audits over the
 same tables.
 """
 

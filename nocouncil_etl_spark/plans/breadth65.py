@@ -20,8 +20,8 @@ index-number economics):
 - ``agg_price_index_fisher``   — Laspeyres, Paasche and Fisher price
   indices between order-history halves over common parts.
 
-Reference parity: the reference's analytics stop at flat aggregates
-(`analyze.py:61-118`); these extend the same tables with the audits a
+Reference parity: north-star extension — no reference analogue
+(the reference has no analytics layer); these extend the same tables with the audits a
 lake-scale engine is asked for.
 """
 

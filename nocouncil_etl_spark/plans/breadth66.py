@@ -20,8 +20,8 @@ testing, and rater-concordance effect size):
 - ``stat_kendall_w``         — Kendall's coefficient of concordance
   over event-type blocks ranking weekdays.
 
-Reference parity: the reference's analytics stop at flat aggregates
-(`analyze.py:61-118`); these are the audit layers a lake-scale engine
+Reference parity: north-star extension — no reference analogue
+(the reference has no analytics layer); these are the audit layers a lake-scale engine
 adds on the same tables.
 """
 

@@ -21,8 +21,8 @@ diversity index):
 - ``text_simpson_diversity``  — Simpson and inverse-Simpson vocabulary
   concentration per source.
 
-Reference parity: the reference's analytics stop at flat aggregates
-(`analyze.py:61-118`); these are the audit layers a lake-scale engine
+Reference parity: north-star extension — no reference analogue
+(the reference has no analytics layer); these are the audit layers a lake-scale engine
 adds on the same tables.
 """
 

@@ -19,8 +19,8 @@ encoding):
 - ``geo_geohash_codec``      — 30-bit interleaved geohash encode +
   base32 render + exact decode roundtrip.
 
-Reference parity: the reference's analytics stop at flat aggregates
-(`analyze.py:61-118`); these are the audit layers a lake-scale engine
+Reference parity: north-star extension — no reference analogue
+(the reference has no analytics layer); these are the audit layers a lake-scale engine
 adds on the same tables.
 """
 

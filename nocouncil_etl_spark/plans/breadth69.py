@@ -21,8 +21,8 @@ tonality-vs-noise summary of a spectrum):
 - ``ts_spectral_flatness``    — Wiener entropy (geometric/arithmetic
   power mean) over the 2..10-day periodogram.
 
-Reference parity: the reference's analytics stop at flat aggregates
-(`analyze.py:61-118`); these are the audit layers a lake-scale engine
+Reference parity: north-star extension — no reference analogue
+(the reference has no analytics layer); these are the audit layers a lake-scale engine
 adds on the same tables.
 """
 

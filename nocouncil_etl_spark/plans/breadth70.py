@@ -20,8 +20,8 @@ screen):
 - ``dq_duplicate_payments``   — same-customer same-amount orders within
   a week: the double-charge screen.
 
-Reference parity: the reference's analytics stop at flat aggregates
-(`analyze.py:61-118`); these are the audit layers a lake-scale engine
+Reference parity: north-star extension — no reference analogue
+(the reference has no analytics layer); these are the audit layers a lake-scale engine
 adds on the same tables.
 """
 

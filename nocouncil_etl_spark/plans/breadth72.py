@@ -20,8 +20,8 @@ recommender metrics, and the integral-type two-sample test):
 - ``stat_cvm_two_sample``     — two-sample Cramér-von Mises T from the
   exact integer rank identity.
 
-Reference parity: the reference's analytics stop at flat aggregates
-(`analyze.py:61-118`); these are the audit layers a lake-scale engine
+Reference parity: north-star extension — no reference analogue
+(the reference has no analytics layer); these are the audit layers a lake-scale engine
 adds on the same tables.
 """
 

@@ -20,8 +20,8 @@ discovery, and file-layout right-sizing):
 - ``io_adaptive_file_sizing`` — per-partition file-count plan against
   the median partition size, with skew before/after.
 
-Reference parity: the reference's analytics stop at flat aggregates
-(`analyze.py:61-118`); these are the audit layers a lake-scale engine
+Reference parity: north-star extension — no reference analogue
+(the reference has no analytics layer); these are the audit layers a lake-scale engine
 adds on the same tables.
 """
 

@@ -20,8 +20,8 @@ metric, and regression influence diagnostics):
 - ``stat_cooks_distance``   — top influential customers by Cook's D on
   the revenue ~ balance regression.
 
-Reference parity: the reference's analytics stop at flat aggregates
-(`analyze.py:61-118`); these are the audit layers a lake-scale engine
+Reference parity: north-star extension — no reference analogue
+(the reference has no analytics layer); these are the audit layers a lake-scale engine
 adds on the same tables.
 """
 

@@ -17,8 +17,8 @@ sentiment scoring, and the clustering-vs-degree structure curve):
 - ``text_lexicon_score``     — literal-lexicon sentiment per source.
 - ``graph_clustering_degree_curve`` — mean local clustering by degree.
 
-Reference parity: the reference's analytics stop at flat aggregates
-(`analyze.py:61-118`); these are the audit layers a lake-scale engine
+Reference parity: north-star extension — no reference analogue
+(the reference has no analytics layer); these are the audit layers a lake-scale engine
 adds on the same tables.
 """
 

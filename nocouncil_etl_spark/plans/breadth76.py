@@ -19,8 +19,8 @@ privacy audit, and beyond-accuracy recommendation novelty):
 - ``eval_rec_novelty``        — mean self-information of each
   customer's top items (popularity novelty).
 
-Reference parity: the reference's analytics stop at flat aggregates
-(`analyze.py:61-118`); these are the audit layers a lake-scale engine
+Reference parity: north-star extension — no reference analogue
+(the reference has no analytics layer); these are the audit layers a lake-scale engine
 adds on the same tables.
 """
 

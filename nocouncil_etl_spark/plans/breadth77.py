@@ -20,8 +20,8 @@ interpretability-surrogate validation, and the tokenizer budget curve):
 - ``text_vocab_coverage_curve`` — corpus token coverage of the top-k
   vocabulary over a k grid.
 
-Reference parity: the reference's analytics stop at flat aggregates
-(`analyze.py:61-118`); these are the audit layers a lake-scale engine
+Reference parity: north-star extension — no reference analogue
+(the reference has no analytics layer); these are the audit layers a lake-scale engine
 adds on the same tables.
 """
 

@@ -20,8 +20,8 @@ classifier-based distribution test):
 - ``stat_c2st``               — classifier two-sample test: can a
   band model tell the halves apart better than chance?
 
-Reference parity: the reference's analytics stop at flat aggregates
-(`analyze.py:61-118`); these are the audit layers a lake-scale engine
+Reference parity: north-star extension — no reference analogue
+(the reference has no analytics layer); these are the audit layers a lake-scale engine
 adds on the same tables.
 """
 

@@ -20,8 +20,8 @@ graph statistics, and the exact one-proportion test):
 - ``stat_binomial_exact``       — exact two-sided binomial test of the
   weekend share against 2/7 via the log-factorial table.
 
-Reference parity: the reference's analytics stop at flat aggregates
-(`analyze.py:61-118`); these are the audit layers a lake-scale engine
+Reference parity: north-star extension — no reference analogue
+(the reference has no analytics layer); these are the audit layers a lake-scale engine
 adds on the same tables.
 """
 

@@ -19,8 +19,8 @@ band/row planning, and extreme-record statistics):
 - ``ts_record_highs``        — record-high count vs the Σ1/k iid
   expectation (the records test for trend).
 
-Reference parity: the reference's analytics stop at flat aggregates
-(`analyze.py:61-118`); the LSH planner parameterizes the dedup family
+Reference parity: north-star extension — no reference analogue
+(the reference has no analytics layer); the LSH planner parameterizes the dedup family
 (`operators/dedup.py`) the way a 100 TB corpus run must.
 """
 

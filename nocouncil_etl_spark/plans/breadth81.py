@@ -20,8 +20,8 @@ decision-tree criterion sensitivity):
 - ``ml_split_criteria_agreement`` — best threshold under Gini vs
   entropy vs misclassification, and whether they agree.
 
-Reference parity: the reference's analytics stop at flat aggregates
-(`analyze.py:61-118`); these are the audit layers a lake-scale engine
+Reference parity: north-star extension — no reference analogue
+(the reference has no analytics layer); these are the audit layers a lake-scale engine
 adds on the same tables.
 """
 

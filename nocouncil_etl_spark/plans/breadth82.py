@@ -20,8 +20,8 @@ algorithmic-recourse interpretability):
 - ``ml_recourse_distance``   — per-band distance to the nearest
   opposite-decision band (actionable recourse).
 
-Reference parity: the reference's analytics stop at flat aggregates
-(`analyze.py:61-118`); the prefix sweep parameterizes its dedup the way
+Reference parity: north-star extension — no reference analogue
+(the reference has no analytics layer); the prefix sweep parameterizes its dedup the way
 a C4-style corpus pass must.
 """
 
