@@ -25,6 +25,8 @@ outside probed cells.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -36,27 +38,55 @@ from nocouncil_etl_spark.operators.centroid_artifact import (
     write_manifest,
 )
 from nocouncil_etl_spark.operators.kmeans import (
+    MAX_CENTROIDS,
     assign_l2,
     assign_l2_topn,
     kmeans_fit,
     quantize_vectors,
 )
 
+# Floor for auto-sized nlist: below this the probe set is a table scan
+# anyway and the training cost isn't worth it.
+MIN_NLIST = 8
+
+
+def auto_nlist(n: int) -> int:
+    """Corpus-size-adaptive IVF cell count: the FAISS nlist ≈ √n rule,
+    bucketed to a power of two so the manifest pins a stable value (small
+    corpus growth does not thrash rebuilds), clamped to
+    [MIN_NLIST, MAX_CENTROIDS].
+
+    This enforces what SCALE.md's "Trained-IVF nlist must track corpus
+    size" incident documented: with nlist pinned at 8, probed-candidate
+    volume per query is ~nprobe·n/nlist, so total search cost grows
+    ∝ n²/nlist — at sf1 (500k vectors) the 8-cell index degraded to
+    near-brute-force (40 s). √n keeps per-cell population ≈ √n, so the
+    probe volume per query grows as √n instead of n."""
+    if n <= MIN_NLIST * MIN_NLIST:
+        return MIN_NLIST
+    return int(min(MAX_CENTROIDS, 2 ** round(math.log2(math.sqrt(n)))))
+
 
 def publish_kmeans_index(
     e: DataFrame,
-    k: int,
+    k: int | None,
     iters: int,
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "v",
-) -> None:
+) -> int:
     """Full build: quantize, train the coarse quantizer, pin every vector's
     cell, write index + centroid sidecar, manifest last. ``e`` carries
-    (id_col, vec_col array<double>)."""
+    (id_col, vec_col array<double>). ``k=None`` sizes nlist from the
+    corpus count at build time (auto_nlist ≈ √n, power-of-two bucketed);
+    the manifest records both the resolved k and the auto flag so serving
+    can validate. Returns the resolved k."""
     spark = e.sparkSession
     eq = quantize_vectors(e, vec_col, "xq").select(id_col, "xq").persist()
     try:
+        auto = k is None
+        if auto:
+            k = auto_nlist(eq.count())
         cent_ids, cm = kmeans_fit(eq, k, iters, id_col=id_col)
         cells = assign_l2(eq, cent_ids, cm, id_col=id_col)
         e.join(cells, id_col).write.mode("overwrite").parquet(f"{path}/index")
@@ -65,8 +95,15 @@ def publish_kmeans_index(
             "cid long, cv array<long>",
         ).write.mode("overwrite").parquet(f"{path}/kcentroids")
         write_manifest(
-            path, {"fp": corpus_fingerprint(e, id_col), "k": k, "iters": iters}
+            path,
+            {
+                "fp": corpus_fingerprint(e, id_col),
+                "k": k,
+                "iters": iters,
+                "auto": auto,
+            },
         )
+        return k
     finally:
         eq.unpersist()
 
@@ -87,7 +124,7 @@ def read_kmeans_index(
 
 def serve_kmeans_index(
     e: DataFrame,
-    k: int,
+    k: int | None,
     iters: int,
     path: str,
     id_col: str = "vec_id",
@@ -95,13 +132,19 @@ def serve_kmeans_index(
 ) -> tuple[DataFrame, np.ndarray, np.ndarray]:
     """Publish-if-absent: manifest hit → pure artifact read (no training,
     no corpus signature pass); miss → build and publish. Warm calls are the
-    100 TB serving number."""
+    100 TB serving number. With ``k=None`` the artifact must have been
+    auto-sized (manifest ``auto`` flag) — the fingerprint match implies the
+    same corpus count, hence the same auto_nlist, so a warm serve never
+    recounts, never retrains."""
     fp = corpus_fingerprint(e, id_col)
     mf = read_manifest(path)
+    k_ok = mf is not None and (
+        mf.get("auto", False) if k is None else mf.get("k") == k
+    )
     if not (
         mf is not None
         and mf.get("fp") == fp
-        and mf.get("k") == k
+        and k_ok
         and mf.get("iters") == iters
     ):
         publish_kmeans_index(e, k, iters, path, id_col=id_col, vec_col=vec_col)

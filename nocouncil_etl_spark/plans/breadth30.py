@@ -326,16 +326,105 @@ def eval_bleu_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COSINE_TOPK = 20
 COSINE_MIN_COMMON = 2
+# Per-customer rating-list cap: bounds the CF self-join's pair volume to
+# cap² per customer (Σ degree² → n·cap²), the same bound-the-per-key-fanout
+# philosophy as the salted LSH bands (operators/dedup.py). Heavy raters
+# contribute the least signal per pair (Sarwar et al. 2001 §4.3).
+COSINE_RATING_CAP = 50
+
+
+def item_cosine_topk(
+    ratings: DataFrame,
+    cap: int = COSINE_RATING_CAP,
+    min_common: int = COSINE_MIN_COMMON,
+    k: int = COSINE_TOPK,
+) -> DataFrame:
+    """Capped item-item cosine kernel over a (cid, pid, r) ratings frame.
+
+    Scale contract: (1) each customer's rating list is capped to its top
+    ``cap`` items by rating (deterministic tie-break on pid) BEFORE the
+    self-join, so pair volume is ≤ n_customers·cap² instead of
+    Σ degree² — one hot customer can no longer emit billions of pairs;
+    (2) the global top-k is ``orderBy().limit(k)`` (TakeOrderedAndProject,
+    per-partition heaps + driver merge of k·n_part rows), with the rank
+    column computed on the k survivors only — no unbounded
+    single-partition WindowExec (plan-asserted in tests/test_rec_cf.py).
+    """
+    capped = (
+        ratings.withColumn(
+            "_urk",
+            F.row_number().over(
+                Window.partitionBy("cid").orderBy(F.desc("r"), "pid")
+            ),
+        )
+        .filter(F.col("_urk") <= cap)
+        .drop("_urk")
+        # three consumers (both self-join sides + norms) would each re-run
+        # the upstream join+agg+cap; pin the capped ratings once. persist
+        # (not localCheckpoint): the cache keeps the cap window's
+        # hashpartitioning(cid) + sort, so BOTH self-join sides read it
+        # exchange-free — the cap's shuffle replaces the join's, it does
+        # not add to it. Caller-owned cache (cleared per query by the
+        # harness), same contract as the graph iterates.
+        .persist()
+    )
+    norms = capped.groupBy("pid").agg(
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("n2")
+    )
+    a = capped.select("cid", F.col("pid").alias("pid1"), F.col("r").alias("r1"))
+    b = capped.select("cid", F.col("pid").alias("pid2"), F.col("r").alias("r2"))
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("pid1") < F.col("pid2"))
+        .groupBy("pid1", "pid2")
+        .agg(
+            F.sum(F.col("r1") * F.col("r2")).cast("long").alias("num"),
+            F.count("*").cast("long").alias("n_common"),
+        )
+        .filter(F.col("n_common") >= min_common)
+    )
+    scored = (
+        pairs.join(norms.withColumnRenamed("pid", "pid1").withColumnRenamed("n2", "n2a"), "pid1")
+        .join(norms.withColumnRenamed("pid", "pid2").withColumnRenamed("n2", "n2b"), "pid2")
+        .select(
+            "pid1",
+            "pid2",
+            "num",
+            "n_common",
+            F.round(
+                F.col("num").cast("double")
+                / F.sqrt(F.col("n2a").cast("double") * F.col("n2b").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    survivors = scored.orderBy(F.desc("cosine"), "pid1", "pid2").limit(k)
+    return (
+        survivors.withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cosine"), "pid1", "pid2"))
+            .cast("int"),
+        )
+        .select("pid1", "pid2", "num", "n_common", "cosine", "rk")
+    )
 
 
 @query(
     "rec_item_cosine",
     oracle=f"""
-WITH ratings AS (
+WITH ratings_raw AS (
   SELECT o.o_custkey AS cid, l.l_partkey AS pid,
          CAST(round(sum(l.l_quantity)) AS BIGINT) AS r
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
   GROUP BY 1, 2
+),
+ratings AS (
+  SELECT cid, pid, r FROM (
+    SELECT *, row_number() OVER (PARTITION BY cid ORDER BY r DESC, pid)
+                AS urk
+    FROM ratings_raw
+  ) WHERE urk <= {COSINE_RATING_CAP}
 ),
 norms AS (
   SELECT pid, CAST(sum(r * r) AS BIGINT) AS n2 FROM ratings GROUP BY pid
@@ -372,13 +461,13 @@ def rec_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINTs; pairs need ≥ {COSINE_MIN_COMMON} common raters;
     top-{COSINE_TOPK} by cosine with deterministic tie-break.
 
-    Scale shape: the pair generation is the ratings self-join on the
-    CUSTOMER key — volume Sigma per-customer-degree², the triangle-join
-    bound (same as graph_resource_allocation). At 100 TB the standard
-    mitigations apply verbatim: cap per-user item lists (heavy users
-    contribute least signal per pair) and/or LSH-bucket items first; the
-    per-pair aggregate shape is unchanged. Reference parity: the co-fetch
-    affinity vectorize.py's neighbor queries approximate."""
+    Scale shape (see item_cosine_topk): per-customer rating lists are
+    capped to their top {COSINE_RATING_CAP} items BEFORE the
+    customer-keyed self-join, bounding pair volume to n·cap² instead of
+    Σ degree²; the global top-k is TakeOrderedAndProject with the rank
+    computed on the k survivors only. The oracle applies the identical
+    cap CTE. Reference parity: the co-fetch affinity vectorize.py's
+    neighbor queries approximate."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     ratings = (
@@ -386,48 +475,8 @@ def rec_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 li.l_orderkey == F.col("o_orderkey"))
         .groupBy(F.col("o_custkey").alias("cid"), F.col("l_partkey").alias("pid"))
         .agg(F.round(F.sum("l_quantity")).cast("long").alias("r"))
-        # three consumers (both self-join sides + norms) would each re-run
-        # the lineitem join+agg; pin the ratings once (HITS discipline)
-        .localCheckpoint(eager=True)
     )
-    norms = ratings.groupBy("pid").agg(F.sum(F.col("r") * F.col("r")).cast("long").alias("n2"))
-    a = ratings.select("cid", F.col("pid").alias("pid1"), F.col("r").alias("r1"))
-    b = ratings.select("cid", F.col("pid").alias("pid2"), F.col("r").alias("r2"))
-    pairs = (
-        a.join(b, "cid")
-        .filter(F.col("pid1") < F.col("pid2"))
-        .groupBy("pid1", "pid2")
-        .agg(
-            F.sum(F.col("r1") * F.col("r2")).cast("long").alias("num"),
-            F.count("*").cast("long").alias("n_common"),
-        )
-        .filter(F.col("n_common") >= COSINE_MIN_COMMON)
-    )
-    scored = (
-        pairs.join(norms.withColumnRenamed("pid", "pid1").withColumnRenamed("n2", "n2a"), "pid1")
-        .join(norms.withColumnRenamed("pid", "pid2").withColumnRenamed("n2", "n2b"), "pid2")
-        .select(
-            "pid1",
-            "pid2",
-            "num",
-            "n_common",
-            F.round(
-                F.col("num").cast("double")
-                / F.sqrt(F.col("n2a").cast("double") * F.col("n2b").cast("double")),
-                6,
-            ).alias("cosine"),
-        )
-    )
-    return (
-        scored.withColumn(
-            "rk",
-            F.row_number()
-            .over(Window.orderBy(F.desc("cosine"), "pid1", "pid2"))
-            .cast("int"),
-        )
-        .filter(F.col("rk") <= COSINE_TOPK)
-        .select("pid1", "pid2", "num", "n_common", "cosine", "rk")
-    )
+    return item_cosine_topk(ratings)
 
 
 # --------------------------------------------------------------------------

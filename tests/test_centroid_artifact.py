@@ -198,3 +198,94 @@ def test_kidx_streaming_upsert_parity(spark, vecs, tmp_path):
     sel = ["q_id", "c_id", "sim", "rk"]
     assert got.select(sel).exceptAll(want.select(sel)).count() == 0
     assert want.select(sel).exceptAll(got.select(sel)).count() == 0
+
+
+# --------------------------------------------------------------------------
+# corpus-size-adaptive nlist (the FAISS sqrt-n rule, enforced not documented)
+# --------------------------------------------------------------------------
+
+
+def test_auto_nlist_sqrt_rule_values():
+    from nocouncil_etl_spark.operators.kmeans import MAX_CENTROIDS
+
+    assert ki.auto_nlist(0) == ki.MIN_NLIST
+    assert ki.auto_nlist(64) == ki.MIN_NLIST          # floor region
+    assert ki.auto_nlist(120) == 8
+    assert ki.auto_nlist(1_200) == 32
+    assert ki.auto_nlist(500_000) == 512              # the SCALE.md incident size
+    assert ki.auto_nlist(10**12) == MAX_CENTROIDS     # top clamp
+
+
+def test_auto_nlist_grows_with_corpus():
+    """Property (hypothesis): a 10x corpus gets a strictly larger nlist —
+    power-of-two bucketing cannot flatten a 10x (= +1.66 in log2-sqrt)
+    step — unless the top clamp binds."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nocouncil_etl_spark.operators.kmeans import MAX_CENTROIDS
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=ki.MIN_NLIST**2 + 1, max_value=10**10))
+    def prop(n):
+        small, big = ki.auto_nlist(n), ki.auto_nlist(10 * n)
+        assert big >= 2 * small or big == MAX_CENTROIDS
+        assert ki.MIN_NLIST <= small <= big <= MAX_CENTROIDS
+
+    prop()
+
+
+def test_kidx_auto_publish_pins_resolved_k(vecs, tmp_path):
+    """k=None: build sizes nlist from the corpus count, manifest records
+    the resolved k + auto flag, and search over the artifact works."""
+    path = str(tmp_path / "auto")
+    k = ki.publish_kmeans_index(vecs, None, 2, path)
+    assert k == ki.auto_nlist(120) == 8
+    mf = ca.read_manifest(path)
+    assert mf["k"] == 8 and mf["auto"] is True
+    hits = ki.search_kmeans_index(
+        vecs.filter(F.col("vec_id") % 30 == 0), path, nprobe=2, topk=3
+    ).collect()
+    assert hits and all(r.rk <= 3 and r.q_id != r.c_id for r in hits)
+
+
+def test_kidx_auto_10x_corpus_gets_larger_nlist(spark, tmp_path):
+    """End-to-end: publishing the 10x corpus auto-sizes a larger cell
+    count (8 -> 32), turning SCALE.md's 'nlist must track corpus size'
+    reading into enforced build behavior."""
+    rng = np.random.default_rng(7)
+    mk = lambda n: spark.createDataFrame(
+        [(i, [float(round(x, 6)) for x in rng.standard_normal(8)]) for i in range(n)],
+        "vec_id long, v array<double>",
+    )
+    k_small = ki.publish_kmeans_index(mk(120), None, 1, str(tmp_path / "s"))
+    k_big = ki.publish_kmeans_index(mk(1200), None, 1, str(tmp_path / "b"))
+    assert k_small == 8 and k_big == 32
+
+
+def test_kidx_auto_warm_serve_never_trains(vecs, tmp_path, monkeypatch):
+    """Warm auto-serve validates via the manifest auto flag + fingerprint
+    (same corpus => same count => same auto_nlist) — no recount, no
+    retrain."""
+    path = str(tmp_path / "autowarm")
+    ki.serve_kmeans_index(vecs, None, 2, path)
+
+    def boom(*a, **k):  # pragma: no cover
+        raise AssertionError("kmeans_fit ran on the warm auto-serve path")
+
+    monkeypatch.setattr(ki, "kmeans_fit", boom)
+    stored, ids, cm = ki.serve_kmeans_index(vecs, None, 2, path)
+    assert stored.count() == 120
+    assert len(ids) == ki.auto_nlist(120)
+
+
+def test_kidx_auto_serve_rejects_fixed_k_artifact(vecs, tmp_path):
+    """An artifact published with an explicit k is NOT a valid auto
+    artifact: serving with k=None over it must rebuild (auto flag
+    false), and vice-versa a fixed-k serve over an auto artifact with a
+    different k rebuilds."""
+    path = str(tmp_path / "fixed")
+    ki.publish_kmeans_index(vecs, 4, 2, path)
+    _, ids, _ = ki.serve_kmeans_index(vecs, None, 2, path)
+    assert len(ids) == ki.auto_nlist(120)  # rebuilt under the auto rule
+    assert ca.read_manifest(path)["auto"] is True
