@@ -20,8 +20,8 @@ distribution-free median interval):
 - ``stat_median_ci``           — order-statistic 95% CI for the median
   (binomial bounds, no distribution assumptions).
 
-Reference parity: the reference's analytics stop at flat aggregates
-(`analyze.py:61-118`); these are the audit layers a lake-scale engine
+Reference parity: north-star extension — no reference analogue
+(the reference has no analytics layer); these are the audit layers a lake-scale engine
 adds on the same tables.
 """
 
@@ -109,7 +109,7 @@ x{k + 1} AS MATERIALIZED (
 )''' for k in range(PCA_ITERS))},
 -- quadratic form at the final direction: share = (|Cx|²/|x|²) / tr(CᵀC)
 fs AS MATERIALIZED (
-  SELECT ctr.vec_id, CAST(sum(CAST(ctr.c AS HUGEIN__T) * x.x // 1000000)
+  SELECT ctr.vec_id, CAST(sum(CAST(ctr.c AS HUGEINT) * x.x // 1000000)
                           AS BIGINT) AS s
   FROM ctr JOIN x{PCA_ITERS} x ON x.i = ctr.i GROUP BY ctr.vec_id
 ),
@@ -124,7 +124,7 @@ SELECT CAST({PCA_DIMS} AS BIGINT) AS n_dims,
        CAST(round(1000.0 * ((SELECT q FROM quad) / (SELECT xx FROM xx))
             * 1000000000000.0 / (SELECT tr FROM trace)) AS BIGINT)
          AS pc1_share_milli
-""".replace("HUGEIN__T", "HUGEINT"),
+""",
 )
 def vec_pca_explained_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explained-variance share of the first principal component over
