@@ -198,3 +198,236 @@ def quantile_normalize_grid(
         F.col("_gq").alias("grid_q"),
         F.col("_gval").alias("normalized"),
     )
+
+
+def prefix_sums(
+    hist: DataFrame,
+    value_col: str = "_v",
+    measure_cols: tuple[str, ...] = ("_c",),
+    levels: int = GRID_LEVELS,
+) -> DataFrame:
+    """Cumulative sums in value order WITHOUT a global window: for every
+    distinct value v and every measure m, cum_m(v) = Σ_{w ≤ v} m(w) —
+    the multi-measure generalization of prefix_counts (same Fenwick block
+    decomposition: per-level aligned block sums via one explode+groupBy
+    over the distinct-value histogram, then ≤``levels`` equi-joined block
+    lookups per value). Returns (value_col, cum_<m> for each measure),
+    all hash-partitioned aggregates + keyed joins; nothing sorted
+    globally, nothing single-partition.
+
+    This is the at-scale replacement for
+    ``sum(m) OVER (ORDER BY v)`` — the ECDF / rank-statistic /
+    Lorenz-curve shape. Requires 0 ≤ value < 2^levels (shift upstream);
+    measures must be integral (exactness contract: BIGINT sums).
+    """
+    blocks = (
+        hist.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(L).alias("lv"),
+                            F.shiftright(F.col(value_col), L).alias("blk"),
+                        )
+                        for L in range(levels)
+                    ]
+                )
+            ).alias("k"),
+            *measure_cols,
+        )
+        .groupBy("k.lv", "k.blk")
+        .agg(*[F.sum(m).alias(f"_b_{m}") for m in measure_cols])
+    )
+    u = F.col(value_col) + F.lit(1)
+    dec_terms = [
+        F.when(
+            F.shiftright(u, L).bitwiseAND(F.lit(1)) == 1,
+            F.struct(
+                F.lit(L).alias("lv"),
+                (F.shiftright(u, L + 1) * 2).alias("blk"),
+            ),
+        )
+        for L in range(levels)
+    ]
+    dec = hist.select(
+        value_col,
+        F.explode(F.array_compact(F.array(*dec_terms))).alias("k"),
+    ).select(value_col, "k.lv", "k.blk")
+    return (
+        dec.join(blocks, ["lv", "blk"])
+        .groupBy(value_col)
+        .agg(
+            *[
+                F.sum(f"_b_{m}").cast("long").alias(f"cum_{m}")
+                for m in measure_cols
+            ]
+        )
+    )
+
+
+def cumulate(
+    byv: DataFrame,
+    value_col: str,
+    measure_cols: tuple[str, ...],
+    levels: int = 63,
+) -> DataFrame:
+    """Attach inclusive cumulative sums (in ``value_col`` order) of each
+    measure to a distinct-value frame — ``sum(m) OVER (ORDER BY v)``
+    with NO window at all: the domain is min-shifted to non-negative via
+    a broadcast 1-row aggregate (never a collect), then prefix_sums
+    (Fenwick equi-joins) reassembles each cumulative total. Returns the
+    input columns + ``cum_<m>`` BIGINTs. Exact at any scale; every node
+    is a hash aggregate or keyed join. Default levels=63 covers the full
+    non-negative long domain after the shift (micro-timestamps etc.);
+    pass fewer levels only for provably narrow domains."""
+    mn = byv.agg(F.min(value_col).alias("_mn"))
+    sh = byv.crossJoin(F.broadcast(mn)).withColumn(
+        "_sv", (F.col(value_col) - F.col("_mn")).cast("long")
+    )
+    cums = prefix_sums(
+        sh.select(F.col("_sv").alias("_v"), *measure_cols),
+        "_v",
+        tuple(measure_cols),
+        levels=levels,
+    )
+    return (
+        sh.join(cums, sh["_sv"] == cums["_v"])
+        .drop("_v", "_sv", "_mn")
+    )
+
+
+def midrank2(
+    byv: DataFrame, value_col: str = "val", cnt_col: str = "c"
+) -> DataFrame:
+    """Doubled midranks per distinct value — the exact rank-statistic
+    primitive: r2(v) = 2·(#below v) + c(v) + 1 = 2·cum_c(v) − c(v) + 1,
+    an exact BIGINT (the ×2 absorbs the .5-granular tie midrank).
+    Computed via cumulate/prefix_sums — no global window, no sort.
+    Returns (value_col, cnt_col, r2)."""
+    cum = cumulate(byv, value_col, (cnt_col,))
+    return cum.select(
+        value_col,
+        cnt_col,
+        (2 * F.col(f"cum_{cnt_col}") - F.col(cnt_col) + 1)
+        .cast("long")
+        .alias("r2"),
+    )
+
+
+def with_below(
+    byv: DataFrame, value_col: str = "v", cnt_col: str = "c"
+) -> DataFrame:
+    """Attach ``below`` (= #rows with value strictly less) to a
+    distinct-value histogram — the `sum(c) OVER (ORDER BY v ROWS
+    UNBOUNDED PRECEDING TO 1 PRECEDING)` shape, computed windowless via
+    Fenwick prefix sums. Returns the input columns + below (BIGINT)."""
+    cum = cumulate(byv, value_col, (cnt_col,))
+    return cum.select(
+        *byv.columns,
+        (F.col(f"cum_{cnt_col}") - F.col(cnt_col)).cast("long").alias("below"),
+    )
+
+
+def with_global_rank(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """row_number() over the (value, id) total order WITHOUT a global
+    sort: rank = (#rows with smaller value) + (position by id within the
+    value's tie block). The first term is Fenwick prefix counts over the
+    distinct-value histogram (with_below); the second is a PARTITIONED
+    window (hash by value) — every stage is hash-partitioned, so the
+    plan survives any row count (per-partition work is one tie block;
+    heavy ties distribute across values). Identical output to
+    ``row_number().over(Window.orderBy(value_col, id_col))``.
+    Returns the input columns + rank_col (BIGINT)."""
+    byv = df.groupBy(value_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_grc")
+    )
+    bel = with_below(byv, value_col, "_grc").select(value_col, "below")
+    j = F.row_number().over(
+        Window.partitionBy(value_col).orderBy(id_col)
+    )
+    return (
+        df.join(bel, value_col)
+        .withColumn(rank_col, (F.col("below") + j).cast("long"))
+        .drop("below")
+    )
+
+
+def ntile_from_rank(rank_col: str, n_col: str, k: int):
+    """Spark ntile(k) as arithmetic on a precomputed global rank: with n
+    rows, the first n % k buckets hold ⌈n/k⌉ rows and the rest ⌊n/k⌋ —
+    so the bucket is a closed form of (rank, n) and needs NO window once
+    the rank exists (with_global_rank). Returns a BIGINT Column."""
+    r, n = F.col(rank_col), F.col(n_col)
+    big = F.expr(f"{n_col} div {k} + 1")
+    small = F.expr(f"{n_col} div {k}")
+    cut = (n % k) * big
+    return (
+        F.when(r <= cut, F.ceil(r / big))
+        .otherwise((n % k) + F.ceil((r - cut) / small))
+        .cast("long")
+    )
+
+
+def cummax_exclusive(
+    byv: DataFrame,
+    value_col: str,
+    measure_col: str,
+    levels: int = 63,
+) -> DataFrame:
+    """EXCLUSIVE running max in value order — max(m) over all rows with
+    strictly smaller value — via the same Fenwick block decomposition as
+    prefix_sums (max is associative; the exclusive prefix [0, v)
+    decomposes on u = v instead of v+1). Rows with no smaller value get
+    NULL (matching a window max over an empty preceding frame). Returns
+    (value_col, below_max). No global sort anywhere."""
+    mn = byv.agg(F.min(value_col).alias("_mn"))
+    sh = byv.crossJoin(F.broadcast(mn)).withColumn(
+        "_sv", (F.col(value_col) - F.col("_mn")).cast("long")
+    )
+    blocks = (
+        sh.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(L).alias("lv"),
+                            F.shiftright(F.col("_sv"), L).alias("blk"),
+                        )
+                        for L in range(levels)
+                    ]
+                )
+            ).alias("k"),
+            F.col(measure_col),
+        )
+        .groupBy("k.lv", "k.blk")
+        .agg(F.max(measure_col).alias("_bm"))
+    )
+    u = F.col("_sv")  # exclusive prefix [0, v)
+    dec_terms = [
+        F.when(
+            F.shiftright(u, L).bitwiseAND(F.lit(1)) == 1,
+            F.struct(
+                F.lit(L).alias("lv"),
+                (F.shiftright(u, L + 1) * 2).alias("blk"),
+            ),
+        )
+        for L in range(levels)
+    ]
+    dec = sh.select(
+        value_col,
+        "_sv",
+        F.explode(F.array_compact(F.array(*dec_terms))).alias("k"),
+    ).select(value_col, "k.lv", "k.blk")
+    maxes = (
+        dec.join(blocks, ["lv", "blk"])
+        .groupBy(value_col)
+        .agg(F.max("_bm").alias("below_max"))
+    )
+    return sh.select(value_col).join(maxes, value_col, "left").select(
+        value_col, "below_max"
+    )

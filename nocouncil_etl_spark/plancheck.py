@@ -1,0 +1,139 @@
+"""Physical-plan inspection helpers (py4j walk over the executed plan).
+
+Used by the unpartitioned-window lint (tests/test_window_lint.py) and the
+dev survey (scripts/window_lint_survey.py): find Window nodes with an
+empty partition spec and measure the actual input cardinality each one
+consumed, from the executed plan's SQL metrics — including Window nodes
+hidden inside cached (InMemoryTableScan) subtrees and AQE query stages.
+
+Why runtime metrics instead of static plan text: the convention being
+enforced is "a global-order window may only consume a sub-linear
+(aggregated or limited) input", and boundedness is a property of the DATA
+feeding the node, not of the operator tree — rec_item_cosine's round-6
+defect (global row_number over a degree²-sized pair set) had aggregations
+below it and would have passed any static contains-an-agg check.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+#: physical nodes that bound their output by construction
+LIMIT_NODES = {"TakeOrderedAndProject", "GlobalLimit", "CollectLimit", "LocalLimit"}
+
+#: nodes that preserve row count (or are pure wrappers) — safe to descend
+#: through when hunting for the nearest numOutputRows metric
+_PASSTHROUGH = {
+    "WholeStageCodegen",
+    "InputAdapter",
+    "Project",
+    "Sort",
+    "Exchange",
+    "ShuffleQueryStage",
+    "BroadcastQueryStage",
+    "TableCacheQueryStage",
+    "ResultQueryStage",
+    "AQEShuffleRead",
+    "Window",
+    "WindowGroupLimit",
+    "ReusedExchange",
+    "AdaptiveSparkPlan",
+    "Coalesce",
+}
+
+
+def _children(n):
+    ch = n.children()
+    out = [ch.apply(i) for i in range(ch.size())]
+    nn = n.nodeName()
+    if nn == "AdaptiveSparkPlan":
+        out.append(n.executedPlan())
+    elif nn.endswith("QueryStage"):
+        out.append(n.plan())
+    elif nn == "InMemoryTableScan":
+        out.append(n.relation().cachedPlan())
+    elif nn == "ReusedExchange":
+        out.append(n.child())
+    return out
+
+
+def walk_plan(n, seen=None):
+    """Depth-first over the executed plan, descending into AQE stages,
+    cached subtrees, and reused exchanges."""
+    if seen is None:
+        seen = set()
+    if id(n) in seen:
+        return
+    seen.add(id(n))
+    yield n
+    for c in _children(n):
+        yield from walk_plan(c, seen)
+
+
+def _metric(n, key="numOutputRows"):
+    it = n.metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        if kv._1() == key:
+            return kv._2().value()
+    return None
+
+
+def window_input_rows(inp) -> tuple[str, int | None]:
+    """Nearest-descendant input cardinality for a Window node's child.
+
+    Returns (node, rows): descends through row-preserving wrappers to the
+    first node carrying a numOutputRows metric. node == 'limit' means a
+    limit node bounds the input on the way down (rows None, bounded by
+    construction); node == 'unknown' means no metric was reachable.
+    """
+    q = deque([inp])
+    seen: set[int] = set()
+    while q:
+        n = q.popleft()
+        if id(n) in seen:
+            continue
+        seen.add(id(n))
+        base = n.nodeName().split(" (")[0]
+        if base in LIMIT_NODES:
+            return "limit", None
+        r = _metric(n)
+        if r is not None:
+            return base, r
+        if base in _PASSTHROUGH:
+            q.extend(_children(n))
+        # a non-passthrough node without the metric ends this branch:
+        # descending further would measure a different row domain
+    return "unknown", None
+
+
+def global_window_inputs(df) -> list[tuple[str, int | None]]:
+    """Execute-and-inspect: (nearest metric node, input rows) for every
+    Window with an EMPTY partition spec in df's executed plan. Call after
+    an action has run (e.g. df.collect()) so metrics are populated."""
+    out = []
+    for node in walk_plan(df._jdf.queryExecution().executedPlan()):
+        if node.nodeName() == "Window" and node.partitionSpec().size() == 0:
+            out.append(window_input_rows(node.children().apply(0)))
+    return out
+
+
+def plan_has_global_window(df) -> bool:
+    """Static pre-check (no execution): does the formatted physical plan
+    contain a Window whose second Arguments bracket group is an order
+    spec (ASC/DESC) — i.e. a global-order window?"""
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    for m in re.finditer(
+        r"\(\d+\) Window(?:[^\n]*\n)+?Arguments: ([^\n]*)", buf.getvalue()
+    ):
+        segs = m.group(1).split("], [")
+        spec = segs[1] if len(segs) > 1 else ""
+        if " ASC" in spec or " DESC" in spec:
+            return True
+    return False

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import ntile_from_rank, with_global_rank
 from nocouncil_etl_spark.registry import query
 
 MIN_PAIR_SUPPORT = 3  # absolute co-occurrence count floor
@@ -179,7 +180,8 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the 4×4×4 segment census, not per-customer rows.
 
     Scale shape: one orders hash-agg to per-customer rows (|customers| ≪
-    |orders|), three single-column window sorts over that reduced frame,
+    |orders|), three Fenwick rank passes over that reduced frame (r7 —
+    no global sorts),
     one final hash-agg to ≤64 rows. The max-date anchor is a 1-row
     broadcast."""
     od = load(spark, sf_dir, "orders")
@@ -199,18 +201,25 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary_cents",
     )
-    scored = cust.select(
+    # r7: ntile without global sorts — with_global_rank per metric
+    # (desc recency ≡ asc negated recency) + closed-form ntile arithmetic
+    tot = cust.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = with_global_rank(
+        cust.withColumn("neg_rec", -F.col("recency_days")),
+        "neg_rec",
+        "o_custkey",
+        "rr",
+    )
+    t = with_global_rank(t, "frequency", "o_custkey", "fr")
+    t = with_global_rank(t, "monetary_cents", "o_custkey", "mr")
+    scored = t.crossJoin(F.broadcast(tot)).select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary_cents",
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("recency_days"), "o_custkey"))
-        .alias("r_score"),
-        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy("monetary_cents", "o_custkey"))
-        .alias("m_score"),
+        ntile_from_rank("rr", "n", 4).alias("r_score"),
+        ntile_from_rank("fr", "n", 4).alias("f_score"),
+        ntile_from_rank("mr", "n", 4).alias("m_score"),
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").cast("long").alias("n_customers"),

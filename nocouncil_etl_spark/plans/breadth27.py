@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import with_below
 from nocouncil_etl_spark.plans.graph_plans import _EDGES_SQL, _graph
 from nocouncil_etl_spark.registry import query
 
@@ -309,23 +310,16 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     H' = H / (1 − Σ(t³−t)/(N³−N)).
 
     Scale shape: two hash-aggs to the distinct-value table (bounded: cents
-    granularity), one bounded cumulative window, k-row reduce. Raw rows
-    never cross the shuffle as more than (type, value, count)."""
+    granularity), Fenwick prefix-sum joins for the cumulative counts (no
+    window — r7), k-row reduce. Raw rows never cross the shuffle as more
+    than (type, value, count)."""
     ev = load(spark, sf_dir, "events")
     cents = ev.select(
         "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
     )
     byv = cents.groupBy("v").agg(F.count("*").cast("long").alias("c"))
-    w = Window.orderBy("v")
-    cum = byv.select(
-        "v",
-        "c",
-        F.coalesce(
-            F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
-        )
-        .cast("long")
-        .alias("below"),
-    )
+    # r7: below via Fenwick prefix sums — no global window over the grid
+    cum = with_below(byv, "v", "c")
     grp = cents.groupBy("event_type", "v").agg(
         F.count("*").cast("long").alias("cg")
     )

@@ -16,7 +16,9 @@ forecast scoring, and cheap cross-source similarity screening):
 - ``eval_pinball_loss``    — quantile-forecast evaluation: nearest-rank
   train quantiles scored on the test split with integer pinball loss.
 - ``text_source_minhash_sim`` — bottom-k (KMV) MinHash Jaccard estimate
-  between source vocabularies, side-by-side with the exact Jaccard.
+  between source vocabularies (sketch-only, the scale path).
+- ``text_source_minhash_sim_exact`` — the sketch side-by-side with the
+  exact vocabulary Jaccard (accuracy anchor, audit scale only).
 """
 
 from __future__ import annotations
@@ -472,9 +474,10 @@ def eval_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMV_K = 64
 
 
-@query(
-    "text_source_minhash_sim",
-    oracle=f"""
+# Shared CTE prefix: tokenize → per-source bottom-k sketch → pooled
+# pairwise Broder estimate. The sketch-only query appends nothing; the
+# _exact anchor appends the vocabulary² exact-Jaccard comparison.
+_MINHASH_SKETCH_CTES = f"""
 WITH ws AS (SELECT source, string_split(text, ' ') AS w FROM documents),
 tok AS (
   SELECT DISTINCT source,
@@ -520,40 +523,13 @@ est AS (
          CAST(sum(CASE WHEN rn <= {KMV_K} THEN 1 ELSE 0 END) AS BIGINT)
            AS denom
   FROM bottom GROUP BY 1, 2
-),
-sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS v FROM tok GROUP BY 1),
-inter AS (
-  SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS inter
-  FROM tok a JOIN tok b ON a.term = b.term AND a.source < b.source
-  GROUP BY 1, 2
-),
-exact AS (
-  SELECT i.s1, i.s2, i.inter, x.v + y.v - i.inter AS uni
-  FROM inter i
-  JOIN sizes x ON i.s1 = x.source
-  JOIN sizes y ON i.s2 = y.source
-)
-SELECT e.s1, e.s2, e.est_num, e.denom,
-       CAST(e.est_num * 1000000 // e.denom AS BIGINT) AS jac_est_1e6,
-       CAST(x.inter * 1000000 // x.uni AS BIGINT) AS jac_exact_1e6
-FROM est e JOIN exact x ON e.s1 = x.s1 AND e.s2 = x.s2
-""",
-)
-def text_source_minhash_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bottom-k (one-permutation / KMV) MinHash similarity between source
-    VOCABULARIES: each source keeps only its {KMV_K} smallest md5 token
-    hashes, and for every source pair the Jaccard estimate is the share
-    of the pooled bottom-{KMV_K} hashes present in both sketches — the
-    classic Broder estimator, here laid side-by-side with the exact
-    vocabulary Jaccard so the sketch error is visible in the result
-    itself. All integer (hash ranks and ppm ratios).
+)"""
 
-    Scale shape: THE point of the sketch — per-source state is {KMV_K}
-    hashes regardless of vocabulary size, sketches merge by min, and the
-    pair comparison touches 2·{KMV_K} rows per pair instead of the
-    vocabularies. The exact twin (for the oracle) is the expensive path;
-    at 100 TB only the sketch runs. Same family as sketch_kmv_distinct
-    (cardinality) but estimating SIMILARITY (Broder resemblance)."""
+
+def _minhash_sketch_est(spark: SparkSession, sf_dir: str):
+    """(tok, est) building blocks shared by the sketch query and the
+    exact anchor: distinct source bigrams, and the pooled bottom-k
+    Broder estimate per source pair."""
     docs = load(spark, sf_dir, "documents")
     w = F.split("text", " ")
     bigrams = F.when(
@@ -618,6 +594,75 @@ def text_source_minhash_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("denom"),
     )
+    return tok, est
+
+
+@query(
+    "text_source_minhash_sim",
+    oracle=_MINHASH_SKETCH_CTES
+    + f"""
+SELECT s1, s2, est_num, denom,
+       CAST(est_num * 1000000 // denom AS BIGINT) AS jac_est_1e6
+FROM est
+""",
+)
+def text_source_minhash_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (one-permutation / KMV) MinHash similarity between source
+    VOCABULARIES: each source keeps only its {KMV_K} smallest md5 token
+    hashes, and for every source pair the Jaccard estimate is the share
+    of the pooled bottom-{KMV_K} hashes present in both sketches — the
+    classic Broder estimator. All integer (hash ranks and ppm ratios).
+
+    Scale shape: THE point of the sketch — per-source state is {KMV_K}
+    hashes regardless of vocabulary size, sketches merge by min, and the
+    pair comparison touches 2·{KMV_K} rows per pair instead of the
+    vocabularies. This registered query is sketch-ONLY (the 100 TB path);
+    the vocabulary² exact-Jaccard comparison lives in the separate
+    text_source_minhash_sim_exact anchor, excluded from scale claims
+    (round-6 verdict: the hot query must not execute its own oracle
+    anchor). Same family as sketch_kmv_distinct (cardinality) but
+    estimating SIMILARITY (Broder resemblance)."""
+    _, est = _minhash_sketch_est(spark, sf_dir)
+    return est.select(
+        "s1",
+        "s2",
+        "est_num",
+        "denom",
+        F.expr("est_num * 1000000 div denom").cast("long").alias("jac_est_1e6"),
+    )
+
+
+@query(
+    "text_source_minhash_sim_exact",
+    oracle=_MINHASH_SKETCH_CTES
+    + f""",
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS v FROM tok GROUP BY 1),
+inter AS (
+  SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS inter
+  FROM tok a JOIN tok b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT i.s1, i.s2, i.inter, x.v + y.v - i.inter AS uni
+  FROM inter i
+  JOIN sizes x ON i.s1 = x.source
+  JOIN sizes y ON i.s2 = y.source
+)
+SELECT e.s1, e.s2, e.est_num, e.denom,
+       CAST(e.est_num * 1000000 // e.denom AS BIGINT) AS jac_est_1e6,
+       CAST(x.inter * 1000000 // x.uni AS BIGINT) AS jac_exact_1e6
+FROM est e JOIN exact x ON e.s1 = x.s1 AND e.s2 = x.s2
+""",
+)
+def text_source_minhash_sim_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-anchor twin of text_source_minhash_sim: the sketch estimate
+    laid side-by-side with the exact vocabulary Jaccard so the sketch
+    error is visible in the result itself — the estimator's accuracy
+    proof, NOT the serving path. The exact intersection is a term-keyed
+    vocabulary self-join (vocabulary² in the worst case); deliberately
+    excluded from 100 TB scale claims — run it at test/audit scale to
+    validate the sketch, ship the sketch."""
+    tok, est = _minhash_sketch_est(spark, sf_dir)
     # exact Jaccard via inclusion-exclusion on per-source vocab sizes
     t1 = tok.select(F.col("source").alias("s1"), "term")
     t2 = tok.select(F.col("source").alias("s2"), "term")

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import cumulate
 from nocouncil_etl_spark.plans.graph_plans import _EDGES_SQL, _graph
 from nocouncil_etl_spark.registry import query
 
@@ -301,11 +302,12 @@ def sketch_ddsketch_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = cents.groupBy(
         (F.length(F.bin("v")) - 1).cast("long").alias("bk")
     ).agg(F.count("*").cast("long").alias("c"))
-    wb = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, 0)
-    cum = bucketed.select(
-        "bk",
-        F.sum("c").over(wb).cast("long").alias("cum"),
-        F.sum("c").over(Window.partitionBy()).cast("long").alias("n"),
+    # r7: cumulative counts via Fenwick prefix sums; n via broadcast agg
+    nb = bucketed.agg(F.sum("c").cast("long").alias("n"))
+    cum = (
+        cumulate(bucketed, "bk", ("c",))
+        .crossJoin(F.broadcast(nb))
+        .select("bk", F.col("cum_c").cast("long").alias("cum"), "n")
     )
     ps = spark.createDataFrame([(p,) for p in DD_PS], "p BIGINT")
     hit = (
@@ -315,11 +317,11 @@ def sketch_ddsketch_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("bk").alias("bk"))
     )
     byv = cents.groupBy("v").agg(F.count("*").cast("long").alias("c"))
-    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cv = byv.select(
-        "v",
-        F.sum("c").over(wv).cast("long").alias("cum"),
-        F.sum("c").over(Window.partitionBy()).cast("long").alias("n"),
+    nv = byv.agg(F.sum("c").cast("long").alias("n"))
+    cv = (
+        cumulate(byv, "v", ("c",))
+        .crossJoin(F.broadcast(nv))
+        .select("v", F.col("cum_c").cast("long").alias("cum"), "n")
     )
     exact = (
         ps.crossJoin(cv)

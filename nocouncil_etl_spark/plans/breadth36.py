@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import cumulate
 from nocouncil_etl_spark.plans.graph_plans import _EDGES_SQL, _graph
 from nocouncil_etl_spark.registry import query
 
@@ -97,13 +98,15 @@ def agg_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         iv.select(F.col("hi").alias("d"), F.lit(-1).alias("delta"))
     )
     byd = bounds.groupBy("d").agg(F.sum("delta").cast("long").alias("delta"))
-    sweep = byd.select(
-        "d",
-        F.sum("delta")
-        .over(Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0))
-        .cast("long")
-        .alias("open"),
-    )
+    # r7: the sweep's running sum via Fenwick prefix sums over the day
+    # index — no global window over the boundary stream
+    sweep = cumulate(
+        byd.withColumn(
+            "dd", F.datediff("d", F.lit("1970-01-01").cast("date")).cast("long")
+        ),
+        "dd",
+        ("delta",),
+    ).select("d", F.col("cum_delta").cast("long").alias("open"))
     mx = sweep.agg(F.max("open").alias("mx"))
     return sweep.crossJoin(F.broadcast(mx)).agg(
         F.lit(n_intervals).cast("long").alias("n_intervals"),

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import cumulate, with_below
 from nocouncil_etl_spark.plans.breadth15 import _pt, _pt_sql
 from nocouncil_etl_spark.plans.breadth41 import _DLAP_KS, _DLAP_THRESH, _dlap_sql
 from nocouncil_etl_spark.registry import query
@@ -493,14 +494,21 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("nv"))
     )
     meta = tk.agg(F.count("*").cast("long").alias("n_docs"))
-    wo = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    # r7: the three running totals (rank, cum tokens, cum vocab) via one
+    # Fenwick prefix-sum pass over doc_id — no global window/sort
+    joined = tk.join(nv, "doc_id", "left").select(
+        "doc_id",
+        "tk",
+        F.coalesce("nv", F.lit(0)).cast("long").alias("nv"),
+        F.lit(1).cast("long").alias("one"),
+    )
     cum = (
-        tk.join(nv, "doc_id", "left")
+        cumulate(joined, "doc_id", ("one", "tk", "nv"))
         .select(
             "doc_id",
-            F.row_number().over(Window.orderBy("doc_id")).cast("long").alias("r"),
-            F.sum("tk").over(wo).cast("long").alias("cumt"),
-            F.sum(F.coalesce("nv", F.lit(0))).over(wo).cast("long").alias("cumv"),
+            F.col("cum_one").cast("long").alias("r"),
+            F.col("cum_tk").cast("long").alias("cumt"),
+            F.col("cum_nv").cast("long").alias("cumv"),
         )
         .crossJoin(F.broadcast(meta))
     )
@@ -789,17 +797,16 @@ def stat_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     critical value {DUNN_ZCRIT} for the C(k,2) comparisons. Doubles only
     at the final z from exact integer moments, rounded once.
 
-    Scale shape: ranks come from the bounded count-of-values table; the
-    pair frame is C(k,2) rows of scalar math."""
+    Scale shape: ranks come from the count-of-values table via Fenwick
+    prefix sums (no window — r7); the pair frame is C(k,2) rows of
+    scalar math."""
     ev = load(spark, sf_dir, "events")
     cents = ev.select(
         "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
     )
     byv = cents.groupBy("v").agg(F.count("*").cast("long").alias("c"))
-    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    cum = byv.withColumn(
-        "below", F.coalesce(F.sum("c").over(wv), F.lit(0)).cast("long")
-    )
+    # r7: below via Fenwick prefix sums — no global window over the grid
+    cum = with_below(byv, "v", "c")
     grp = cents.groupBy("event_type", "v").agg(
         F.count("*").cast("long").alias("cg")
     )

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import cumulate
 from nocouncil_etl_spark.plans.breadth15 import _pt, _pt_sql
 from nocouncil_etl_spark.registry import query
 
@@ -680,11 +681,24 @@ def agg_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = li.groupBy("l_partkey").agg(F.sum("cents").cast("long").alias("rev"))
     tot = rev.agg(F.sum("rev").cast("long").alias("tot"))
-    wcum = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
+    # r7: descending cumulative revenue via Fenwick prefix sums on the
+    # negated revenue (count + revenue mass) + a tie-block window — no
+    # global sort; within a tie block every rev is equal, so
+    # cum = (mass of strictly-larger revenues) + rev·(tie position)
+    b2 = rev.withColumn("_neg", -F.col("rev"))
+    byv = b2.groupBy("_neg").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("rev").cast("long").alias("sx"),
     )
-    ranked = rev.withColumn("cum", F.sum("rev").over(wcum).cast("long")).crossJoin(
-        F.broadcast(tot)
+    bel = cumulate(byv, "_neg", ("c", "sx")).select(
+        "_neg", (F.col("cum_sx") - F.col("sx")).alias("sx_above")
+    )
+    j = F.row_number().over(Window.partitionBy("_neg").orderBy("l_partkey"))
+    ranked = (
+        b2.join(bel, "_neg")
+        .withColumn("cum", (F.col("sx_above") + F.col("rev") * j).cast("long"))
+        .drop("_neg", "sx_above")
+        .crossJoin(F.broadcast(tot))
     )
     cls = (
         ranked.join(per_part, "l_partkey")

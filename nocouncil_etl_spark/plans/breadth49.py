@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import with_global_rank
 from nocouncil_etl_spark.plans.breadth15 import _pt, _pt_sql
 from nocouncil_etl_spark.registry import query
 
@@ -264,15 +265,16 @@ def layout_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = norm.withColumn("mz", F.expr(_morton_sql("cx", "cy", "div")))
     n = keyed.count()
 
-    def stats(order_cols):
-        w = Window.orderBy(*order_cols)
+    # r7: the file-bucket assignment needs the global layout rank; both
+    # sort keys pack into one long (cx, cy ≤ 256), so with_global_rank
+    # (Fenwick + tie-block window) replaces the global sorts
+    def stats(key_col):
+        rk = with_global_rank(
+            keyed.withColumn("_lk", key_col), "_lk", "o_orderkey", "_r"
+        )
         return (
-            keyed.withColumn(
-                "b",
-                F.expr(
-                    f"((row_number() OVER (ORDER BY {', '.join(order_cols)})"
-                    f" - 1) * {ZO_BUCKETS}) div {n}"
-                ),
+            rk.withColumn(
+                "b", F.expr(f"((_r - 1) * {ZO_BUCKETS}) div {n}")
             )
             .groupBy("b")
             .agg(
@@ -283,8 +285,8 @@ def layout_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    lstats = stats(["cx", "cy", "o_orderkey"])
-    zstats = stats(["mz", "o_orderkey"])
+    lstats = stats(F.col("cx") * 65536 + F.col("cy"))
+    zstats = stats(F.col("mz"))
     box = (
         (F.col("x0") <= ZO_HI)
         & (F.col("x1") >= ZO_LO)
@@ -736,12 +738,18 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank), keeping selection one map-side modulo; the demo uses the
     direct global form."""
     ev = load(spark, sf_dir, "events")
-    ranked = ev.select(
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-        (F.row_number().over(Window.orderBy("ts", "event_id")) - 1)
-        .cast("long")
-        .alias("r"),
-    )
+    # r7: the arrival-order index via Fenwick prefix counts over the
+    # microsecond timestamp + tie-block window — no global sort
+    ranked = with_global_rank(
+        ev.select(
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.unix_micros("ts").alias("tsu"),
+            "event_id",
+        ),
+        "tsu",
+        "event_id",
+        "rn",
+    ).select("cents", (F.col("rn") - 1).cast("long").alias("r"))
     start = (_pt("sys#", F.lit("seed")) % SYS_K).cast("long")
     samp = ranked.withColumn("s", start).filter(
         F.col("r") % SYS_K == F.col("s")

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import with_below
 from nocouncil_etl_spark.plans.breadth15 import _pt, _pt_sql
 from nocouncil_etl_spark.registry import query
 
@@ -418,19 +419,26 @@ def io_bloom_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant work per bucket against broadcast probe positions."""
     o = load(spark, sf_dir, "orders")
     n = o.count()
-    ob = o.select(
-        "o_custkey",
-        F.expr(
-            f"((row_number() OVER (ORDER BY o_orderkey) - 1) * {BF_BUCKETS})"
-            f" div {n}"
-        ).alias("b"),
+    # r7: the key-order file bucket via Fenwick prefix counts (order keys
+    # are unique, rank = below + 1) — no global sort
+    byid = o.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
     )
+    rk_tab = with_below(byid, "o_orderkey", "_c").select(
+        "o_orderkey", F.col("below").alias("_r0")
+    )
+    ob = o.join(rk_tab, "o_orderkey").select(
+        "o_custkey",
+        F.expr(f"(_r0 * {BF_BUCKETS}) div {n}").alias("b"),
+    )
+    # the probe key is the 7th-smallest distinct custkey: a bounded
+    # TakeOrderedAndProject, not a ranked scan
     probe = (
         o.select("o_custkey")
         .distinct()
-        .withColumn("rk", F.row_number().over(Window.orderBy("o_custkey")))
-        .filter(F.col("rk") == 7)
-        .select(F.col("o_custkey").alias("k"))
+        .orderBy("o_custkey")
+        .limit(7)
+        .agg(F.max("o_custkey").alias("k"))
     )
     span = BF_WORDS * BF_BITS_PER_WORD
     bits = ob.select(

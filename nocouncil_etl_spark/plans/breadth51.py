@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import cumulate
 from nocouncil_etl_spark.plans.breadth15 import _pt, _pt_sql
 from nocouncil_etl_spark.plans.breadth49 import _morton_sql
 from nocouncil_etl_spark.registry import query
@@ -321,16 +322,10 @@ def curation_pack_attention_waste(spark: SparkSession, sf_dir: str) -> DataFrame
     dl = docs.select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("tk")
     )
-    pos = dl.withColumn(
-        "start",
-        F.coalesce(
-            F.sum("tk").over(
-                Window.orderBy("doc_id").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ).cast("long"),
+    # r7: the packing offset via Fenwick prefix sums over doc_id — no
+    # global window (start = cumulative tokens minus own)
+    pos = cumulate(dl, "doc_id", ("tk",)).withColumn(
+        "start", (F.col("cum_tk") - F.col("tk")).cast("long")
     )
     spans = pos.filter(F.col("tk") > 0).select(
         "doc_id",

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import with_global_rank
 from nocouncil_etl_spark.plans.breadth15 import _pt, _pt_sql
 from nocouncil_etl_spark.registry import query
 
@@ -530,16 +531,17 @@ def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mh").alias("mh0"), F.col("vh").alias("vh0"),
         F.col("prior").alias("pr0"),
     )
-    ranked = data.withColumn(
-        "r", F.row_number().over(Window.orderBy("event_id"))
-    ).withColumn(
-        "rp",
-        F.row_number().over(
-            Window.orderBy(
-                _pt("pfi#", F.col("event_id")) % 1_000_000_000, "event_id"
-            )
+    # r7: both permutation ranks via Fenwick prefix counts (event_id is
+    # unique, so the id-order rank needs no tie handling; the hash order
+    # tie-breaks by event_id inside with_global_rank) — no global sorts
+    ranked = with_global_rank(
+        with_global_rank(data, "event_id", "event_id", "r").withColumn(
+            "_ph", _pt("pfi#", F.col("event_id")) % 1_000_000_000
         ),
-    )
+        "_ph",
+        "event_id",
+        "rp",
+    ).drop("_ph")
     bperm = ranked.select(
         F.col("rp").alias("rj"), F.col("v").alias("pv"), F.col("hr").alias("phr")
     )

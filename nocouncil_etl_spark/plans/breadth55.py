@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import cumulate
 from nocouncil_etl_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -598,9 +599,10 @@ def eval_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exact moments; every reported number is an integer count or
     one floor division.
 
-    Scale shape: scoring is one broadcast-model pass; the decile cut
-    is one global sort (rank-histogram composition at 100 TB, as in
-    ``sample_systematic``); the table is 10 rows."""
+    Scale shape (r7): scoring is one broadcast-model pass; the decile
+    cut is Fenwick prefix counts over the quantized-score histogram +
+    bucket-partitioned tie windows + closed-form ntile arithmetic — no
+    global sort; the table is 10 rows."""
     ev = load(spark, sf_dir, "events")
     data = ev.select(
         "event_id",
@@ -658,9 +660,35 @@ def eval_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
     )
-    dec = scored.select(
+    # r7: ntile without a global sort — bucket rows by a weakly-monotone
+    # integer quantization of the score (micro units), get "#rows in
+    # strictly-better buckets" from Fenwick prefix sums, and finish the
+    # exact (s DESC, event_id) order with a bucket-partitioned window;
+    # the decile is then pure arithmetic on the global rank (Spark ntile
+    # semantics: the first n % 10 buckets hold ceil(n/10) rows).
+    q = scored.withColumn("q", F.round(F.col("s") * 1_000_000).cast("long"))
+    byq = q.groupBy("q").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    nrow = byq.agg(F.sum("c").cast("long").alias("n"))
+    above = (
+        cumulate(byq, "q", ("c",))
+        .crossJoin(F.broadcast(nrow))
+        .select("q", (F.col("n") - F.col("cum_c")).alias("above"), "n")
+    )
+    jb = F.row_number().over(
+        Window.partitionBy("q").orderBy(F.desc("s"), "event_id")
+    )
+    rked = q.join(above, "q").select(
+        "y", (F.col("above") + jb).cast("long").alias("r"), "n"
+    )
+    big = F.expr("n div 10 + 1")  # rows per bucket in the first n%10 buckets
+    small = F.expr("n div 10")
+    cut = F.expr("(n % 10) * (n div 10 + 1)")  # rows covered by big buckets
+    dec = rked.select(
         "y",
-        F.ntile(10).over(Window.orderBy(F.desc("s"), "event_id")).cast("long").alias("d"),
+        F.when(F.col("r") <= cut, F.ceil(F.col("r") / big))
+        .otherwise(F.expr("n % 10") + F.ceil((F.col("r") - cut) / small))
+        .cast("long")
+        .alias("d"),
     )
     per = dec.groupBy("d").agg(
         F.count("*").cast("long").alias("n"),

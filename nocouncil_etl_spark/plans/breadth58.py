@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import cumulate
 from nocouncil_etl_spark.registry import query
 
 SS_SPLIT_YEAR = 1998  # period 1 = years < split, period 2 = years >= split
@@ -294,16 +295,14 @@ def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample_systematic (equal-probability) and sample_weighted_priority
     (Poisson PPS without fixed m).
 
-    Scale shape: one prefix-sum window over the doc-id-ordered frame
-    (documented global-order trade-off as in quantiles: at 100 TB the
-    same interval arithmetic runs on per-partition offsets computed from
-    partition-level size totals), one 1-row broadcast of (total, step),
-    then a narrow filter — no shuffle beyond the window."""
+    Scale shape (r7): the running size total comes from Fenwick prefix
+    sums over doc_id (operators/quantiles.cumulate — no window, no
+    global sort), one 1-row broadcast of (total, step), then a narrow
+    filter."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.col("n_chars").cast("long").alias("size")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    d = d.withColumn("cum", F.sum("size").over(w))
+    d = cumulate(d, "doc_id", ("size",)).withColumnRenamed("cum_size", "cum")
     meta = d.agg(
         F.max("cum").alias("total"),
         F.floor(F.max("cum") / PPS_M).cast("long").alias("step"),

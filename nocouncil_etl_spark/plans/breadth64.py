@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import with_below, with_global_rank
 from nocouncil_etl_spark.plans.graph_plans import _EDGES_SQL, _graph
 from nocouncil_etl_spark.registry import query
 
@@ -135,20 +136,23 @@ def dq_id_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     contiguous id islands the table actually holds, how many ids are
     missing inside the observed range, and where the largest hole is —
     the sequence-integrity check that catches dropped ingest batches
-    and id-generator skips (islands = n_gaps + 1). The lag-based form
-    is the standard O(n log n) rewrite of the self-join formulation.
+    and id-generator skips (islands = n_gaps + 1).
 
-    Scale shape: one distinct + one ordered window over the key column
-    only (documented single-sequence global window, as in
-    ts_cusum_changepoint), aggregate-sized everything after."""
+    Scale shape (r7): adjacency in id order comes from an equi-join on
+    consecutive Fenwick prefix-count ranks (ids are distinct, so
+    rank(id) = #ids ≤ id; the successor is the unique id at rank+1) —
+    the windowless form of lag(): hash aggregates + keyed joins only,
+    no global sort at any row count."""
     k = load(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("id")
     ).distinct()
-    w = Window.orderBy("id")
-    g = k.select("id", F.lag("id").over(w).alias("prev"))
-    gaps = g.filter(
-        F.col("prev").isNotNull() & (F.col("id") - F.col("prev") > 1)
-    ).select(
+    byid = k.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    rk = with_below(byid, "id", "_c").select(
+        "id", (F.col("below") + 1).alias("r")
+    )
+    succ = rk.select(F.col("id").alias("prev"), (F.col("r") + 1).alias("r"))
+    g = rk.join(succ, "r").select("id", "prev")
+    gaps = g.filter(F.col("id") - F.col("prev") > 1).select(
         (F.col("prev") + 1).alias("gap_start"),
         (F.col("id") - F.col("prev") - 1).alias("gap_len"),
     )
@@ -330,9 +334,10 @@ def stat_cucconi_location_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     each miss alone. Rank sums are exact BIGINTs; only the
     standardization divides.
 
-    Scale shape: one global rank window over the two-type subset
-    (documented single-sequence sort), one moment aggregate, 1-row
-    arithmetic."""
+    Scale shape (r7): ranks over the (value, id) total order come from
+    Fenwick prefix counts + a value-partitioned tie-block window
+    (operators/quantiles.with_global_rank) — no global sort anywhere;
+    then one moment aggregate, 1-row arithmetic."""
     s = (
         load(spark, sf_dir, "events")
         .filter(
@@ -345,14 +350,10 @@ def stat_cucconi_location_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == CUC_A, 1).otherwise(0).alias("is_a"),
         )
     )
-    w = Window.orderBy("x", "event_id")
-    r = s.select(
-        "is_a",
-        F.row_number().over(w).cast("long").alias("rk"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy(F.lit(1))
-        ).cast("long").alias("n"),
-    )
+    tot = s.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    r = with_global_rank(s, "x", "event_id", "rk").crossJoin(
+        F.broadcast(tot)
+    ).select("is_a", "rk", "n")
     anti = F.col("n") + 1 - F.col("rk")
     agg = r.agg(
         F.max("n").alias("n"),

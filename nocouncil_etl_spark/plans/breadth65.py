@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import cumulate, with_global_rank
 from nocouncil_etl_spark.registry import query
 
 BM_A, BM_B = "purchase", "view"
@@ -92,9 +93,11 @@ def stat_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic divides once. Reports p̂ (micro) and the studentized W
     (milli).
 
-    Scale shape: two rank windows (one pooled, one per group — both
-    sort the same two-type subset), one 2-group moment agg, 1-row
-    arithmetic."""
+    Scale shape (r7): both rank systems (pooled and within-group) come
+    from ONE Fenwick prefix-sum pass over the distinct-value histogram
+    (pooled + per-group cumulative counts) plus value-partitioned
+    tie-block windows — no global or 2-partition sort anywhere; then one
+    2-group moment agg, 1-row arithmetic."""
     s = (
         load(spark, sf_dir, "events")
         .filter(
@@ -106,11 +109,32 @@ def stat_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == BM_A, 1).otherwise(0).alias("is_a"),
         )
     )
-    r = s.select(
+    byv = s.groupBy("x").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("is_a").cast("long").alias("c_a"),
+    )
+    bel = cumulate(byv, "x", ("c", "c_a")).select(
+        "x",
+        (F.col("cum_c") - F.col("c")).alias("below"),
+        (F.col("cum_c_a") - F.col("c_a")).alias("below_a"),
+        (
+            (F.col("cum_c") - F.col("cum_c_a"))
+            - (F.col("c") - F.col("c_a"))
+        ).alias("below_b"),
+    )
+    j_all = F.row_number().over(Window.partitionBy("x").orderBy("event_id"))
+    j_grp = F.row_number().over(
+        Window.partitionBy("is_a", "x").orderBy("event_id")
+    )
+    r = s.join(bel, "x").select(
         "is_a",
-        F.row_number().over(Window.orderBy("x", "event_id")).cast("long").alias("rk"),
-        F.row_number()
-        .over(Window.partitionBy("is_a").orderBy("x", "event_id"))
+        (F.col("below") + j_all).cast("long").alias("rk"),
+        (
+            F.when(F.col("is_a") == 1, F.col("below_a")).otherwise(
+                F.col("below_b")
+            )
+            + j_grp
+        )
         .cast("long")
         .alias("rkw"),
     )
@@ -203,9 +227,10 @@ def eval_auc_macro_ovr(spark: SparkSession, sf_dir: str) -> DataFrame:
     '__macro__' row averages the per-class integers (the class-balanced
     summary macro-averaging exists for).
 
-    Scale shape: one global rank window over the scored rows
-    (documented single-sequence sort), one per-class hash agg — k
-    classes cost ONE sort, not k."""
+    Scale shape (r7): ranks over the scored rows come from Fenwick
+    prefix counts + value-partitioned tie-block windows (with_global_
+    rank — no global sort), then one per-class hash agg — k classes
+    cost ONE prefix pass, not k."""
     s = (
         load(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
@@ -215,17 +240,10 @@ def eval_auc_macro_ovr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(100 * F.col("value")).cast("long").alias("x"),
         )
     )
-    r = s.select(
-        "event_type",
-        F.row_number()
-        .over(Window.orderBy("x", "event_id"))
-        .cast("long")
-        .alias("rk"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy(F.lit(1)))
-        .cast("long")
-        .alias("n"),
-    )
+    tot = s.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    r = with_global_rank(s, "x", "event_id", "rk").crossJoin(
+        F.broadcast(tot)
+    ).select("event_type", "rk", "n")
     cnt = F.count(F.lit(1))
     per = r.groupBy(F.col("event_type").alias("class")).agg(
         cnt.cast("long").alias("n_pos"),
@@ -406,7 +424,8 @@ def survival_weibull_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines. k < 1 means infant-mortality churn, k > 1 wear-out — the
     parametric companion to survival_kaplan_meier/survival_rmst.
 
-    Scale shape: per-user spans (hash agg), one rank window over the
+    Scale shape (r7): per-user spans (hash agg), Fenwick median ranks
+    (no global sort) over the
     uncensored lifetimes, one moment aggregate, 1-row solve."""
     ev = load(spark, sf_dir, "events")
     span = ev.groupBy("user_id").agg(
@@ -419,24 +438,27 @@ def survival_weibull_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.datediff("first_buy", "first_ts") + 1).cast("long").alias("t"),
     )
-    w = Window.orderBy("t", "user_id")
-    wn = Window.partitionBy(F.lit(1))
-    pts = life.select(
-        F.round(WB_Q * F.log(F.col("t").cast("double")))
-        .cast("long")
-        .alias("xq"),
-        F.round(
-            WB_Q
-            * F.log(
-                -F.log(
-                    1.0
-                    - (F.row_number().over(w) - 0.3)
-                    / (F.count(F.lit(1)).over(wn) + 0.4)
+    # r7: median ranks via with_global_rank (Fenwick + tie-block window),
+    # n via a broadcast 1-row aggregate — no global sort
+    tot = life.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    pts = (
+        with_global_rank(life, "t", "user_id", "mrr_r")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(WB_Q * F.log(F.col("t").cast("double")))
+            .cast("long")
+            .alias("xq"),
+            F.round(
+                WB_Q
+                * F.log(
+                    -F.log(
+                        1.0 - (F.col("mrr_r") - 0.3) / (F.col("nn") + 0.4)
+                    )
                 )
             )
+            .cast("long")
+            .alias("yq"),
         )
-        .cast("long")
-        .alias("yq"),
     )
     dec = "decimal(38,0)"
     mom = pts.agg(

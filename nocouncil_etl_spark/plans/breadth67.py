@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import cumulate, with_below, with_global_rank
 from nocouncil_etl_spark.plans.retrieval_plans import _TOK_SPARK, _TOK_SQL
 from nocouncil_etl_spark.registry import query
 
@@ -191,9 +192,9 @@ def privacy_mondrian_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
     range utility vs the single-attribute ladder of
     privacy_generalize_to_k.
 
-    Scale shape: one rank window per level (level 2 partitioned by the
-    level-1 side), hash aggs for leaf summaries — each level is one
-    shuffle, depth is fixed."""
+    Scale shape (r7): both split medians via Fenwick prefix counts
+    (value-histogram order statistics — no rank windows), hash aggs for
+    leaf summaries — each level is a few keyed shuffles, depth is fixed."""
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     per = orders.groupBy("o_custkey").agg(
@@ -203,43 +204,61 @@ def privacy_mondrian_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(100 * F.col("c_acctbal")).cast("long").alias("x"),
         F.coalesce("cnt", F.lit(0)).alias("y"),
     )
-    wx = Window.orderBy("x", "y")
-    wn = Window.partitionBy(F.lit(1))
-    rx = pts.select(
-        "x",
-        "y",
-        F.row_number().over(wx).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
-    mx = rx.agg(
-        F.max(
-            F.when(
-                F.col("rn") == F.ceil(F.col("n") / 2.0).cast("long"),
-                F.col("x"),
-            )
-        ).alias("medx")
+    # r7: both split medians via Fenwick prefix counts — the value at
+    # rank ⌈n/2⌉ of a (v, tiebreak) total order depends only on the
+    # v-histogram, so medians need no row-level window at all
+    byx = pts.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    totx = byx.agg(F.sum("c").cast("long").alias("n"))
+    mx = (
+        with_below(byx, "x", "c")
+        .crossJoin(F.broadcast(totx))
+        .filter(
+            F.col("below") + F.col("c")
+            >= F.ceil(F.col("n") / 2.0).cast("long")
+        )
+        .agg(F.min("x").alias("medx"))
     )
     sided = pts.crossJoin(F.broadcast(mx)).select(
         "x",
         "y",
         F.when(F.col("x") <= F.col("medx"), 0).otherwise(1).alias("sx"),
     )
-    wy = Window.partitionBy("sx").orderBy("y", "x")
-    wyn = Window.partitionBy("sx")
-    ry = sided.select(
-        "sx",
-        "x",
-        "y",
-        F.row_number().over(wy).alias("rn"),
-        F.count(F.lit(1)).over(wyn).alias("n"),
+    # per-side y medians: one Fenwick pass over the y histogram carrying
+    # per-side counts as separate measures
+    byy = sided.groupBy("y").agg(
+        F.sum(F.when(F.col("sx") == 0, 1).otherwise(0)).cast("long").alias("c0"),
+        F.sum(F.when(F.col("sx") == 1, 1).otherwise(0)).cast("long").alias("c1"),
     )
-    my = ry.groupBy("sx").agg(
-        F.max(
-            F.when(
-                F.col("rn") == F.ceil(F.col("n") / 2.0).cast("long"),
-                F.col("y"),
+    ns = sided.groupBy("sx").agg(F.count(F.lit(1)).cast("long").alias("n_s"))
+    cy = cumulate(byy, "y", ("c0", "c1"))
+    my = (
+        cy.crossJoin(
+            F.broadcast(
+                ns.groupBy().pivot("sx", [0, 1]).sum("n_s")
+                .select(F.col("0").alias("n0"), F.col("1").alias("n1"))
             )
-        ).alias("medy")
+        )
+        .select(
+            "y",
+            F.when(
+                F.col("cum_c0") >= F.ceil(F.col("n0") / 2.0).cast("long"),
+                F.col("y"),
+            ).alias("hit0"),
+            F.when(
+                F.col("cum_c1") >= F.ceil(F.col("n1") / 2.0).cast("long"),
+                F.col("y"),
+            ).alias("hit1"),
+        )
+        .agg(F.min("hit0").alias("m0"), F.min("hit1").alias("m1"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("sx"), F.col("m0").alias("medy")),
+                    F.struct(F.lit(1).alias("sx"), F.col("m1").alias("medy")),
+                )
+            ).alias("s")
+        )
+        .select("s.sx", "s.medy")
     )
     leaves = sided.join(F.broadcast(my), "sx").select(
         "sx",
@@ -537,13 +556,18 @@ def io_histogram_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load(spark, sf_dir, "orders").select(
         F.round(100 * F.col("o_totalprice")).cast("long").alias("x")
     )
-    wr = Window.orderBy("x")
-    wn = Window.partitionBy(F.lit(1))
-    r = v.select(
+    # r7: equi-depth ranks via Fenwick prefix counts + per-value tie
+    # windows — no global sort. The within-tie order is arbitrary (mid
+    # ids), which cannot change the result: bucket COUNTS are fixed by
+    # the rank layout and tied rows share one x, so per-bucket min/max
+    # are tie-assignment-invariant.
+    totn = v.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    r = with_global_rank(
+        v.withColumn("_mid", F.monotonically_increasing_id()),
         "x",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
+        "_mid",
+        "rn",
+    ).crossJoin(F.broadcast(totn)).select("x", "rn", "n")
     bounds = r.groupBy(
         F.ceil(F.col("rn").cast("double") * HIST_BUCKETS / F.col("n"))
         .cast("long")

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import cumulate, cummax_exclusive, with_global_rank
 from nocouncil_etl_spark.registry import query
 
 CM_BAND = 200_000  # ChiMerge initial bins: 2000 currency units
@@ -123,8 +124,8 @@ def stat_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutation-style p-value.
 
     Scale shape: the lnfact table is one generated sequence + one
-    running-sum window (documented single-sequence sort — at 100 TB
-    margins, Stirling replaces enumeration); the k-enumeration is
+    Fenwick prefix-sum pass (r7 — no window; at 100 TB margins,
+    Stirling replaces enumeration); the k-enumeration is
     min-margin-sized; all joins are integer-keyed equi-joins."""
     d = load(spark, sf_dir, "events").select(
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
@@ -147,19 +148,19 @@ def stat_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b, c, dd, n = int(tab.a), int(tab.b), int(tab.c), int(tab.d), int(tab.n)
     m1, m2, n1, n2 = a + b, c + dd, a + c, b + dd
     lf = (
-        spark.range(1, n + 1)
-        .select(
-            F.col("id").alias("j"),
-            F.round(1_000_000 * F.log(F.col("id").cast("double")))
-            .cast("long")
-            .alias("l"),
-        )
-        .select(
+        cumulate(
+            spark.range(1, n + 1).select(
+                F.col("id").alias("j"),
+                F.round(1_000_000 * F.log(F.col("id").cast("double")))
+                .cast("long")
+                .alias("l"),
+            ),
             "j",
-            F.sum("l")
-            .over(Window.orderBy("j").rowsBetween(Window.unboundedPreceding, 0))
-            .alias("lf"),
+            ("l",),
         )
+        # r7: the log-factorial table's running sum via Fenwick prefix
+        # sums — no global window over the 1..n range
+        .select("j", F.col("cum_l").alias("lf"))
         .unionByName(
             spark.createDataFrame([(0, 0)], "j long, lf long")
         )
@@ -436,9 +437,10 @@ def dq_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     says how much state a tighter bound would drop. The batch twin of
     what stream_dedup_watermark assumes.
 
-    Scale shape: one arrival-ordered window over the stream (documented
-    single-sequence sort; per-key watermarks shard it in production),
-    one rollup."""
+    Scale shape (r7): the watermark and the lag both decompose into
+    Fenwick prefix aggregates + arrival-partitioned tie windows (no
+    global sort; per-key watermarks shard further in production), one
+    rollup."""
     ev = load(spark, sf_dir, "events")
     gap = ev.agg(
         F.expr(
@@ -453,13 +455,27 @@ def dq_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("arrival"),
         "event_id",
     )
-    w = Window.orderBy("arrival", "event_id")
-    seq = arr.select(
-        "tus",
-        F.max("tus").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
-            "high_us"
-        ),
-        F.lag("tus").over(w).alias("prev_us"),
+    # r7: the running watermark decomposes into a value-level exclusive
+    # Fenwick prefix max (strictly earlier arrivals) + an arrival-
+    # partitioned inclusive tie window; the lag is a consecutive-rank
+    # equi-join on with_global_rank — no global sort anywhere
+    byv = arr.groupBy("arrival").agg(F.max("tus").alias("_mt"))
+    bel = cummax_exclusive(byv, "arrival", "_mt")
+    wt = (
+        Window.partitionBy("arrival")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rk = with_global_rank(
+        arr.join(bel, "arrival", "left"), "arrival", "event_id", "_r"
+    )
+    prev = rk.select((F.col("_r") + 1).alias("_r"), F.col("tus").alias("prev_us"))
+    seq = (
+        rk.withColumn(
+            "high_us", F.greatest(F.col("below_max"), F.max("tus").over(wt))
+        )
+        .join(prev, "_r", "left")
+        .select("tus", "high_us", "prev_us")
     )
     late = seq.select(
         F.expr("(high_us - tus) div 1000").alias("late_ms"),

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import cumulate
 from nocouncil_etl_spark.plans.breadth61 import _pg_trig_rows
 from nocouncil_etl_spark.registry import query
 
@@ -384,9 +385,13 @@ def stat_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity Σ(2i−n−1)x — all BIGINT, one division at the end; the test
     statistic scales by n1·n2/(n1+n2).
 
-    Scale shape: one pooled ordered window (documented single-sequence
-    sort) + two per-group rank windows, one rollup — O(n log n) for
-    O(n²) semantics."""
+    Scale shape (r7): every prefix quantity (other-group counts/sums
+    strictly below, per-group ranks) decomposes into a value-level part
+    (Fenwick prefix sums over the distinct-value histogram — no global
+    sort) plus a tie-block part (value-partitioned windows by event id) —
+    hash-partitioned everywhere; one rollup. O(n²) semantics at
+    hash-aggregate cost — the round-6 whitelist entry for this query is
+    gone."""
     s = (
         load(spark, sf_dir, "events")
         .filter(
@@ -401,21 +406,79 @@ def stat_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    wl = Window.orderBy("x", "event_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    ww = Window.partitionBy("is_a").orderBy("x", "event_id")
-    wn = Window.partitionBy("is_a")
     a_flag = F.col("is_a") == 1
-    o = s.select(
+    byv = s.groupBy("x").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("is_a").cast("long").alias("c_a"),
+        F.sum(F.when(a_flag, F.col("x")).otherwise(0)).cast("long").alias("sx_a"),
+        F.sum(F.when(~a_flag, F.col("x")).otherwise(0)).cast("long").alias("sx_b"),
+    )
+    bel = cumulate(byv, "x", ("c", "c_a", "sx_a", "sx_b")).select(
         "x",
-        "is_a",
-        F.count(F.when(a_flag, 1)).over(wl).alias("a_lt"),
-        F.sum(F.when(a_flag, F.col("x"))).over(wl).alias("a_sum_lt"),
-        F.count(F.when(~a_flag, 1)).over(wl).alias("b_lt"),
-        F.sum(F.when(~a_flag, F.col("x"))).over(wl).alias("b_sum_lt"),
-        F.row_number().over(ww).cast("long").alias("rkw"),
-        F.count(F.lit(1)).over(wn).cast("long").alias("nw"),
+        (F.col("cum_c_a") - F.col("c_a")).alias("va_lt"),
+        (F.col("cum_sx_a") - F.col("sx_a")).alias("va_sum"),
+        ((F.col("cum_c") - F.col("cum_c_a")) - (F.col("c") - F.col("c_a"))).alias("vb_lt"),
+        ((F.col("cum_sx_b")) - F.col("sx_b")).alias("vb_sum"),
+    )
+    grp_n = s.groupBy("is_a").agg(F.count(F.lit(1)).cast("long").alias("nw"))
+    # tie-block prefixes: strictly-preceding same-value rows by event id
+    wt = (
+        Window.partitionBy("x")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    j_grp = F.row_number().over(
+        Window.partitionBy("is_a", "x").orderBy("event_id")
+    )
+    # per-group below-value counts for the within-group rank
+    gbel = cumulate(
+        byv.select(
+            "x",
+            F.col("c_a").alias("ca2"),
+            (F.col("c") - F.col("c_a")).alias("cb2"),
+        ),
+        "x",
+        ("ca2", "cb2"),
+    ).select(
+        "x",
+        (F.col("cum_ca2") - F.col("ca2")).alias("below_a"),
+        (F.col("cum_cb2") - F.col("cb2")).alias("below_b"),
+    )
+    o = (
+        s.join(bel, "x")
+        .join(gbel, "x")
+        .join(F.broadcast(grp_n), "is_a")
+        .select(
+            "x",
+            "is_a",
+            (
+                F.col("va_lt")
+                + F.coalesce(F.count(F.when(a_flag, 1)).over(wt), F.lit(0))
+            ).alias("a_lt"),
+            (
+                F.col("va_sum")
+                + F.coalesce(
+                    F.sum(F.when(a_flag, F.col("x"))).over(wt), F.lit(0)
+                )
+            ).alias("a_sum_lt"),
+            (
+                F.col("vb_lt")
+                + F.coalesce(F.count(F.when(~a_flag, 1)).over(wt), F.lit(0))
+            ).alias("b_lt"),
+            (
+                F.col("vb_sum")
+                + F.coalesce(
+                    F.sum(F.when(~a_flag, F.col("x"))).over(wt), F.lit(0)
+                )
+            ).alias("b_sum_lt"),
+            (
+                F.when(a_flag, F.col("below_a")).otherwise(F.col("below_b"))
+                + j_grp
+            )
+            .cast("long")
+            .alias("rkw"),
+            "nw",
+        )
     )
     cross = F.sum(
         F.when(

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import with_below, with_global_rank
 from nocouncil_etl_spark.registry import query
 
 HASH_SPACE = float(1 << 60)
@@ -153,34 +154,34 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 'shuffled' corpus actually is. Counts stay BIGINT; mu/z are single
     identical double expressions.
 
-    Scale shape: one global sort for the sign sequence (the statistic is
-    inherently sequential — at 100 TB run it per shard/day and combine
-    via the per-segment run counts); everything else is a 1-row reduce."""
+    Scale shape (r7): median from the value histogram, adjacency from a
+    consecutive-rank equi-join (Fenwick prefix counts — no global sort);
+    everything else is a 1-row reduce."""
     ev = load(spark, sf_dir, "events")
     v = ev.select(
         "ts", "event_id", F.round(F.col("value") * 100).cast("long").alias("c")
     )
-    wrank = Window.orderBy("c", "ts", "event_id")
+    # r7: median via Fenwick prefix counts (the value at rank (n+1)÷2
+    # depends only on the value histogram); time-order adjacency via a
+    # consecutive-rank equi-join on with_global_rank — no global sorts
+    byc = v.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("cc"))
+    totc = byc.agg(F.sum("cc").cast("long").alias("n"))
     med = (
-        v.select(
-            "c",
-            F.row_number().over(wrank).alias("rn"),
-            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-        )
-        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
-        .select(F.col("c").alias("m"))
+        with_below(byc, "c", "cc")
+        .crossJoin(F.broadcast(totc))
+        .filter(F.col("below") + F.col("cc") >= F.expr("(n + 1) div 2"))
+        .agg(F.min("c").alias("m"))
     )
     signs = v.crossJoin(F.broadcast(med)).select(
-        "ts",
+        F.unix_micros("ts").alias("tsu"),
         "event_id",
         F.when(F.col("c") >= F.col("m"), 1).otherwise(0).alias("s"),
     )
-    worder = Window.orderBy("ts", "event_id")
-    runs = signs.select(
+    rk = with_global_rank(signs, "tsu", "event_id", "r")
+    prev = rk.select((F.col("r") + 1).alias("r"), F.col("s").alias("prev"))
+    runs = rk.join(prev, "r", "left").select(
         "s",
-        F.when(
-            ~F.lag("s").over(worder).eqNullSafe(F.col("s")), 1
-        )
+        F.when(~F.col("prev").eqNullSafe(F.col("s")), 1)
         .otherwise(0)
         .alias("new_run"),
     )

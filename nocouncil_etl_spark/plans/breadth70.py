@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import cumulate, with_global_rank
 from nocouncil_etl_spark.plans.retrieval_plans import _TOK_SPARK, _TOK_SQL
 from nocouncil_etl_spark.registry import query
 
@@ -476,7 +477,7 @@ def stat_siegel_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
     cousin of stat_levene_mean (moment-based) and the location tests
     (stat_mann_whitney_u). Total order (value, id) fixes ties.
 
-    Scale shape: one pooled rank window (documented single-sequence
+    Scale shape (r7): pooled ranks via Fenwick prefix counts (no global
     sort), closed-form rank mapping, 1-row arithmetic."""
     s = (
         load(spark, sf_dir, "events")
@@ -492,14 +493,12 @@ def stat_siegel_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    r = s.select(
-        "is_a",
-        F.row_number().over(Window.orderBy("x", "event_id")).cast("long").alias("l"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy(F.lit(1)))
-        .cast("long")
-        .alias("n"),
-    )
+    # r7: ranks via Fenwick prefix counts + tie-block windows — no
+    # global sort (with_global_rank); n via a broadcast 1-row aggregate
+    tot = s.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    r = with_global_rank(s, "x", "event_id", "l").crossJoin(
+        F.broadcast(tot)
+    ).select("is_a", "l", "n")
     right = F.col("n") + 1 - F.col("l")
     rk = F.when(
         F.col("l") <= right,

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import with_below
 from nocouncil_etl_spark.registry import query
 
 DH_SEATS = 20
@@ -512,8 +513,10 @@ def stat_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs the median, which is why it survives gross outliers and
     interval censoring). Per-type terms quantized to micro.
 
-    Scale shape: one global rank window for the median (documented —
-    fixed-grid join at 100 TB), one type hash agg, scalar terms."""
+    Scale shape (r7): the grand median comes from the distinct-value
+    histogram + Fenwick prefix counts (min value whose inclusive
+    cumulative count reaches ⌈n/2⌉) — no global rank window over the raw
+    rows; then one type hash agg, scalar terms."""
     v = (
         load(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
@@ -523,18 +526,16 @@ def stat_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(100 * F.col("value")).cast("long").alias("x"),
         )
     )
-    r = v.select(
-        "x",
-        F.row_number().over(Window.orderBy("x", "event_id")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n"),
-    )
-    med = r.agg(
-        F.max(
-            F.when(
-                F.col("rn") == F.ceil(F.col("n") / 2.0).cast("long"),
-                F.col("x"),
-            )
-        ).alias("m")
+    byv = v.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cum = with_below(byv, "x", "c")
+    tot_n = byv.agg(F.sum("c").cast("long").alias("n"))
+    med = (
+        cum.crossJoin(F.broadcast(tot_n))
+        .filter(
+            F.col("below") + F.col("c")
+            >= F.ceil(F.col("n") / 2.0).cast("long")
+        )
+        .agg(F.min("x").alias("m"))
     )
     cls = v.crossJoin(F.broadcast(med)).select(
         "event_type",

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import cumulate
 from nocouncil_etl_spark.registry import query
 
 EXP_TOPK = 200
@@ -599,8 +600,9 @@ def stat_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     differences). Every sum is an exact BIGINT over the (value, id)
     total order; T divides once.
 
-    Scale shape: the same two rank windows as Brunner-Munzel, one
-    rollup — the full integral statistic at sort cost."""
+    Scale shape (r7): the same Fenwick prefix-sum rank recipe as
+    Brunner-Munzel (no global sort), one rollup — the full integral
+    statistic at hash-aggregate cost."""
     s = (
         load(spark, sf_dir, "events")
         .filter(
@@ -615,11 +617,35 @@ def stat_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    r = s.select(
+    # r7: both rank systems from one Fenwick prefix-sum pass + value-
+    # partitioned tie-block windows (the Brunner-Munzel recipe) — no
+    # global or 2-partition sort
+    byv = s.groupBy("x").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("is_a").cast("long").alias("c_a"),
+    )
+    bel = cumulate(byv, "x", ("c", "c_a")).select(
+        "x",
+        (F.col("cum_c") - F.col("c")).alias("below"),
+        (F.col("cum_c_a") - F.col("c_a")).alias("below_a"),
+        (
+            (F.col("cum_c") - F.col("cum_c_a"))
+            - (F.col("c") - F.col("c_a"))
+        ).alias("below_b"),
+    )
+    j_all = F.row_number().over(Window.partitionBy("x").orderBy("event_id"))
+    j_grp = F.row_number().over(
+        Window.partitionBy("is_a", "x").orderBy("event_id")
+    )
+    r = s.join(bel, "x").select(
         "is_a",
-        F.row_number().over(Window.orderBy("x", "event_id")).cast("long").alias("rk"),
-        F.row_number()
-        .over(Window.partitionBy("is_a").orderBy("x", "event_id"))
+        (F.col("below") + j_all).cast("long").alias("rk"),
+        (
+            F.when(F.col("is_a") == 1, F.col("below_a")).otherwise(
+                F.col("below_b")
+            )
+            + j_grp
+        )
         .cast("long")
         .alias("i"),
     )

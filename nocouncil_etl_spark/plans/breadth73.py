@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import with_global_rank
 from nocouncil_etl_spark.registry import query
 
 SB_SPLIT_YEAR = 1998
@@ -283,16 +284,18 @@ def privacy_microaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (privacy_cell_suppression) and recoding (privacy_generalize_to_k):
     microaggregation keeps numeric utility by replacing, not hiding.
 
-    Scale shape: one rank window (fixed-grid join at 100 TB), one
+    Scale shape (r7): ranks via Fenwick prefix counts + tie windows
+    (no global sort), one
     group hash agg, 1-row rollup."""
     v = load(spark, sf_dir, "customer").select(
         "c_custkey", F.round(100 * F.col("c_acctbal")).cast("long").alias("x")
     )
-    r = v.select(
-        "x",
-        F.row_number().over(Window.orderBy("x", "c_custkey")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n"),
-    )
+    # r7: global rank via Fenwick prefix counts + tie-block window; n via
+    # a broadcast 1-row aggregate — no global sort
+    tot = v.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    r = with_global_rank(v, "x", "c_custkey", "rn").crossJoin(
+        F.broadcast(tot)
+    ).select("x", "rn", "n")
     grouped = r.select(
         "x",
         F.least(

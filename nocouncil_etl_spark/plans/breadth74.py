@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import cumulate, with_global_rank
 from nocouncil_etl_spark.plans.breadth15 import _pt, _pt_sql
 from nocouncil_etl_spark.plans.retrieval_plans import _TOK_SPARK, _TOK_SQL
 from nocouncil_etl_spark.registry import query
@@ -82,8 +83,8 @@ def stat_wald_wolfowitz(spark: SparkSession, sf_dir: str) -> DataFrame:
     stat_cvm_two_sample (it trades power for generality). Run counting
     is one lag comparison; z uses the exact null moments.
 
-    Scale shape: one pooled ordered window (documented single-sequence
-    sort), one rollup."""
+    Scale shape (r7): adjacency via a consecutive-rank equi-join on
+    Fenwick ranks (no global sort), one rollup."""
     s = (
         load(spark, sf_dir, "events")
         .filter(
@@ -98,10 +99,12 @@ def stat_wald_wolfowitz(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    o = s.select(
-        "is_a",
-        F.lag("is_a").over(Window.orderBy("x", "event_id")).alias("prev"),
-    )
+    # r7: lag over the (value, id) total order = equi-join on consecutive
+    # with_global_rank ranks — no global sort (left join keeps the first
+    # row's NULL prev, matching lag() semantics)
+    rk = with_global_rank(s, "x", "event_id", "r")
+    prev = rk.select((F.col("r") + 1).alias("r"), F.col("is_a").alias("prev"))
+    o = rk.join(prev, "r", "left").select("is_a", "prev")
     agg = o.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("is_a").cast("long").alias("n1"),
@@ -204,8 +207,11 @@ def agg_lorenz_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact order statistics around the mean (m = #below-mean, linear
     interpolation δ between the bracketing order stats).
 
-    Scale shape: one rank+cumsum window over customer revenue
-    (documented single-sequence sort), scalar arithmetic."""
+    Scale shape (r7): rank and running revenue come from Fenwick prefix
+    sums over the distinct-revenue histogram (counts + revenue mass)
+    plus a value-partitioned tie-block window — within a tie block every
+    x is equal, so cum = (revenue mass below) + x·(tie position); no
+    global sort anywhere, scalar arithmetic after."""
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     per = orders.groupBy("o_custkey").agg(
@@ -216,16 +222,30 @@ def agg_lorenz_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = cust.join(per, cust["c_custkey"] == per["o_custkey"], "left").select(
         F.coalesce("rev", F.lit(0)).alias("x"), "c_custkey"
     )
-    w = Window.orderBy("x", "c_custkey")
-    wall = Window.partitionBy(F.lit(1))
-    r = rev.select(
+    byv = rev.groupBy("x").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    bel = cumulate(byv, "x", ("c", "sx")).select(
         "x",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-        F.sum("x").over(wall).cast("long").alias("total"),
-        F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("long")
-        .alias("cum"),
+        (F.col("cum_c") - F.col("c")).alias("below"),
+        (F.col("cum_sx") - F.col("sx")).alias("sx_below"),
+    )
+    tot = rev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("total"),
+    )
+    j = F.row_number().over(Window.partitionBy("x").orderBy("c_custkey"))
+    r = (
+        rev.join(bel, "x")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            (F.col("below") + j).cast("long").alias("rn"),
+            "n",
+            "total",
+            (F.col("sx_below") + F.col("x") * j).cast("long").alias("cum"),
+        )
     )
     r.persist()
     stats = r.agg(

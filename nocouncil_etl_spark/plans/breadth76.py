@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import with_global_rank
 from nocouncil_etl_spark.registry import query
 
 NC_FILE_ROWS = 1000
@@ -172,18 +173,16 @@ def agg_h_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     Computed from the exact descending rank: h = max{{rk : n₍rk₎ ≥ rk}}
     (ties broken by key).
 
-    Scale shape: one per-customer hash agg, one rank window over the
-    count column, two scalar lookups."""
+    Scale shape (r7): one per-customer hash agg, Fenwick ranks over the
+    count column (no global sort), two scalar lookups."""
     per = load(spark, sf_dir, "orders").groupBy("o_custkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders")
     )
-    r = per.select(
-        "n_orders",
-        F.row_number()
-        .over(Window.orderBy(F.desc("n_orders"), "o_custkey"))
-        .cast("long")
-        .alias("rk"),
-    )
+    # r7: rank via with_global_rank on the negated count (desc order) —
+    # Fenwick prefix counts + tie-block window, no global sort
+    r = with_global_rank(
+        per.withColumn("_neg", -F.col("n_orders")), "_neg", "o_custkey", "rk"
+    ).select("n_orders", "rk")
     r.persist()
     h = r.filter(F.col("n_orders") >= F.col("rk")).agg(
         F.coalesce(F.max("rk"), F.lit(0)).cast("long").alias("h_index")

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import with_global_rank
 from nocouncil_etl_spark.registry import query
 
 OC_N, OC_C = 50, 2
@@ -233,15 +234,18 @@ def agg_inspection_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_burst_viterbi's state model). Gaps are exact epoch-microsecond
     integers; moments 128-bit.
 
-    Scale shape: one ordered window for gaps (documented single-
-    sequence sort), one 3-moment rollup."""
+    Scale shape (r7): arrival adjacency via a consecutive-rank equi-join
+    on with_global_rank (Fenwick prefix counts + tie-block window — no
+    global sort), one 3-moment rollup."""
     ev = load(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
-    g = ev.select(
-        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
-            "gap"
-        )
-    ).filter(F.col("gap").isNotNull())
+    rk = with_global_rank(
+        ev.select(F.unix_micros("ts").alias("tsu"), "event_id"),
+        "tsu",
+        "event_id",
+        "r",
+    )
+    prev = rk.select((F.col("r") + 1).alias("r"), F.col("tsu").alias("ptsu"))
+    g = rk.join(prev, "r").select((F.col("tsu") - F.col("ptsu")).alias("gap"))
     m = g.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("gap").cast("long").alias("s"),

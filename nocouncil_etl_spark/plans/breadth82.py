@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import with_below, with_global_rank
 from nocouncil_etl_spark.plans.graph_plans import _EDGES_SQL, _graph
 from nocouncil_etl_spark.registry import query
 
@@ -165,15 +166,28 @@ def io_rle_encoding_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the pruning angle; io_dictionary_encoding_model for the
     dictionary angle — the three planners every columnar writer runs).
 
-    Scale shape: one ordered lag window per column (documented
-    key-order sequence), NDV scans; 2-row output."""
+    Scale shape (r7): key-order adjacency via ONE Fenwick rank table
+    (keys are unique, so rank = prefix count) + a consecutive-rank
+    equi-join shared by every column — the windowless lag; NDV scans;
+    2-row output."""
     orders = load(spark, sf_dir, "orders")
+    byid = orders.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    rk = with_below(byid, "o_orderkey", "_c").select(
+        "o_orderkey", (F.col("below") + 1).alias("_r")
+    )
+    cur = orders.join(rk, "o_orderkey")
+    prv = cur.select(
+        (F.col("_r") + 1).alias("_r"),
+        *[F.col(c).alias(f"_prev_{c}") for c in RLE_COLS],
+    )
+    adj = cur.join(prv, "_r")  # inner join drops the first row (no prev)
+    adj.persist()
     arms = None
     for c in RLE_COLS:
-        w = Window.orderBy("o_orderkey")
         runs = (
-            orders.select(F.col(c).alias("v"), F.lag(c).over(w).alias("prev"))
-            .filter(F.col("prev").isNotNull())
+            adj.select(F.col(c).alias("v"), F.col(f"_prev_{c}").alias("prev"))
             .agg(
                 (
                     1

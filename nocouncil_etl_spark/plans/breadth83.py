@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import with_below
 from nocouncil_etl_spark.registry import query
 
 PCA_DIMS = 16  # leading block of the embedding used for the trace/λ1
@@ -600,10 +601,12 @@ def stat_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ≥95% coverage by the BINOMIAL argument alone — no normality,
     no symmetry, no bootstrap resampling (agg_bootstrap_ci's job when
     the functional is more exotic). The interval every robust report
-    should print next to the median, at the cost of one rank window.
+    should print next to the median.
 
-    Scale shape: one global rank window (documented — the fixed
-    quantile-grid join at 100 TB), three order-statistic lookups."""
+    Scale shape (r7): all three order statistics come from the
+    distinct-value histogram + Fenwick prefix counts (value at rank k =
+    min v whose inclusive cumulative count reaches k) — no global rank
+    window over the raw rows anywhere in the plan."""
     v = (
         load(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
@@ -612,38 +615,31 @@ def stat_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(100 * F.col("value")).cast("long").alias("x"),
         )
     )
-    r = v.select(
-        "x",
-        F.row_number().over(Window.orderBy("x", "event_id")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n"),
-    )
+    byv = v.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cum = with_below(byv, "x", "c")
     z = MCI_Z_MILLI / 1000.0
-    idx = r.agg(
-        F.max("n").alias("ntot"),
-        F.floor(
-            F.max("n") / 2.0 - z * F.sqrt(F.max("n") / 4.0)
-        ).cast("long").alias("jl"),
-        F.ceil(
-            F.max("n") / 2.0 + 1 + z * F.sqrt(F.max("n") / 4.0)
-        ).cast("long").alias("jh"),
+    tot = byv.agg(F.sum("c").cast("long").alias("n"))
+    idx = tot.select(
+        "n",
+        F.ceil(F.col("n") / 2.0).cast("long").alias("jm"),
+        F.greatest(
+            F.floor(F.col("n") / 2.0 - z * F.sqrt(F.col("n") / 4.0)).cast(
+                "long"
+            ),
+            F.lit(1).cast("long"),
+        ).alias("jl"),
+        F.least(
+            F.ceil(F.col("n") / 2.0 + 1 + z * F.sqrt(F.col("n") / 4.0)).cast(
+                "long"
+            ),
+            F.col("n"),
+        ).alias("jh"),
     )
-    picks = r.crossJoin(F.broadcast(idx)).agg(
-        F.max(
-            F.when(
-                F.col("rn") == F.ceil(F.col("n") / 2.0).cast("long"),
-                F.col("x"),
-            )
-        ).alias("median_cents"),
-        F.max(
-            F.when(
-                F.col("rn") == F.greatest(F.col("jl"), F.lit(1)), F.col("x")
-            )
-        ).alias("ci_lo_cents"),
-        F.max(
-            F.when(
-                F.col("rn") == F.least(F.col("jh"), F.col("n")), F.col("x")
-            )
-        ).alias("ci_hi_cents"),
+    reach = F.col("below") + F.col("c")
+    picks = cum.crossJoin(F.broadcast(idx)).agg(
+        F.min(F.when(reach >= F.col("jm"), F.col("x"))).alias("median_cents"),
+        F.min(F.when(reach >= F.col("jl"), F.col("x"))).alias("ci_lo_cents"),
+        F.min(F.when(reach >= F.col("jh"), F.col("x"))).alias("ci_hi_cents"),
         F.max("n").cast("long").alias("n"),
     )
     return picks.select("n", "median_cents", "ci_lo_cents", "ci_hi_cents")

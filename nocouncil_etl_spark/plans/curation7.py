@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import cumulate
 from nocouncil_etl_spark.registry import query
 
 CODE_SYMBOLS = "{};=()[]<>"
@@ -169,10 +170,9 @@ def curation_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     training run?".
 
     Scale shape: one narrow token-count pass, then ONE global running-sum
-    window — the honest cost of an exact global greedy fill (same
-    discipline as agg_percentile_exact_rank); the at-scale variant
-    pre-buckets by quality band and fills band-by-band, turning the
-    global sort into a bounded per-band one."""
+    window. r7: the global sort is gone — the running total is a
+    Fenwick prefix sum over the quality histogram plus a quality-
+    partitioned tie window, exact at any corpus size."""
     docs = load(spark, sf_dir, "documents")
     n_tokens = F.size(
         F.filter(
@@ -189,16 +189,31 @@ def curation_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens.cast("long").alias("n_tokens"),
         quality.cast("long").alias("quality"),
     ).filter(F.col("n_tokens") > 0)
-    w = (
-        Window.orderBy(F.desc("quality"), "doc_id")
+    # r7: the greedy-fill running total decomposes into a Fenwick prefix
+    # sum over the negated-quality histogram (token mass of strictly
+    # better docs) + a quality-partitioned inclusive tie window — no
+    # global sort at any corpus size
+    byq = scored.groupBy("quality").agg(
+        F.sum("n_tokens").cast("long").alias("stk")
+    )
+    bel = cumulate(
+        byq.withColumn("_negq", -F.col("quality")), "_negq", ("stk",)
+    ).select(
+        "quality", (F.col("cum_stk") - F.col("stk")).alias("tk_above")
+    )
+    wt = (
+        Window.partitionBy("quality")
+        .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ranked = scored.select(
+    ranked = scored.join(bel, "quality").select(
         "doc_id",
         "source",
         "n_tokens",
         "quality",
-        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+        (F.col("tk_above") + F.sum("n_tokens").over(wt))
+        .cast("long")
+        .alias("cum_tokens"),
     )
     return ranked.filter(F.col("cum_tokens") <= TOKEN_BUDGET)
 

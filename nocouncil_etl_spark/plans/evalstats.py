@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.functions.text import STOPWORDS, predict_lang
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import cumulate
 from nocouncil_etl_spark.registry import query
 
 # positive class for the binary tasks: did this event convert?
@@ -87,9 +88,9 @@ def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair each, kept integral by the ×2 scaling. Everything is BIGINT until
     the single final division, so combine order cannot move the hash.
 
-    Scale shape: one hash-agg to the score histogram (distinct-score rows on
-    the shuffle, not events), one single-column window sort, one 1-row
-    reduce. Reference parity: scoring gates in filter.py graded statistically.
+    Scale shape (r7): one hash-agg to the score histogram (distinct-score
+    rows on the shuffle, not events), Fenwick prefix sums over it (no
+    window), one 1-row reduce. Reference parity: scoring gates in filter.py graded statistically.
     """
     ev = load(spark, sf_dir, "events")
     scored = ev.select(
@@ -104,9 +105,18 @@ def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("label").cast("long").alias("pos_s"),
         F.sum(F.lit(1) - F.col("label")).cast("long").alias("neg_s"),
     )
-    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
-    cum = hist.withColumn(
-        "neg_below", F.coalesce(F.sum("neg_s").over(w), F.lit(0))
+    # r7: cumulative negatives via Fenwick prefix sums over the integer
+    # centi-score domain (scores are 2-decimal by construction, so the
+    # mapping is exact and order-isomorphic) — no global window
+    cum = (
+        cumulate(
+            hist.withColumn(
+                "s100", F.round(F.col("score") * 100).cast("long")
+            ),
+            "s100",
+            ("neg_s",),
+        )
+        .withColumn("neg_below", (F.col("cum_neg_s") - F.col("neg_s")).cast("long"))
     )
     return cum.agg(
         F.sum("pos_s").cast("long").alias("n_pos"),

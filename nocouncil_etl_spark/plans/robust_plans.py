@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import cummax_exclusive
 from nocouncil_etl_spark.registry import query
 
 _DAILY_SQL = """
@@ -330,11 +331,9 @@ def agg_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     earlier; the deterministic tag makes that inclusion identical on both
     engines — a dominance-with-tie-break skyline, exact and total.)
 
-    Scale shape: one distinct-point agg, one global sort + running-max
-    window (the exact-skyline cost; the at-scale variant pre-prunes with
-    per-partition local skylines — only each partition's frontier, a tiny
-    fraction, reaches the global sort, same two-phase discipline as
-    TakeOrdered)."""
+    Scale shape (r7): one distinct-point agg; the running max
+    decomposes into a value-level exclusive Fenwick prefix max plus a
+    price-partitioned tie window — no global sort at any point count."""
     li = load(spark, sf_dir, "lineitem")
     pts = li.select(
         "l_orderkey",
@@ -347,15 +346,24 @@ def agg_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = pts.groupBy("price_cents", "qty").agg(
         F.min(F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("tag")
     )
-    w = (
-        Window.orderBy("price_cents", "tag")
+    # r7: the running max decomposes into a value-level exclusive Fenwick
+    # prefix max (strictly cheaper prices) + a price-partitioned tie
+    # window (same price, smaller tag) — no global sort; F.greatest
+    # ignores the NULL side, matching max over an empty frame
+    byv = dedup.groupBy("price_cents").agg(F.max("qty").alias("_mq"))
+    bel = cummax_exclusive(byv, "price_cents", "_mq")
+    wt = (
+        Window.partitionBy("price_cents")
+        .orderBy("tag")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    ranked = dedup.select(
+    ranked = dedup.join(bel, "price_cents", "left").select(
         "price_cents",
         "qty",
         "tag",
-        F.max("qty").over(w).alias("best_qty_cheaper"),
+        F.greatest(
+            F.col("below_max"), F.max("qty").over(wt)
+        ).alias("best_qty_cheaper"),
     )
     return ranked.filter(
         F.col("best_qty_cheaper").isNull()

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import cumulate
 from nocouncil_etl_spark.registry import query
 
 N_BUCKETS = 1024
@@ -104,12 +105,13 @@ def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("b")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    cumh = hist.select(
-        "b", F.sum("c").over(Window.orderBy("b")).cast("long").alias("cum")
+    # r7: both cumulative tables via Fenwick prefix sums — no windows
+    cumh = cumulate(hist, "b", ("c",)).select(
+        "b", F.col("cum_c").cast("long").alias("cum")
     )
     byv = cents.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    cumv = byv.select(
-        "v", F.sum("c").over(Window.orderBy("v")).cast("long").alias("cum")
+    cumv = cumulate(byv, "v", ("c",)).select(
+        "v", F.col("cum_c").cast("long").alias("cum")
     )
     pcts = spark.createDataFrame([(p,) for p in PCTS], "p long")
     tgt = pcts.crossJoin(F.broadcast(m)).select(
@@ -382,9 +384,10 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (analytics5): the Gini is twice the area between this curve and the
     diagonal; the curve itself says WHERE the concentration lives.
 
-    Scale shape: one per-user hash-agg, one bounded sort over users (the
-    honest exact-quantile discipline), a {N_DECILES}-row broadcast join —
-    no data-sized state past the ranking."""
+    Scale shape (r7): one per-user hash-agg; rank and running spend come
+    from Fenwick prefix sums over the distinct-spend histogram (count +
+    spend mass) plus a spend-partitioned tie-block window — no global
+    sort over users; a {N_DECILES}-row broadcast join after."""
     ev = load(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.sum(F.round(F.col("value") * 100).cast("long"))
@@ -392,14 +395,20 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents")
     )
     per_user.persist()
-    w = Window.orderBy("cents", "user_id")
-    ranked = per_user.select(
+    byv = per_user.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("cents").cast("long").alias("sx"),
+    )
+    bel = cumulate(byv, "cents", ("c", "sx")).select(
         "cents",
-        F.row_number().over(w).cast("long").alias("rn"),
-        F.sum("cents")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("long")
-        .alias("cum"),
+        (F.col("cum_c") - F.col("c")).alias("below"),
+        (F.col("cum_sx") - F.col("sx")).alias("sx_below"),
+    )
+    j = F.row_number().over(Window.partitionBy("cents").orderBy("user_id"))
+    ranked = per_user.join(bel, "cents").select(
+        "cents",
+        (F.col("below") + j).cast("long").alias("rn"),
+        (F.col("sx_below") + F.col("cents") * j).cast("long").alias("cum"),
     )
     tot = per_user.agg(
         F.count(F.lit(1)).cast("long").alias("n"),

@@ -11,17 +11,19 @@ DISTINCT-value table as ``2·avg_rank = 2·(#below) + (#tied) + 1`` — an
 exact BIGINT (the ×2 absorbs the .5-granular midrank), so every rank sum,
 Σrank², and cross-moment is an exact integer and combine-order-independent;
 the test statistics finish in identical double expressions on both engines,
-rounded 6dp. No window over the raw rows is ever needed: ranks come from
-the distinct-value table (bounded by the value grid, not the row count)
-joined back — the at-scale shape for rank statistics over billions of rows.
+rounded 6dp. No window is needed AT ALL (r7): cumulative counts and
+midranks come from Fenwick prefix sums over the distinct-value histogram
+(operators/quantiles.cumulate/midrank2) — hash aggregates and keyed joins
+only, the at-scale shape for rank statistics over billions of rows.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import cumulate, midrank2
 from nocouncil_etl_spark.plans.evalstats import T_GROUP_A, T_GROUP_B
 from nocouncil_etl_spark.registry import query
 
@@ -52,9 +54,13 @@ def _cents_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of the cents→distinct-value→cumulative CTE chain:
     (v, c, c_a, c_b, below, cum_a, cum_b), one row per distinct cent value.
 
-    The only sort is over the DISTINCT-value table (bounded by the value
-    grid — here ≤ ~100k cents regardless of row count), so the unbounded
-    window is safe at any scale; the raw rows never see a window."""
+    r7: NO window at all — the cumulative counts come from Fenwick
+    prefix sums over the distinct-value histogram
+    (operators/quantiles.cumulate): hash aggregates + keyed joins only,
+    so the plan has no single-partition stage even if the value grid
+    itself grows (the round-6 window here was global-order over the
+    histogram — fine while the grid saturates, but a sort that the
+    prefix decomposition makes unnecessary)."""
     ev = load(spark, sf_dir, "events")
     cents = ev.filter(F.col("event_type").isin(T_GROUP_A, T_GROUP_B)).select(
         "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
@@ -68,20 +74,15 @@ def _cents_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("c_b"),
     )
-    w = Window.orderBy("v")
-    return byv.select(
+    cum = cumulate(byv, "v", ("c", "c_a", "c_b"))
+    return cum.select(
         "v",
         "c",
         "c_a",
         "c_b",
-        F.coalesce(
-            F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("below"),
-        F.sum("c_a").over(w).cast("long").alias("cum_a"),
-        F.sum("c_b").over(w).cast("long").alias("cum_b"),
+        (F.col("cum_c") - F.col("c")).cast("long").alias("below"),
+        F.col("cum_c_a").cast("long").alias("cum_a"),
+        F.col("cum_c_b").cast("long").alias("cum_b"),
     )
 
 
@@ -127,9 +128,9 @@ def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (U_a − n_a·n_b/2) / √(n_a·n_b/12·((N+1) − Σ(t³−t)/(N(N−1)))).
     U values are .5-granular (rounded 1dp — exact), z rounds 6dp.
 
-    Scale shape: one filtered hash-agg to the distinct-value table, one
-    bounded window over it, one scalar row out. The raw-row term never
-    shuffles more than (value, count) pairs."""
+    Scale shape: one filtered hash-agg to the distinct-value table,
+    Fenwick prefix-sum joins over it (no window), one scalar row out.
+    The raw-row term never shuffles more than (value, count) pairs."""
     acc = _cents_cum(spark, sf_dir).agg(
         F.sum("c_a").cast("long").alias("n_a"),
         F.sum("c_b").cast("long").alias("n_b"),
@@ -317,9 +318,10 @@ def corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled ranks (the ×2 cancels), with all five moments exact BIGINTs
     and one rounded double out.
 
-    Scale shape: per-user agg (one shuffle on user_id) → two small
-    distinct-value tables with bounded windows → two broadcast-shaped
-    joins back → a 5-moment 1-row agg. Nothing re-sorts the user table."""
+    Scale shape: per-user agg (one shuffle on user_id) → two
+    distinct-value tables ranked by Fenwick prefix sums (no window) →
+    two broadcast-shaped joins back → a 5-moment 1-row agg. Nothing is
+    ever globally sorted."""
     ev = load(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("x"),
@@ -332,15 +334,8 @@ def corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         byv = per_user.groupBy(F.col(col).alias("val")).agg(
             F.count(F.lit(1)).cast("long").alias("c")
         )
-        w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, -1)
-        return byv.select(
-            "val",
-            (
-                2 * F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long")
-                + F.col("c")
-                + 1
-            ).alias("r2"),
-        )
+        # r7: doubled midranks via Fenwick prefix sums — no global window
+        return midrank2(byv, "val", "c").select("val", "r2")
 
     rx2 = rank2("x").withColumnRenamed("val", "x").withColumnRenamed("r2", "a")
     ry2 = rank2("y").withColumnRenamed("val", "y").withColumnRenamed("r2", "b")

@@ -270,12 +270,19 @@ def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents")
     )
-    ranked = per_user.select(
-        "cents",
-        F.row_number()
-        .over(Window.orderBy(F.desc("cents"), "user_id"))
-        .cast("long")
-        .alias("rn"),
+    # r7: only the top k+1 order statistics matter — take them with
+    # orderBy().limit() (TakeOrderedAndProject) and rank the survivors;
+    # the window's input is k+1 rows, never the user table
+    ranked = (
+        per_user.orderBy(F.desc("cents"), "user_id")
+        .limit(HILL_K + 1)
+        .select(
+            "cents",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cents"), "user_id"))
+            .cast("long")
+            .alias("rn"),
+        )
     )
     ranked.persist()
     kth = ranked.filter(F.col("rn") == HILL_K + 1).select(

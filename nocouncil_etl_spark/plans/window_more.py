@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.operators.quantiles import cumulate, with_global_rank
 from nocouncil_etl_spark.registry import query
 
 
@@ -52,13 +53,31 @@ FROM customer
 """,
 )
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution ranks: percent_rank / cume_dist over account balance."""
+    """Distribution ranks: percent_rank / cume_dist over account balance.
+
+    r7: windowless — percent_rank = (rank − 1)/(n − 1) on the
+    with_global_rank total order (the tie-break makes rank ≡
+    row_number), cume_dist = inclusive cumulative count / n straight
+    from the Fenwick balance histogram; no global sort at any scale."""
     c = load(spark, sf_dir, "customer")
-    bal = F.round("c_acctbal", 2)
-    return c.select(
+    src = c.select(
         "c_custkey",
-        F.round(F.percent_rank().over(Window.orderBy(bal, "c_custkey")), 6).alias("pr"),
-        F.round(F.cume_dist().over(Window.orderBy(bal)), 6).alias("cd"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("b100"),
+    )
+    tot = src.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    byv = src.groupBy("b100").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cd_tab = cumulate(byv, "b100", ("c",)).select(
+        "b100", F.col("cum_c").alias("cle")
+    )
+    return (
+        with_global_rank(src, "b100", "c_custkey", "r")
+        .join(cd_tab, "b100")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c_custkey",
+            F.round((F.col("r") - 1) / (F.col("n") - 1), 6).alias("pr"),
+            F.round(F.col("cle") / F.col("n"), 6).alias("cd"),
+        )
     )
 
 

@@ -75,18 +75,28 @@ def test_item_cosine_verifies_one_pair(spark, sf_dir):
     cos = [r.cosine for r in rows]
     assert cos == sorted(cos, reverse=True)
     assert all(r.cosine <= 1.0 + 1e-9 for r in rows)
-    # recompute the top pair from raw ratings
+    # recompute the top pair from raw ratings, applying the same
+    # per-customer top-COSINE_RATING_CAP cap the kernel applies (r7)
+    from nocouncil_etl_spark.plans.breadth30 import COSINE_RATING_CAP
+
     top = rows[0]
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
-    ratings = (
+    all_ratings = (
         li.join(orders.select("o_orderkey", "o_custkey"),
                 li.l_orderkey == F.col("o_orderkey"))
         .groupBy(F.col("o_custkey").alias("cid"), F.col("l_partkey").alias("pid"))
         .agg(F.round(F.sum("l_quantity")).cast("long").alias("r"))
-        .filter(F.col("pid").isin(top.pid1, top.pid2))
         .collect()
     )
+    by_cid: dict = {}
+    for r in all_ratings:
+        by_cid.setdefault(r.cid, []).append(r)
+    ratings = []
+    for cid_rows in by_cid.values():
+        cid_rows.sort(key=lambda r: (-r.r, r.pid))
+        ratings.extend(cid_rows[:COSINE_RATING_CAP])
+    ratings = [r for r in ratings if r.pid in (top.pid1, top.pid2)]
     v1 = {r.cid: r.r for r in ratings if r.pid == top.pid1}
     v2 = {r.cid: r.r for r in ratings if r.pid == top.pid2}
     num = sum(v1[c] * v2[c] for c in set(v1) & set(v2))

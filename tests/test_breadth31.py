@@ -118,8 +118,21 @@ def test_pinball_loss_matches_recompute(spark, sf_dir):
             assert r.loss_tenths == loss
 
 
+def test_minhash_sketch_query_has_no_exact_join(spark, sf_dir):
+    """The registered (hot) query is sketch-only: its plan never joins
+    vocabularies on term — the quadratic exact anchor lives solely in the
+    _exact audit twin."""
+    import contextlib, io
+
+    df = REG["text_source_minhash_sim"].fn(spark, sf_dir)
+    assert "jac_exact_1e6" not in df.columns
+    sk = {tuple(r[:5]) for r in df.collect()}
+    ex = {tuple(r[:5]) for r in REG["text_source_minhash_sim_exact"].fn(spark, sf_dir).collect()}
+    assert sk == ex  # identical sketch estimates, minus the anchor column
+
+
 def test_minhash_estimate_near_exact(spark, sf_dir):
-    rows = REG["text_source_minhash_sim"].fn(spark, sf_dir).collect()
+    rows = REG["text_source_minhash_sim_exact"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert 0 <= r.est_num <= r.denom <= 64

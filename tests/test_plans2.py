@@ -62,9 +62,14 @@ def test_quantile_histogram_single_combine_agg(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
-def test_token_budget_fill_is_single_global_window(spark, sf_dir):
-    """curation_token_budget_fill: exactly the documented shape — one
-    narrow projection, one global running-sum window, no join at all."""
-    p = plan_of(REGISTRY["curation_token_budget_fill"].fn(spark, sf_dir))
-    assert "Join" not in p
-    assert "RunningWindowFunction" in p or "Window" in p
+def test_token_budget_fill_has_no_global_window(spark, sf_dir):
+    """curation_token_budget_fill (r7): the greedy fill's running total
+    is Fenwick prefix sums + a quality-PARTITIONED tie window — the plan
+    must contain no global-order Window (the pre-r7 shape was one global
+    running-sum window over every document)."""
+    from nocouncil_etl_spark.plancheck import plan_has_global_window
+
+    df = REGISTRY["curation_token_budget_fill"].fn(spark, sf_dir)
+    assert not plan_has_global_window(df)
+    p = plan_of(df)
+    assert "Window" in p  # the tie-block window is partitioned, and present
