@@ -76,7 +76,8 @@ HEADLINE: list[str] = [
     "graph_hits_hubs_auth",  # 8 per-iteration materialized agg+join rounds
     "sketch_theta_intersection",  # shingle → bottom-k sketches → pairwise set ops
     "ml_gbdt_two_features",  # per-feature histogram split search, 2 boosting rounds
-    "rec_item_cosine",       # item-item CF: ratings self-join on the user key
+    "rec_item_cosine",       # item-item CF: capped ratings self-join, TakeOrdered top-k
+    "vec_knn_index_kmeans_auto",  # trained-IVF with corpus-size-adaptive nlist (√n rule)
     "eval_bleu_ngram",       # 4-order n-gram explode + clip join + scalar reduce
     "ts_burst_viterbi",      # per-key Arrow DP (6-int state Viterbi)
     "graph_spectral_bisection",  # integer power iteration on (cI - L)
@@ -95,6 +96,19 @@ def main() -> None:
 
     # Warm the JVM + parquet footers once so timings measure the plans.
     registry["pricing_summary"].fn(spark, sf_dir).collect()
+
+    # Machine-speed calibration: a fixed-size whole-stage-codegen range sum,
+    # independent of any repo code or data. Round-6 verdict: the driver's
+    # apparent +35-80% on cheap queries was machine contention, not code —
+    # this row makes that diagnosable from the JSON alone (compare
+    # calibration_sec across rounds before reading per-query deltas).
+    cal: list[float] = []
+    for i in range(4):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id)").collect()
+        if i > 0:
+            cal.append(time.perf_counter() - t0)
+    calibration = round(statistics.median(cal), 3)
 
     names = [n for n in HEADLINE if n in registry]
     timings: dict[str, float] = {}
@@ -127,6 +141,7 @@ def main() -> None:
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
+                "calibration_sec": calibration,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -265,35 +265,54 @@ def prefix_sums(
     )
 
 
+def _domain_shift(byv: DataFrame, value_col: str) -> tuple[int, int]:
+    """(min, levels) for a Fenwick pass over ``value_col``: one 2-scalar
+    aggregate crosses the driver (the engine's documented single-scalar-
+    normalizer contract), sizing the block decomposition to the ACTUAL
+    domain span instead of the worst-case 63 levels — on a cents-grid
+    histogram that is ~15 levels instead of 63, a 4× cut in the explode
+    volume that dominates the pass."""
+    row = byv.agg(
+        F.min(value_col).alias("mn"), F.max(value_col).alias("mx")
+    ).first()
+    if row.mn is None:
+        return 0, 1
+    return int(row.mn), max(1, int(int(row.mx) - int(row.mn) + 1).bit_length())
+
+
 def cumulate(
     byv: DataFrame,
     value_col: str,
     measure_cols: tuple[str, ...],
-    levels: int = 63,
+    levels: int | None = None,
 ) -> DataFrame:
     """Attach inclusive cumulative sums (in ``value_col`` order) of each
     measure to a distinct-value frame — ``sum(m) OVER (ORDER BY v)``
-    with NO window at all: the domain is min-shifted to non-negative via
-    a broadcast 1-row aggregate (never a collect), then prefix_sums
-    (Fenwick equi-joins) reassembles each cumulative total. Returns the
-    input columns + ``cum_<m>`` BIGINTs. Exact at any scale; every node
-    is a hash aggregate or keyed join. Default levels=63 covers the full
-    non-negative long domain after the shift (micro-timestamps etc.);
-    pass fewer levels only for provably narrow domains."""
-    mn = byv.agg(F.min(value_col).alias("_mn"))
-    sh = byv.crossJoin(F.broadcast(mn)).withColumn(
-        "_sv", (F.col(value_col) - F.col("_mn")).cast("long")
-    )
+    with NO window at all: the domain is min-shifted to non-negative,
+    then prefix_sums (Fenwick equi-joins) reassembles each cumulative
+    total. Returns the input columns + ``cum_<m>`` BIGINTs. Exact at any
+    scale; every distributed node is a hash aggregate or keyed join.
+    levels=None (default) sizes the decomposition to the actual domain
+    span via one 2-scalar driver aggregate (_domain_shift); pass an
+    explicit level count to avoid that extra tiny job when the domain is
+    known."""
+    if levels is None:
+        mn_v, levels = _domain_shift(byv, value_col)
+        sh = byv.withColumn(
+            "_sv", (F.col(value_col) - F.lit(mn_v)).cast("long")
+        )
+    else:
+        mn = byv.agg(F.min(value_col).alias("_mn"))
+        sh = byv.crossJoin(F.broadcast(mn)).withColumn(
+            "_sv", (F.col(value_col) - F.col("_mn")).cast("long")
+        ).drop("_mn")
     cums = prefix_sums(
         sh.select(F.col("_sv").alias("_v"), *measure_cols),
         "_v",
         tuple(measure_cols),
         levels=levels,
     )
-    return (
-        sh.join(cums, sh["_sv"] == cums["_v"])
-        .drop("_v", "_sv", "_mn")
-    )
+    return sh.join(cums, sh["_sv"] == cums["_v"]).drop("_v", "_sv")
 
 
 def midrank2(
@@ -377,18 +396,25 @@ def cummax_exclusive(
     byv: DataFrame,
     value_col: str,
     measure_col: str,
-    levels: int = 63,
+    levels: int | None = None,
 ) -> DataFrame:
     """EXCLUSIVE running max in value order — max(m) over all rows with
     strictly smaller value — via the same Fenwick block decomposition as
     prefix_sums (max is associative; the exclusive prefix [0, v)
     decomposes on u = v instead of v+1). Rows with no smaller value get
     NULL (matching a window max over an empty preceding frame). Returns
-    (value_col, below_max). No global sort anywhere."""
-    mn = byv.agg(F.min(value_col).alias("_mn"))
-    sh = byv.crossJoin(F.broadcast(mn)).withColumn(
-        "_sv", (F.col(value_col) - F.col("_mn")).cast("long")
-    )
+    (value_col, below_max). No global sort anywhere. levels=None sizes
+    the decomposition to the actual domain span (_domain_shift)."""
+    if levels is None:
+        mn_v, levels = _domain_shift(byv, value_col)
+        sh = byv.withColumn(
+            "_sv", (F.col(value_col) - F.lit(mn_v)).cast("long")
+        )
+    else:
+        mn = byv.agg(F.min(value_col).alias("_mn"))
+        sh = byv.crossJoin(F.broadcast(mn)).withColumn(
+            "_sv", (F.col(value_col) - F.col("_mn")).cast("long")
+        )
     blocks = (
         sh.select(
             F.explode(
@@ -430,4 +456,45 @@ def cummax_exclusive(
     )
     return sh.select(value_col).join(maxes, value_col, "left").select(
         value_col, "below_max"
+    )
+
+
+def dense_cumsum(
+    df: DataFrame, value_col: str, measure_col: str, cum_col: str = "cum"
+) -> DataFrame:
+    """Inclusive running sum over a DENSELY, MONOTONICALLY partitioned
+    frame (spark.range output: each partition holds one contiguous value
+    interval): the classic two-phase distributed scan — per-partition
+    local running sums via a PARTITION-ID-keyed window (never a global
+    sort), per-partition totals collected as a #partitions-sized offset
+    table (bounded driver state, the single-scalar-normalizer contract)
+    and broadcast back. O(n) with no Fenwick explode — the right shape
+    for generated sequences like log-factorial tables; use cumulate for
+    arbitrary (shuffled) value domains."""
+    d = df.withColumn("_pid", F.spark_partition_id())
+    offs_rows = (
+        d.groupBy("_pid")
+        .agg(F.sum(measure_col).alias("_ps"), F.min(value_col).alias("_mn"))
+        .collect()
+    )
+    offs_rows.sort(key=lambda r: r["_mn"])
+    run = 0
+    table = []
+    for r in offs_rows:
+        table.append((int(r["_pid"]), run))
+        run += int(r["_ps"])
+    spark = df.sparkSession
+    offs = spark.createDataFrame(table, "_pid int, _off long")
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.join(F.broadcast(offs), "_pid")
+        .withColumn(
+            cum_col,
+            (F.col("_off") + F.sum(measure_col).over(wloc)).cast("long"),
+        )
+        .drop("_pid", "_off")
     )

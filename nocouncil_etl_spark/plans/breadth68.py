@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
-from nocouncil_etl_spark.operators.quantiles import cumulate, cummax_exclusive, with_global_rank
+from nocouncil_etl_spark.operators.quantiles import cumulate, cummax_exclusive, dense_cumsum, with_global_rank
 from nocouncil_etl_spark.registry import query
 
 CM_BAND = 200_000  # ChiMerge initial bins: 2000 currency units
@@ -148,7 +148,7 @@ def stat_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b, c, dd, n = int(tab.a), int(tab.b), int(tab.c), int(tab.d), int(tab.n)
     m1, m2, n1, n2 = a + b, c + dd, a + c, b + dd
     lf = (
-        cumulate(
+        dense_cumsum(
             spark.range(1, n + 1).select(
                 F.col("id").alias("j"),
                 F.round(1_000_000 * F.log(F.col("id").cast("double")))
@@ -156,11 +156,13 @@ def stat_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("l"),
             ),
             "j",
-            ("l",),
+            "l",
         )
-        # r7: the log-factorial table's running sum via Fenwick prefix
-        # sums — no global window over the 1..n range
-        .select("j", F.col("cum_l").alias("lf"))
+        # r7: the log-factorial running sum via the dense two-phase scan
+        # (partition-local windows + broadcast offsets) — spark.range
+        # partitions are contiguous, so no global sort and no Fenwick
+        # explode is needed
+        .select("j", F.col("cum").alias("lf"))
         .unionByName(
             spark.createDataFrame([(0, 0)], "j long, lf long")
         )

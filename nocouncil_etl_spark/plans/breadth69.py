@@ -413,6 +413,8 @@ def stat_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(a_flag, F.col("x")).otherwise(0)).cast("long").alias("sx_a"),
         F.sum(F.when(~a_flag, F.col("x")).otherwise(0)).cast("long").alias("sx_b"),
     )
+    # ONE Fenwick pass carries every prefix quantity: the A/B counts
+    # below a value double as the within-group below-ranks
     bel = cumulate(byv, "x", ("c", "c_a", "sx_a", "sx_b")).select(
         "x",
         (F.col("cum_c_a") - F.col("c_a")).alias("va_lt"),
@@ -430,23 +432,10 @@ def stat_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     j_grp = F.row_number().over(
         Window.partitionBy("is_a", "x").orderBy("event_id")
     )
-    # per-group below-value counts for the within-group rank
-    gbel = cumulate(
-        byv.select(
-            "x",
-            F.col("c_a").alias("ca2"),
-            (F.col("c") - F.col("c_a")).alias("cb2"),
-        ),
-        "x",
-        ("ca2", "cb2"),
-    ).select(
-        "x",
-        (F.col("cum_ca2") - F.col("ca2")).alias("below_a"),
-        (F.col("cum_cb2") - F.col("cb2")).alias("below_b"),
-    )
     o = (
         s.join(bel, "x")
-        .join(gbel, "x")
+        .withColumn("below_a", F.col("va_lt"))
+        .withColumn("below_b", F.col("vb_lt"))
         .join(F.broadcast(grp_n), "is_a")
         .select(
             "x",

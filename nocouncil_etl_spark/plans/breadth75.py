@@ -32,7 +32,13 @@ from nocouncil_etl_spark.plans.graph_plans import _EDGES_SQL, _graph
 from nocouncil_etl_spark.plans.retrieval_plans import _TOK_SPARK, _TOK_SQL
 from nocouncil_etl_spark.registry import query
 
-HUB_MOD = 7  # sample: vec_id % 7 == 0
+HUB_MOD = 7  # sample floor: vec_id % max(7, n div HUB_TARGET) == 0
+# Cap the hubness audit's sample at ~HUB_TARGET vectors regardless of
+# corpus size: the all-pairs dot is quadratic IN THE SAMPLE, so a fixed
+# 1/7 rate turned 10x data into 100x work (r7 sf1 run: 2.4 s -> 238 s).
+# A statistical audit needs a fixed sample budget, not a fixed rate —
+# the auto_nlist philosophy applied to sampling.
+HUB_TARGET = 300
 HUB_K = 5
 MERKLE_BUCKET = 1000
 LEXICON = {"fast": 1, "big": 1, "slow": -1, "small": -1}
@@ -140,7 +146,9 @@ def agg_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vec_hubness_skew",
     oracle=f"""
 WITH sub AS (
-  SELECT vec_id, embedding FROM embeddings WHERE vec_id % {HUB_MOD} = 0
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % greatest({HUB_MOD},
+        (SELECT count(*) FROM embeddings) // {HUB_TARGET}) = 0
 ),
 dims AS (
   SELECT s.vec_id, generate_subscripts(s.embedding, 1) AS i,
@@ -198,11 +206,22 @@ def vec_hubness_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_knn_*, dedup_semantic_*) degrade. Orphans (never retrieved)
     are the other tail.
 
-    Scale shape: the all-pairs dot is the documented exact-twin shape
-    (quadratic in the SAMPLE, like vec_knn_exact — production uses the
-    IVF/LSH ladder); moments are one rollup."""
-    sub = load(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") % HUB_MOD == 0
+    Scale shape (r7): the all-pairs dot is quadratic IN THE SAMPLE, so
+    the sampling modulus grows with the corpus (max({HUB_MOD},
+    n div {HUB_TARGET}) — a fixed ~{HUB_TARGET}-vector audit budget at
+    any scale; the r7 sf1 run caught the fixed-rate version at 101× on
+    10× data); moments are one rollup."""
+    emb = load(spark, sf_dir, "embeddings")
+    modrow = emb.agg(
+        F.greatest(
+            F.lit(HUB_MOD).cast("long"),
+            F.expr(f"count(1) div {HUB_TARGET}"),
+        ).alias("_m")
+    )
+    sub = (
+        emb.crossJoin(F.broadcast(modrow))
+        .filter(F.col("vec_id") % F.col("_m") == 0)
+        .drop("_m")
     )
     dims = sub.select(
         "vec_id", F.posexplode("embedding").alias("i", "v")

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
-from nocouncil_etl_spark.operators.quantiles import cumulate
+from nocouncil_etl_spark.operators.quantiles import cumulate, dense_cumsum
 from nocouncil_etl_spark.plans.breadth15 import _pt, _pt_sql
 from nocouncil_etl_spark.plans.graph_plans import _EDGES_SQL, _graph
 from nocouncil_etl_spark.registry import query
@@ -679,7 +679,7 @@ def stat_binomial_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     lnp_w = rha(1_000_000 * math.log(2.0 / 7.0))
     lnp_l = rha(1_000_000 * math.log(5.0 / 7.0))
     lf = (
-        cumulate(
+        dense_cumsum(
             spark.range(1, n + 1).select(
                 F.col("id").alias("j"),
                 F.round(1_000_000 * F.log(F.col("id").cast("double")))
@@ -687,11 +687,13 @@ def stat_binomial_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("l"),
             ),
             "j",
-            ("l",),
+            "l",
         )
-        # r7: log-factorial running sum via Fenwick prefix sums — no
-        # global window over the 1..n range
-        .select("j", F.col("cum_l").alias("lf"))
+        # r7: the log-factorial running sum via the dense two-phase scan
+        # (partition-local windows + broadcast offsets) — spark.range
+        # partitions are contiguous, so no global sort and no Fenwick
+        # explode is needed
+        .select("j", F.col("cum").alias("lf"))
         .unionByName(spark.createDataFrame([(0, 0)], "j long, lf long"))
     )
     lf.persist()
