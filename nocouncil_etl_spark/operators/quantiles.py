@@ -498,3 +498,140 @@ def dense_cumsum(
         )
         .drop("_pid", "_off")
     )
+
+
+def ranged_rank_cumsum(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    measure_cols: tuple[str, ...] = (),
+    rank_col: str = "rk",
+    n_partitions: int | None = None,
+    max_cols: tuple[str, ...] = (),
+    lag_col: str | None = None,
+    max_cols_exclusive: tuple[str, ...] = (),
+) -> DataFrame:
+    """Global rank (row_number over the (value, id) total order) and
+    inclusive running sums via the canonical RANGE-PARTITIONED two-phase
+    scan: repartitionByRange + sortWithinPartitions (a distributed sort —
+    every partition holds one contiguous key interval, no single task
+    ever sees more than its slice), partition-LOCAL windows for the local
+    rank/cumsums, then a #partitions-sized offset table (collected —
+    bounded driver state under the single-scalar-normalizer contract)
+    broadcast back. Output is identical to
+    ``row_number()/sum() OVER (ORDER BY value, id)``.
+
+    This is the cheap-constant sibling of with_global_rank/cumulate for
+    NEAR-UNIQUE domains (microsecond timestamps, near-distinct prices),
+    where a Fenwick pass pays an O(levels) explode per distinct value;
+    on histogram-shaped domains prefer the Fenwick form (no range
+    shuffle, no second action). Partition boundaries come from range
+    sampling and affect only placement, never the ranks/sums; empty
+    partitions are skipped in the offset walk.
+
+    Optional extras ride the same two phases: ``max_cols`` adds
+    inclusive running maxima (``cummax_<m>``: partition-local window max
+    ⊔ the exclusive prefix max of per-partition maxima); ``lag_col``
+    adds ``prev_<col>`` (partition-local lag, with each partition's
+    first row taking the previous partition's LAST value via max_by in
+    the offset table — NULL on the global first row);
+    ``max_cols_exclusive`` adds ``cummax_excl_<m>`` (running max over
+    STRICTLY preceding rows, NULL on the global first row — the skyline
+    shape)."""
+    spark = df.sparkSession
+    nparts = n_partitions or max(
+        2, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    )
+    d = (
+        df.repartitionByRange(nparts, F.col(value_col), F.col(id_col))
+        .sortWithinPartitions(value_col, id_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    d = d.localCheckpoint(eager=False)  # pin the partitioning for both phases
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("_pc"),
+        F.min(value_col).alias("_pmn"),
+        F.min(id_col).alias("_pid_mn"),
+    ] + [F.sum(m).cast("long").alias(f"_ps_{m}") for m in measure_cols]
+    aggs += [
+        F.max(m).alias(f"_pm_{m}")
+        for m in dict.fromkeys(max_cols + max_cols_exclusive)
+    ]
+    if lag_col is not None:
+        aggs.append(
+            F.max_by(
+                lag_col, F.struct(F.col(value_col), F.col(id_col))
+            ).alias("_plast")
+        )
+    offs_rows = d.groupBy("_pid").agg(*aggs).collect()
+    offs_rows.sort(key=lambda r: (r["_pmn"], r["_pid_mn"]))
+    allmax = tuple(dict.fromkeys(max_cols + max_cols_exclusive))
+    run_c = 0
+    runs_m = {m: 0 for m in measure_cols}
+    runmax = {m: None for m in allmax}
+    prev_last = None
+    table = []
+    for r in offs_rows:
+        table.append(
+            (int(r["_pid"]), run_c)
+            + tuple(runs_m[m] for m in measure_cols)
+            + tuple(runmax[m] for m in allmax)
+            + ((prev_last,) if lag_col is not None else ())
+        )
+        run_c += int(r["_pc"])
+        for m in measure_cols:
+            runs_m[m] += int(r[f"_ps_{m}"])
+        for m in allmax:
+            v = r[f"_pm_{m}"]
+            if v is not None:
+                runmax[m] = v if runmax[m] is None else max(runmax[m], v)
+        if lag_col is not None:
+            prev_last = r["_plast"]
+    schema = (
+        "_pid int, _off_c long"
+        + "".join(f", _off_{m} long" for m in measure_cols)
+        + "".join(f", _mx_{m} long" for m in allmax)
+        + (", _prevlast long" if lag_col is not None else "")
+    )
+    offs = spark.createDataFrame(table, schema)
+    wloc = Window.partitionBy("_pid").orderBy(value_col, id_col)
+    wrun = wloc.rowsBetween(Window.unboundedPreceding, 0)
+    out = d.join(F.broadcast(offs), "_pid").withColumn(
+        rank_col,
+        (F.col("_off_c") + F.row_number().over(wloc)).cast("long"),
+    )
+    for m in measure_cols:
+        out = out.withColumn(
+            f"cum_{m}",
+            (F.col(f"_off_{m}") + F.sum(m).over(wrun)).cast("long"),
+        )
+    for m in max_cols:
+        out = out.withColumn(
+            f"cummax_{m}",
+            F.greatest(
+                F.coalesce(F.col(f"_mx_{m}"), F.max(m).over(wrun)),
+                F.max(m).over(wrun),
+            ).cast("long"),
+        )
+    for m in max_cols_exclusive:
+        loc_excl = F.max(m).over(
+            wloc.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        out = out.withColumn(
+            f"cummax_excl_{m}",
+            F.greatest(F.col(f"_mx_{m}"), loc_excl).cast("long"),
+        )
+    if lag_col is not None:
+        out = out.withColumn(
+            f"prev_{lag_col}",
+            F.coalesce(
+                F.lag(lag_col).over(wloc), F.col("_prevlast")
+            ).cast("long"),
+        )
+    return out.drop(
+        "_pid",
+        "_off_c",
+        *[f"_off_{m}" for m in measure_cols],
+        *[f"_mx_{m}" for m in allmax],
+        *((["_prevlast"]) if lag_col is not None else []),
+    )

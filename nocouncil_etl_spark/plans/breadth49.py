@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
-from nocouncil_etl_spark.operators.quantiles import with_global_rank
+from nocouncil_etl_spark.operators.quantiles import ranged_rank_cumsum, with_global_rank
 from nocouncil_etl_spark.plans.breadth15 import _pt, _pt_sql
 from nocouncil_etl_spark.registry import query
 
@@ -738,9 +738,10 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank), keeping selection one map-side modulo; the demo uses the
     direct global form."""
     ev = load(spark, sf_dir, "events")
-    # r7: the arrival-order index via Fenwick prefix counts over the
-    # microsecond timestamp + tie-block window — no global sort
-    ranked = with_global_rank(
+    # r7: the arrival-order index via the range-partitioned two-phase
+    # scan (near-unique microsecond domain — the cheap-constant form);
+    # no global sort, no single-partition stage
+    ranked = ranged_rank_cumsum(
         ev.select(
             F.round(F.col("value") * 100).cast("long").alias("cents"),
             F.unix_micros("ts").alias("tsu"),
@@ -748,7 +749,7 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "tsu",
         "event_id",
-        "rn",
+        rank_col="rn",
     ).select("cents", (F.col("rn") - 1).cast("long").alias("r"))
     start = (_pt("sys#", F.lit("seed")) % SYS_K).cast("long")
     samp = ranked.withColumn("s", start).filter(

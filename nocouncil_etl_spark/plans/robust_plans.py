@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
-from nocouncil_etl_spark.operators.quantiles import cummax_exclusive
+from nocouncil_etl_spark.operators.quantiles import ranged_rank_cumsum
 from nocouncil_etl_spark.registry import query
 
 _DAILY_SQL = """
@@ -346,24 +346,17 @@ def agg_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = pts.groupBy("price_cents", "qty").agg(
         F.min(F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("tag")
     )
-    # r7: the running max decomposes into a value-level exclusive Fenwick
-    # prefix max (strictly cheaper prices) + a price-partitioned tie
-    # window (same price, smaller tag) — no global sort; F.greatest
-    # ignores the NULL side, matching max over an empty frame
-    byv = dedup.groupBy("price_cents").agg(F.max("qty").alias("_mq"))
-    bel = cummax_exclusive(byv, "price_cents", "_mq")
-    wt = (
-        Window.partitionBy("price_cents")
-        .orderBy("tag")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ranked = dedup.join(bel, "price_cents", "left").select(
+    # r7: the skyline's running max via the range-partitioned two-phase
+    # scan (near-unique price domain — exclusive cummax = partition
+    # prefix-max offsets ⊔ local strictly-preceding window max); no
+    # global sort, no single-partition stage
+    ranked = ranged_rank_cumsum(
+        dedup, "price_cents", "tag", max_cols_exclusive=("qty",)
+    ).select(
         "price_cents",
         "qty",
         "tag",
-        F.greatest(
-            F.col("below_max"), F.max("qty").over(wt)
-        ).alias("best_qty_cheaper"),
+        F.col("cummax_excl_qty").alias("best_qty_cheaper"),
     )
     return ranked.filter(
         F.col("best_qty_cheaper").isNull()

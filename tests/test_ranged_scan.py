@@ -1,0 +1,134 @@
+"""Property tests for the round-7 scan operators
+(operators/quantiles.ranged_rank_cumsum / dense_cumsum / _domain_shift):
+each must be output-IDENTICAL to the single-partition global window it
+replaces, across partition counts, tie patterns, negative values, and
+wide domains — these are the primitives 40+ queries now stand on.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from nocouncil_etl_spark.operators.quantiles import (
+    _domain_shift,
+    cumulate,
+    dense_cumsum,
+    ranged_rank_cumsum,
+    with_global_rank,
+)
+
+
+def _ref(df, exprs):
+    w = Window.orderBy("v", "id")
+    wr = w.rowsBetween(Window.unboundedPreceding, 0)
+    wx = w.rowsBetween(Window.unboundedPreceding, -1)
+    cols = {
+        "rk": F.row_number().over(w).cast("long"),
+        "cum_m": F.sum("m").over(wr).cast("long"),
+        "cummax_t": F.max("t").over(wr).cast("long"),
+        "cummax_excl_t": F.max("t").over(wx).cast("long"),
+        "prev_t": F.lag("t").over(w).cast("long"),
+    }
+    return {
+        r["id"]: tuple(r[e] for e in exprs)
+        for r in df.select(
+            "id", *[cols[e].alias(e) for e in exprs]
+        ).collect()
+    }
+
+
+@pytest.mark.parametrize("nparts", [1, 3, 17])
+@pytest.mark.parametrize("seed,vmax", [(1, 30), (2, 10**13)])
+def test_ranged_scan_equals_global_window(spark, nparts, seed, vmax):
+    """rank + cumsum + inclusive/exclusive max + lag, identical to the
+    global-window reference — heavy ties (vmax=30) and near-unique wide
+    domains (1e13), 1/3/17 partitions."""
+    rng = random.Random(seed)
+    rows = [
+        (i, rng.randint(-5, vmax), rng.randint(-9, 9), rng.randint(0, 400))
+        for i in range(1500)
+    ]
+    df = spark.createDataFrame(rows, "id long, v long, m long, t long")
+    out = ranged_rank_cumsum(
+        df,
+        "v",
+        "id",
+        ("m",),
+        n_partitions=nparts,
+        max_cols=("t",),
+        lag_col="t",
+        max_cols_exclusive=("t",),
+    )
+    got = {
+        r["id"]: (r.rk, r.cum_m, r.cummax_t, r.cummax_excl_t, r.prev_t)
+        for r in out.collect()
+    }
+    want = _ref(df, ["rk", "cum_m", "cummax_t", "cummax_excl_t", "prev_t"])
+    assert got == want
+
+
+def test_ranged_scan_plan_has_no_global_window(spark):
+    from nocouncil_etl_spark.plancheck import plan_has_global_window
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") * 37 % 1001).alias("v"), F.lit(1).alias("m")
+    )
+    out = ranged_rank_cumsum(df, "v", "id", ("m",))
+    out.collect()
+    assert not plan_has_global_window(out)
+
+
+def test_dense_cumsum_matches_running_sum(spark):
+    df = spark.range(1, 20001).select(
+        F.col("id").alias("j"), (F.col("id") % 13 - 3).alias("l")
+    )
+    got = {r.j: r.cum for r in dense_cumsum(df, "j", "l").collect()}
+    run = 0
+    for j in range(1, 20001):
+        run += j % 13 - 3
+        assert got[j] == run
+
+
+def test_domain_shift_sizes_levels_to_span(spark):
+    narrow = spark.createDataFrame([(5,), (9,), (7,)], "_v long")
+    mn, lv = _domain_shift(narrow, "_v")
+    assert mn == 5 and lv == 3  # span 5 → 3 bits
+    wide = spark.createDataFrame([(0,), (10**14,)], "_v long")
+    _, lv2 = _domain_shift(wide, "_v")
+    assert 2**lv2 > 10**14
+    empty = spark.createDataFrame([], "_v long")
+    assert _domain_shift(empty, "_v") == (0, 1)
+
+
+def test_cumulate_auto_levels_wide_domain_exact(spark):
+    """Regression for the 31-level truncation bug: micro-timestamp-sized
+    domains must cumulate exactly under the auto-sized default."""
+    rng = random.Random(11)
+    rows = [(rng.randint(0, 10**14), rng.randint(1, 5)) for _ in range(400)]
+    agg = {}
+    for v, c in rows:
+        agg[v] = agg.get(v, 0) + c
+    hist = spark.createDataFrame(list(agg.items()), "val long, c long")
+    got = {r["val"]: r["cum_c"] for r in cumulate(hist, "val", ("c",)).collect()}
+    run = 0
+    for v in sorted(agg):
+        run += agg[v]
+        assert got[v] == run
+
+
+def test_with_global_rank_negative_values(spark):
+    rows = [(i, (i * 7919) % 100 - 50) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {r.id: r.rk for r in with_global_rank(df, "v", "id").collect()}
+    want = {
+        r.id: r.rk
+        for r in df.select(
+            "id",
+            F.row_number().over(Window.orderBy("v", "id")).cast("long").alias("rk"),
+        ).collect()
+    }
+    assert got == want
