@@ -3,17 +3,22 @@
 Engine facade verb — one implementation of the index arithmetic (the
 shared-operator contract from the gapfill advice item).
 
-Two forms:
+Two normalization forms plus the round-7 scan toolbox:
 
-- ``quantile_normalize_frame`` — per-row pooled order statistic via a
-  global row_number (single-partition window on the POOLED side; exact,
-  fine up to mid scale, the WindowExec warning in the bench tail).
-- ``quantile_normalize_grid`` — the 100 TB form the docstring below always
-  promised: rows map to a FIXED G-point quantile grid, and the grid's
-  pooled order statistics are computed with NO global sort — a
-  histogram + Fenwick-style binary prefix decomposition turns
-  "count of rows ≤ v" into an equi-join of O(log D) aligned blocks per
-  distinct value, all map-side-combined aggregates and keyed joins.
+- ``quantile_normalize_frame`` — per-row pooled order statistics; since
+  r7 the pooled rank rides the range-partitioned two-phase scan (no
+  single-partition window anywhere).
+- ``quantile_normalize_grid`` — rows map to a FIXED G-point quantile
+  grid; the grid's pooled order statistics come from the Fenwick prefix
+  decomposition ("count of rows ≤ v" = an equi-join of O(log D) aligned
+  blocks per distinct value).
+- the scan toolbox every rank/cumsum/lag query in the catalog stands on:
+  ``prefix_sums``/``cumulate`` (Fenwick cumulative sums, domain-sized
+  levels), ``with_below``/``midrank2``/``with_global_rank``/
+  ``ntile_from_rank`` (rank statistics), ``cummax_exclusive`` (Fenwick
+  running max), ``dense_cumsum`` (two-phase scan for contiguous
+  generated ranges), and ``ranged_rank_cumsum`` (range-partitioned
+  two-phase scan: rank/sums/max/lag for near-unique domains).
 """
 
 from __future__ import annotations
@@ -30,9 +35,10 @@ def quantile_normalize_frame(
     singleton) — pure integer arithmetic over (value, id) total orders.
     Returns (id_col, group_col, orig, normalized), both BIGINT.
 
-    Scale: one window sort per group + one global sort for the pooled
-    order statistics + an equi-join on the index; swap the pooled side
-    for a fixed quantile grid at 100 TB (same join shape)."""
+    Scale (r7): one window sort per group; the pooled order statistics
+    come from the range-partitioned two-phase scan (ranged_rank_cumsum —
+    no global sort, no single-partition stage) + an equi-join on the
+    index."""
     src = df.select(
         F.col(id_col).alias("_id"),
         F.col(group_col).alias("_g"),
@@ -51,13 +57,12 @@ def quantile_normalize_frame(
         .cast("long")
         .alias("_ns"),
     )
-    pooled = src.select(
-        F.col("_v").alias("_pv"),
-        F.row_number()
-        .over(Window.orderBy("_v", "_id"))
-        .cast("long")
-        .alias("_prow"),
-    )
+    pooled = ranged_rank_cumsum(
+        src.select(F.col("_v").alias("_pv"), F.col("_id").alias("_poolid")),
+        "_pv",
+        "_poolid",
+        rank_col="_prow",
+    ).select("_pv", "_prow")
     n = src.count()  # one scalar — the table size, not data
     idx = ranked.select(
         "_id",
@@ -527,7 +532,11 @@ def ranged_rank_cumsum(
     on histogram-shaped domains prefer the Fenwick form (no range
     shuffle, no second action). Partition boundaries come from range
     sampling and affect only placement, never the ranks/sums; empty
-    partitions are skipped in the offset walk.
+    partitions are skipped in the offset walk. String keys are supported
+    (range partitioning is type-generic) with one caveat: the driver-side
+    offset ordering uses Python comparison, which matches Spark's binary
+    UTF-8 string order for ASCII keys — map non-ASCII keys to an integer
+    surrogate first.
 
     Optional extras ride the same two phases: ``max_cols`` adds
     inclusive running maxima (``cummax_<m>``: partition-local window max

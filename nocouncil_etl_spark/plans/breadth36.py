@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
-from nocouncil_etl_spark.operators.quantiles import cumulate
+from nocouncil_etl_spark.operators.quantiles import cumulate, ranged_rank_cumsum
 from nocouncil_etl_spark.plans.graph_plans import _EDGES_SQL, _graph
 from nocouncil_etl_spark.registry import query
 
@@ -163,20 +163,21 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical Wagner-Fischer edit distance (parity established by
     the fuzzy-blocking family).
 
-    Scale shape: the rank window runs on the part DIMENSION (catalog-
-    sized; at 100 TB use the grid-rank recipe from
-    eval_average_precision to avoid the single-task sort), and the
-    window join is rank-equi with a {SNM_W}-row offset fan-out — no
-    inequality join, no quadratic blowup."""
+    Scale shape (r7): the blocking rank rides the range-partitioned
+    two-phase scan — a DISTRIBUTED range sort, no single-task window at
+    any catalog size — and the neighborhood join is rank-equi with a
+    {SNM_W}-row offset fan-out — no inequality join, no quadratic
+    blowup."""
     p = load(spark, sf_dir, "part")
-    ranked = p.select(
-        "p_partkey",
+    # r7: the blocking-key rank via the range-partitioned two-phase scan
+    # (ASCII key, so driver-side offset ordering matches Spark's binary
+    # string order) — the sort is still the algorithm, but it is now a
+    # DISTRIBUTED range sort, never a single-partition window
+    ranked = ranged_rank_cumsum(
+        p.select("p_partkey", "p_name", "p_brand"),
         "p_name",
-        "p_brand",
-        F.row_number()
-        .over(Window.orderBy("p_name", "p_partkey"))
-        .cast("long")
-        .alias("rk"),
+        "p_partkey",
+        rank_col="rk",
     )
     offs = spark.range(1, SNM_W + 1).select(F.col("id").alias("o"))
     a = ranked.select(

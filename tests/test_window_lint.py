@@ -40,23 +40,16 @@ REG = load_all()
 
 ROW_CAP = 1200
 
-# Documented exceptions — each carries its justification in the operator's
-# own docstring; keep this list SHORT (verdict: "< ~15 names"). After the
-# round-7 Fenwick refactor (42 offenders converted to prefix-sum joins +
-# tie-block windows; see operators/quantiles.cumulate/with_global_rank/
-# cummax_exclusive) only three remain:
-WHITELIST: dict[str, str] = {
-    # exact quantiles need a total order over raw values by definition;
-    # the scale path is the grid/Fenwick twin (curation_quantile_
-    # normalize_grid), plan-asserted sort-free in test_quantile_grid.py.
-    "agg_percentile_exact_rank": "exact-quantile anchor; grid twin is the scale path",
-    "curation_quantile_normalize": "exact twin of the grid normalizer",
-    # sorted-neighborhood blocking sorts a STRING key — the sort is the
-    # algorithm (Hernández & Stolfo); the Fenwick machinery needs an
-    # integer domain. At 100 TB: range-partitioned sort + boundary
-    # overlap, per the operator docstring.
-    "dedup_sorted_neighborhood": "string-keyed sort IS the blocking algorithm",
-}
+# Documented exceptions — each would carry its justification in the
+# operator's own docstring. The round-6 verdict expected "< ~15 names";
+# after the round-7 refactor (42 offenders onto Fenwick prefix aggregates,
+# the rest onto the range-partitioned two-phase scan — including the last
+# three holdouts: quantile_normalize_frame's pooled rank, the exact-rank
+# percentile anchor's now-partitioned windows, and the string-keyed
+# sorted-neighborhood blocker) the whitelist is EMPTY. Keep the mechanism:
+# a future query with a justified global window adds itself here with a
+# reason string.
+WHITELIST: dict[str, str] = {}
 
 
 def _offenders(df):
