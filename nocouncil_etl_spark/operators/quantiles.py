@@ -559,8 +559,17 @@ def ranged_rank_cumsum(
     d = d.localCheckpoint(eager=False)  # pin the partitioning for both phases
     aggs = [
         F.count(F.lit(1)).cast("long").alias("_pc"),
-        F.min(value_col).alias("_pmn"),
-        F.min(id_col).alias("_pid_mn"),
+        # the TRUE min composite key per partition — min(struct) compares
+        # lexicographically exactly like the range partitioner, so sorting
+        # the offset table by it reconstructs partition order even when a
+        # value tie block spans a boundary and the later partition also
+        # holds a larger value with a smaller id (min(value), min(id)
+        # computed separately got that case wrong — r7 advice, high)
+        F.min(
+            F.struct(
+                F.col(value_col).alias("v"), F.col(id_col).alias("i")
+            )
+        ).alias("_pmin"),
     ] + [F.sum(m).cast("long").alias(f"_ps_{m}") for m in measure_cols]
     aggs += [
         F.max(m).alias(f"_pm_{m}")
@@ -573,7 +582,10 @@ def ranged_rank_cumsum(
             ).alias("_plast")
         )
     offs_rows = d.groupBy("_pid").agg(*aggs).collect()
-    offs_rows.sort(key=lambda r: (r["_pmn"], r["_pid_mn"]))
+    # None-first wrapper: NULL keys range-partition first in Spark, and
+    # Python cannot compare None with int/str (r7 advice, low)
+    nf = lambda x: (0,) if x is None else (1, x)  # noqa: E731
+    offs_rows.sort(key=lambda r: (nf(r["_pmin"]["v"]), nf(r["_pmin"]["i"])))
     allmax = tuple(dict.fromkeys(max_cols + max_cols_exclusive))
     run_c = 0
     runs_m = {m: 0 for m in measure_cols}
