@@ -38,7 +38,11 @@ HEADLINE: list[str] = [
     "vec_knn_lsh_multi",     # OR-amplified multi-table ANN (the recall path)
     "vec_knn_hamming_packed",# binary codes: xor+popcount brute force (32x compression)
     "vec_knn_from_index",    # materialized-index cold path (build+publish+search)
-    "vec_knn_index_kmeans",  # trained-IVF: k-means cells pinned in the artifact
+    "vec_knn_index_kmeans_build",  # trained-IVF BUILD: quantize → k-means
+                             # train → pin cells → write artifact; rebuilds
+                             # every sample, so this is the true nightly-build
+                             # cost in isolation (r7/r8 verdicts: the old
+                             # conflated cold entry hid the build/query split)
     "vec_knn_index_kmeans_serve",  # trained-IVF SERVING: manifest-validated
                              # artifact reuse — warm calls never retrain
                              # (first run publishes; median-of-3 reports the

@@ -365,8 +365,23 @@ def with_global_rank(
     window (hash by value) — every stage is hash-partitioned, so the
     plan survives any row count (per-partition work is one tie block;
     heavy ties distribute across values). Identical output to
-    ``row_number().over(Window.orderBy(value_col, id_col))``.
+    ``row_number().over(Window.orderBy(value_col, id_col))`` for
+    NON-NULL value_col; NULL values are a contract violation (the Fenwick
+    arithmetic has no NULL slot) and raise at execution time instead of
+    silently vanishing through the inner equi-join.
     Returns the input columns + rank_col (BIGINT)."""
+    df = df.withColumn(
+        value_col,
+        F.when(
+            F.col(value_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"with_global_rank: NULL {value_col} unsupported — "
+                    "filter or coalesce NULLs first"
+                )
+            ).cast(df.schema[value_col].dataType),
+        ).otherwise(F.col(value_col)),
+    )
     byv = df.groupBy(value_col).agg(
         F.count(F.lit(1)).cast("long").alias("_grc")
     )
@@ -475,8 +490,12 @@ def dense_cumsum(
     table (bounded driver state, the single-scalar-normalizer contract)
     and broadcast back. O(n) with no Fenwick explode — the right shape
     for generated sequences like log-factorial tables; use cumulate for
-    arbitrary (shuffled) value domains."""
+    arbitrary (shuffled) value domains. The _pid tag is evaluated by TWO
+    actions (the offset collect and the final join), so the input plan is
+    pinned with localCheckpoint — without it, only deterministic narrow
+    plans would assign the same partition ids twice."""
     d = df.withColumn("_pid", F.spark_partition_id())
+    d = d.localCheckpoint(eager=False)  # pin partition ids across actions
     offs_rows = (
         d.groupBy("_pid")
         .agg(F.sum(measure_col).alias("_ps"), F.min(value_col).alias("_mn"))
@@ -536,7 +555,9 @@ def ranged_rank_cumsum(
     (range partitioning is type-generic) with one caveat: the driver-side
     offset ordering uses Python comparison, which matches Spark's binary
     UTF-8 string order for ASCII keys — map non-ASCII keys to an integer
-    surrogate first.
+    surrogate first. NULL keys (range-partitioned first by Spark) and
+    float NaN keys (ordered last, above +inf, by Spark) are normalized to
+    matching driver-side sort tiers, so both are safe.
 
     Optional extras ride the same two phases: ``max_cols`` adds
     inclusive running maxima (``cummax_<m>``: partition-local window max
@@ -582,9 +603,19 @@ def ranged_rank_cumsum(
             ).alias("_plast")
         )
     offs_rows = d.groupBy("_pid").agg(*aggs).collect()
-    # None-first wrapper: NULL keys range-partition first in Spark, and
-    # Python cannot compare None with int/str (r7 advice, low)
-    nf = lambda x: (0,) if x is None else (1, x)  # noqa: E731
+
+    # Driver-side ordering wrapper matching Spark's total order exactly:
+    # NULL keys range-partition FIRST (Python cannot compare None with
+    # int/str), and float NaN orders LAST (greater than +inf in Spark;
+    # unordered under Python comparison, so raw list.sort would silently
+    # mis-order — r8 advice, low).
+    def nf(x):
+        if x is None:
+            return (0,)
+        if isinstance(x, float) and x != x:  # NaN
+            return (2,)
+        return (1, x)
+
     offs_rows.sort(key=lambda r: (nf(r["_pmin"]["v"]), nf(r["_pmin"]["i"])))
     allmax = tuple(dict.fromkeys(max_cols + max_cols_exclusive))
     run_c = 0

@@ -190,7 +190,12 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     final = state["df"]
-    out = final.sparkSession.createDataFrame(final.collect(), final.schema)
+    # Detach the returned frame from the stopped stream's lineage WITHOUT
+    # materializing the keyed state on the driver: localCheckpoint pins the
+    # blocks executor-side (the engine idiom, plans/breadth82.py). The state
+    # dimension is (user, event_type) — exactly what must never be
+    # collect()ed at 100 TB (r7/r8 verdicts).
+    out = final.localCheckpoint(eager=True)
     final.unpersist()
     return out
 

@@ -50,11 +50,24 @@ def test_grid_plan_has_no_single_partition_window(spark, sf_dir):
     assert not _has_global_window(df)
 
 
-def test_detector_flags_exact_twin_global_window(spark, sf_dir):
-    """Sanity for the detector itself: the exact twin DOES pool order
-    statistics through a global window."""
-    df = REG["curation_quantile_normalize"].fn(spark, sf_dir)
+def test_detector_flags_synthetic_global_window(spark):
+    """Sanity for the detector itself against a frame that genuinely plans a
+    single-partition WindowExec. (The exact twin used to be the specimen, but
+    the round-7 window purge de-windowed `curation_quantile_normalize` — the
+    engine no longer ships any global-window plan, which is the point.)"""
+    from pyspark.sql import Window
+
+    df = spark.range(100).withColumn(
+        "rk", F.row_number().over(Window.orderBy("id"))
+    )
     assert _has_global_window(df)
+
+
+def test_detector_exact_twin_has_no_global_window(spark, sf_dir):
+    """The exact twin itself is windowless post-purge (range-partitioned
+    two-phase scan), and must stay that way."""
+    df = REG["curation_quantile_normalize"].fn(spark, sf_dir)
+    assert not _has_global_window(df)
 
 
 def test_prefix_counts_match_bruteforce(spark):

@@ -71,6 +71,85 @@ def test_ranged_scan_equals_global_window(spark, nparts, seed, vmax):
     assert got == want
 
 
+def test_ranged_scan_boundary_spanning_tie_block(spark):
+    """Deterministic regression for the r8 composite-min fix
+    (operators/quantiles.py:568): a 100-row value-tie block (v=5, ids
+    100-199) forced across range-partition boundaries (4 partitions over
+    103 rows) PLUS a later partition holding a larger value with smaller
+    ids (v=9, ids 0-2). The pre-fix offset ordering — (min(value),
+    min(id)) as SEPARATE aggregates — sorts the v=9 partition (min id 0)
+    before the tail of the tie block (min id > 0), corrupting every
+    rank/cumsum/cummax/lag downstream of the boundary. The composite
+    min(struct(value, id)) orders exactly like the range partitioner."""
+    rows = [(i, 5, 1, i % 7) for i in range(100, 200)]  # tie block
+    rows += [(i, 9, 1, 50 + i) for i in range(3)]  # larger v, smaller ids
+    df = spark.createDataFrame(rows, "id long, v long, m long, t long")
+    out = ranged_rank_cumsum(
+        df,
+        "v",
+        "id",
+        ("m",),
+        n_partitions=4,
+        max_cols=("t",),
+        lag_col="t",
+        max_cols_exclusive=("t",),
+    )
+    got = {
+        r["id"]: (r.rk, r.cum_m, r.cummax_t, r.cummax_excl_t, r.prev_t)
+        for r in out.collect()
+    }
+    want = _ref(df, ["rk", "cum_m", "cummax_t", "cummax_excl_t", "prev_t"])
+    assert got == want
+
+
+def test_ranged_scan_heavy_tie_stress_randomized(spark):
+    """500-row heavy-tie stress (few distinct values → every boundary
+    lands inside a tie block) across awkward partition counts."""
+    rng = random.Random(42)
+    rows = [
+        (i, rng.choice([2, 5, 5, 5, 9]), rng.randint(-3, 3), rng.randint(0, 50))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, v long, m long, t long")
+    for nparts in (4, 7):
+        out = ranged_rank_cumsum(
+            df, "v", "id", ("m",), n_partitions=nparts,
+            max_cols=("t",), lag_col="t", max_cols_exclusive=("t",),
+        )
+        got = {
+            r["id"]: (r.rk, r.cum_m, r.cummax_t, r.cummax_excl_t, r.prev_t)
+            for r in out.collect()
+        }
+        want = _ref(df, ["rk", "cum_m", "cummax_t", "cummax_excl_t", "prev_t"])
+        assert got == want
+
+
+def test_ranged_scan_all_null_value_partition(spark):
+    """NULL value_col rows range-partition FIRST in Spark; the driver
+    offset sort must put the all-NULL partition first via the None-first
+    wrapper instead of raising TypeError (r7 advice, low). Reference:
+    Window.orderBy sorts NULLs first by default, same total order."""
+    rows = [(i, None, 1) for i in range(40)] + [
+        (i, (i * 13) % 9, 1) for i in range(40, 160)
+    ]
+    df = spark.createDataFrame(rows, "id long, v long, m long")
+    out = ranged_rank_cumsum(df, "v", "id", ("m",), n_partitions=5)
+    got = {r["id"]: (r.rk, r.cum_m) for r in out.collect()}
+    w = Window.orderBy(F.asc_nulls_first("v"), "id")
+    want = {
+        r["id"]: (r.rk, r.cum_m)
+        for r in df.select(
+            "id",
+            F.row_number().over(w).cast("long").alias("rk"),
+            F.sum("m")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long")
+            .alias("cum_m"),
+        ).collect()
+    }
+    assert got == want
+
+
 def test_ranged_scan_plan_has_no_global_window(spark):
     from nocouncil_etl_spark.plancheck import plan_has_global_window
 
@@ -118,6 +197,59 @@ def test_cumulate_auto_levels_wide_domain_exact(spark):
     for v in sorted(agg):
         run += agg[v]
         assert got[v] == run
+
+
+def test_ranged_scan_nan_value_partitions(spark):
+    """Float NaN value_col: Spark orders NaN LAST (above +inf); the
+    driver offset sort normalizes NaN to a last tier instead of letting
+    unordered Python NaN comparisons silently scramble list.sort (r8
+    advice, low)."""
+    rows = [(i, float((i * 13) % 9), 1) for i in range(120)]
+    rows += [(i, float("nan"), 1) for i in range(120, 200)]
+    rows += [(i, float("inf"), 1) for i in range(200, 210)]
+    df = spark.createDataFrame(rows, "id long, v double, m long")
+    out = ranged_rank_cumsum(df, "v", "id", ("m",), n_partitions=6)
+    got = {r["id"]: (r.rk, r.cum_m) for r in out.collect()}
+    w = Window.orderBy("v", "id")  # Spark window also orders NaN last
+    want = {
+        r["id"]: (r.rk, r.cum_m)
+        for r in df.select(
+            "id",
+            F.row_number().over(w).cast("long").alias("rk"),
+            F.sum("m")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long")
+            .alias("cum_m"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_with_global_rank_raises_on_null_value(spark):
+    """Contract: NULL value_col is rejected loudly at execution time
+    instead of silently dropping rows through the inner equi-join."""
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 7)], "id long, v long"
+    )
+    with pytest.raises(Exception, match="NULL v unsupported"):
+        with_global_rank(df, "v", "id").collect()
+
+
+def test_dense_cumsum_pinned_partition_ids(spark):
+    """dense_cumsum's _pid tag feeds two actions; the localCheckpoint pin
+    must keep results exact even when the input plan involves a shuffle
+    (round-robin repartition is the canonical nondeterministic case)."""
+    df = (
+        spark.range(1, 5001)
+        .repartitionByRange(8, "id")  # contiguous intervals, via a shuffle
+        .sortWithinPartitions("id")
+        .select(F.col("id").alias("j"), (F.col("id") % 7 - 2).alias("l"))
+    )
+    got = {r.j: r.cum for r in dense_cumsum(df, "j", "l").collect()}
+    run = 0
+    for j in range(1, 5001):
+        run += j % 7 - 2
+        assert got[j] == run
 
 
 def test_with_global_rank_negative_values(spark):
