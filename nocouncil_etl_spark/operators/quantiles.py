@@ -687,3 +687,94 @@ def ranged_rank_cumsum(
         *[f"_mx_{m}" for m in allmax],
         *((["_prevlast"]) if lag_col is not None else []),
     )
+
+
+def ranged_group_rank_cumsum(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    measure_cols: tuple[str, ...] = (),
+    rank_col: str = "rk",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """PER-GROUP rank (row_number over (value, id) within each group) and
+    inclusive running sums, with NO per-group single-task sort: the
+    grouped sibling of ``ranged_rank_cumsum``. A plain
+    ``Window.partitionBy(group).orderBy(value)`` puts each group's WHOLE
+    frame in one task — fine for high-cardinality keys, fatal when a
+    handful of groups carry the corpus (3 return flags over 100 TB).
+
+    Range-partition on (group, value, id) — every partition holds one
+    contiguous slice of the composite order, so a group larger than a
+    partition spans SEVERAL partitions and no task ever sees more than
+    its slice. Per-(partition, group) counts/sums collect to a driver
+    offset table bounded by #partitions + #groups rows (contiguity: a
+    partition can only start/continue one group mid-slice per neighbor),
+    walked independently per group in (min(value), min(id)) order with
+    the same composite-min + None-first/NaN-last machinery as the
+    ungrouped scan. Output identical to
+    ``row_number()/sum() OVER (PARTITION BY group ORDER BY value, id)``.
+    """
+    spark = df.sparkSession
+    nparts = n_partitions or max(
+        2, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    )
+    d = (
+        df.repartitionByRange(
+            nparts, F.col(group_col), F.col(value_col), F.col(id_col)
+        )
+        .sortWithinPartitions(group_col, value_col, id_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    d = d.localCheckpoint(eager=False)  # pin partitioning for both phases
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("_pc"),
+        F.min(
+            F.struct(F.col(value_col).alias("v"), F.col(id_col).alias("i"))
+        ).alias("_pmin"),
+    ] + [F.sum(m).cast("long").alias(f"_ps_{m}") for m in measure_cols]
+    offs_rows = d.groupBy("_pid", group_col).agg(*aggs).collect()
+
+    def nf(x):
+        if x is None:
+            return (0,)
+        if isinstance(x, float) and x != x:  # NaN orders last in Spark
+            return (2,)
+        return (1, x)
+
+    by_group: dict = {}
+    for r in offs_rows:
+        by_group.setdefault(r[group_col], []).append(r)
+    table = []
+    for g, rows in by_group.items():
+        rows.sort(key=lambda r: (nf(r["_pmin"]["v"]), nf(r["_pmin"]["i"])))
+        run_c = 0
+        runs_m = {m: 0 for m in measure_cols}
+        for r in rows:
+            table.append(
+                (int(r["_pid"]), g, run_c)
+                + tuple(runs_m[m] for m in measure_cols)
+            )
+            run_c += int(r["_pc"])
+            for m in measure_cols:
+                runs_m[m] += int(r[f"_ps_{m}"])
+    gtype = df.schema[group_col].dataType.simpleString()
+    schema = f"_pid int, {group_col} {gtype}, _off_c long" + "".join(
+        f", _off_{m} long" for m in measure_cols
+    )
+    offs = spark.createDataFrame(table, schema)
+    wloc = Window.partitionBy("_pid", group_col).orderBy(value_col, id_col)
+    wrun = wloc.rowsBetween(Window.unboundedPreceding, 0)
+    out = d.join(F.broadcast(offs), ["_pid", group_col]).withColumn(
+        rank_col,
+        (F.col("_off_c") + F.row_number().over(wloc)).cast("long"),
+    )
+    for m in measure_cols:
+        out = out.withColumn(
+            f"cum_{m}",
+            (F.col(f"_off_{m}") + F.sum(m).over(wrun)).cast("long"),
+        )
+    return out.drop(
+        "_pid", "_off_c", *[f"_off_{m}" for m in measure_cols]
+    )

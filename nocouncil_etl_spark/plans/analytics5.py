@@ -60,24 +60,32 @@ def agg_percentile_exact_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     share the picked value regardless of tie order, so row_number's
     nondeterminism among ties is invisible in the output.
 
-    Scale shape: one partition-keyed sort (the same shuffle any window op
-    pays) + a trivial agg — group values stream through the sort, NEVER
-    into one aggregation buffer. Spark's exact percentile() aggregate
-    holds each group's values in memory (OOM at 100 TB group sizes);
-    this is the distributed-exact alternative, with percentile_approx
-    (agg_approx_sketches) as the one-pass sketch sibling."""
+    Scale shape (r9): per-group ranks via the GROUPED range-partitioned
+    two-phase scan (operators/quantiles.ranged_group_rank_cumsum) — a
+    plain partitionBy(flag) window puts each flag's WHOLE frame in one
+    task, and with only 3 flags that is 3 single-task sorts of a third
+    of the corpus each (measured 3.9x at 10x data before the swap; the
+    flag-keyed window was the documented interim). Now no task ever
+    holds more than one range slice, at any group cardinality. Spark's
+    exact percentile() aggregate is still worse (one buffer per group);
+    percentile_approx (agg_approx_sketches) is the one-pass sketch
+    sibling."""
+    from nocouncil_etl_spark.operators.quantiles import (
+        ranged_group_rank_cumsum,
+    )
+
     li = load(spark, sf_dir, "lineitem").select(
-        "l_returnflag", F.col("l_extendedprice").alias("v")
-    )
-    w = Window.partitionBy("l_returnflag").orderBy("v")
-    r = li.select(
         "l_returnflag",
-        "v",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy("l_returnflag")
-        ).alias("n"),
+        F.col("l_extendedprice").alias("v"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("_rid"),
     )
+    rk = ranged_group_rank_cumsum(
+        li, "l_returnflag", "v", "_rid", rank_col="rn"
+    ).drop("_rid")
+    cnt = rk.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    r = rk.join(F.broadcast(cnt), "l_returnflag")
     picks = [
         F.max(
             F.when(

@@ -27,7 +27,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
-from nocouncil_etl_spark.operators.quantiles import ntile_from_rank, with_global_rank
+from nocouncil_etl_spark.operators.quantiles import (
+    ntile_from_rank,
+    ranged_rank_cumsum,
+    with_global_rank,
+)
 from nocouncil_etl_spark.registry import query
 
 MIN_PAIR_SUPPORT = 3  # absolute co-occurrence count floor
@@ -180,10 +184,10 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the 4×4×4 segment census, not per-customer rows.
 
     Scale shape: one orders hash-agg to per-customer rows (|customers| ≪
-    |orders|), three Fenwick rank passes over that reduced frame (r7 —
-    no global sorts),
-    one final hash-agg to ≤64 rows. The max-date anchor is a 1-row
-    broadcast."""
+    |orders|), then a rank pass per metric over that reduced frame — two
+    Fenwick passes (recency/frequency: histogram domains) + one ranged
+    scan (monetary cents: near-unique), no global sorts — and one final
+    hash-agg to ≤64 rows. The max-date anchor is a 1-row broadcast."""
     od = load(spark, sf_dir, "orders")
     anchor = od.agg(F.max("o_orderdate").alias("mx"))
     cust = od.groupBy("o_custkey").agg(
@@ -201,8 +205,12 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary_cents",
     )
-    # r7: ntile without global sorts — with_global_rank per metric
-    # (desc recency ≡ asc negated recency) + closed-form ntile arithmetic
+    # r7: ntile without global sorts — a rank pass per metric + closed-form
+    # ntile arithmetic. r9: recency/frequency are HISTOGRAM-shaped domains
+    # (days, order counts) → Fenwick with_global_rank; monetary_cents is
+    # NEAR-UNIQUE → the range-partitioned two-phase scan (the encoded
+    # domain rule; the all-Fenwick form paid the O(levels) explode on the
+    # cents domain for nothing).
     tot = cust.agg(F.count(F.lit(1)).cast("long").alias("n"))
     t = with_global_rank(
         cust.withColumn("neg_rec", -F.col("recency_days")),
@@ -211,7 +219,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rr",
     )
     t = with_global_rank(t, "frequency", "o_custkey", "fr")
-    t = with_global_rank(t, "monetary_cents", "o_custkey", "mr")
+    t = ranged_rank_cumsum(t, "monetary_cents", "o_custkey", rank_col="mr")
     scored = t.crossJoin(F.broadcast(tot)).select(
         "o_custkey",
         "recency_days",

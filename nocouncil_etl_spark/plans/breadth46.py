@@ -705,16 +705,24 @@ def agg_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(span.select("nw")))
         .select(
             "rev",
+            # DECIMAL(30,0) intermediates: 1e6 * cum overflows BIGINT once
+            # total revenue cents passes ~9.2e12 (hit at sf1 — found by the
+            # r9 scale run); div on decimals is exact and returns BIGINT
             F.expr(
-                "CASE WHEN (1000000 * cum) div tot <= 700000 THEN 'A'"
-                " WHEN (1000000 * cum) div tot <= 900000 THEN 'B'"
+                "CASE WHEN (CAST(cum AS DECIMAL(30,0)) * 1000000) div tot"
+                " <= 700000 THEN 'A'"
+                " WHEN (CAST(cum AS DECIMAL(30,0)) * 1000000) div tot"
+                " <= 900000 THEN 'B'"
                 " ELSE 'C' END"
             ).alias("abc"),
             F.expr(
-                "CASE WHEN (nw * sq2 - tq * tq) * 1000000"
-                " <= 250000 * tq * tq THEN 'X'"
-                " WHEN (nw * sq2 - tq * tq) * 1000000"
-                " <= 1000000 * tq * tq THEN 'Y' ELSE 'Z' END"
+                "CASE WHEN (CAST(nw AS DECIMAL(30,0)) * sq2"
+                " - CAST(tq AS DECIMAL(30,0)) * tq) * 1000000"
+                " <= 250000 * (CAST(tq AS DECIMAL(30,0)) * tq) THEN 'X'"
+                " WHEN (CAST(nw AS DECIMAL(30,0)) * sq2"
+                " - CAST(tq AS DECIMAL(30,0)) * tq) * 1000000"
+                " <= 1000000 * (CAST(tq AS DECIMAL(30,0)) * tq)"
+                " THEN 'Y' ELSE 'Z' END"
             ).alias("xyz"),
         )
     )

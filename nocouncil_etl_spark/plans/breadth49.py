@@ -263,6 +263,11 @@ def layout_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     keyed = norm.withColumn("mz", F.expr(_morton_sql("cx", "cy", "div")))
+    # r9: keyed fans out into SEVEN downstream evaluations (the count, two
+    # rank passes each reading it twice, the hit filter) — without a pin
+    # the whole scan+normalize+morton pipeline re-executed per consumer
+    # (measured 3.9x at 10x data; 23 s → ~6 s at sf1 with the pin)
+    keyed = keyed.localCheckpoint(eager=True)
     n = keyed.count()
 
     # r7: the file-bucket assignment needs the global layout rank; both

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
-from nocouncil_etl_spark.operators.quantiles import with_below
+from nocouncil_etl_spark.operators.quantiles import ranged_rank_cumsum
 from nocouncil_etl_spark.plans.breadth15 import _pt, _pt_sql
 from nocouncil_etl_spark.registry import query
 
@@ -419,17 +419,18 @@ def io_bloom_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant work per bucket against broadcast probe positions."""
     o = load(spark, sf_dir, "orders")
     n = o.count()
-    # r7: the key-order file bucket via Fenwick prefix counts (order keys
-    # are unique, rank = below + 1) — no global sort
-    byid = o.groupBy("o_orderkey").agg(
-        F.count(F.lit(1)).cast("long").alias("_c")
-    )
-    rk_tab = with_below(byid, "o_orderkey", "_c").select(
-        "o_orderkey", F.col("below").alias("_r0")
-    )
-    ob = o.join(rk_tab, "o_orderkey").select(
+    # r9: the key-order file bucket via the range-partitioned two-phase
+    # scan — order keys are UNIQUE, the domain where the r7 Fenwick pass
+    # paid its O(levels) explode per key for nothing (13.6 s → ~5 s at
+    # sf1, factor 2.9x → ~1x). No global sort either way.
+    ob = ranged_rank_cumsum(
+        o.select("o_custkey", "o_orderkey"),
+        "o_orderkey",
+        "o_orderkey",
+        rank_col="_rk",
+    ).select(
         "o_custkey",
-        F.expr(f"(_r0 * {BF_BUCKETS}) div {n}").alias("b"),
+        F.expr(f"((_rk - 1) * {BF_BUCKETS}) div {n}").alias("b"),
     )
     # the probe key is the 7th-smallest distinct custkey: a bounded
     # TakeOrderedAndProject, not a ranked scan

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
-from nocouncil_etl_spark.operators.quantiles import with_global_rank
+from nocouncil_etl_spark.operators.quantiles import ranged_rank_cumsum
 from nocouncil_etl_spark.plans.breadth15 import _pt, _pt_sql
 from nocouncil_etl_spark.registry import query
 
@@ -531,23 +531,30 @@ def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mh").alias("mh0"), F.col("vh").alias("vh0"),
         F.col("prior").alias("pr0"),
     )
-    # r7: both permutation ranks via Fenwick prefix counts (event_id is
-    # unique, so the id-order rank needs no tie handling; the hash order
-    # tie-breaks by event_id inside with_global_rank) — no global sorts
-    ranked = with_global_rank(
-        with_global_rank(data, "event_id", "event_id", "r").withColumn(
-            "_ph", _pt("pfi#", F.col("event_id")) % 1_000_000_000
-        ),
+    # r9: both permutation ranks via the range-partitioned two-phase scan
+    # — event_id and the md5 hash are NEAR-UNIQUE domains, exactly where
+    # Fenwick pays its O(levels) explode per distinct value for nothing
+    # (the engine's encoded rule; same swap cut sample_systematic 6.8→1.9 s
+    # at sf1). No global sorts; ties (impossible on event_id, hash ties
+    # broken by event_id) handled identically.
+    ranked = ranged_rank_cumsum(
+        ranged_rank_cumsum(data, "event_id", "event_id", rank_col="r")
+        .withColumn("_ph", _pt("pfi#", F.col("event_id")) % 1_000_000_000),
         "_ph",
         "event_id",
-        "rp",
+        rank_col="rp",
     ).drop("_ph")
     bperm = ranked.select(
         F.col("rp").alias("rj"), F.col("v").alias("pv"), F.col("hr").alias("phr")
     )
-    perm0 = ranked.join(bperm, ranked.r == bperm.rj).select(
-        "y", "v", "hr", "pv", "phr"
-    )
+    # shuffle_hash hint: both sides are EVENTS-SIZED, but their size
+    # estimates degrade through the rank machinery and Spark elected to
+    # broadcast one — OOM at sf1 (found by the r9 scale run). Rank keys
+    # are unique and uniform, so a shuffled hash join is the right shape
+    # at any scale; never broadcast a fact-sized side.
+    perm0 = ranked.join(
+        bperm.hint("shuffle_hash"), ranked.r == bperm.rj
+    ).select("y", "v", "hr", "pv", "phr")
     accs = (
         perm0.select(F.lit("baseline").alias("feature"), "y",
                      F.col("v").alias("fv"), F.col("hr").alias("fh"))

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
-from nocouncil_etl_spark.operators.quantiles import with_below, with_global_rank
+from nocouncil_etl_spark.operators.quantiles import ranged_rank_cumsum, with_below
 from nocouncil_etl_spark.registry import query
 
 HASH_SPACE = float(1 << 60)
@@ -154,9 +154,10 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 'shuffled' corpus actually is. Counts stay BIGINT; mu/z are single
     identical double expressions.
 
-    Scale shape (r7): median from the value histogram, adjacency from a
-    consecutive-rank equi-join (Fenwick prefix counts — no global sort);
-    everything else is a 1-row reduce."""
+    Scale shape (r9): median from the value histogram (Fenwick — cents
+    are histogram-shaped); time-order adjacency from ONE ranged scan
+    carrying the lag (timestamps are near-unique — no Fenwick explode,
+    no self-join, no global sort); everything else is a 1-row reduce."""
     ev = load(spark, sf_dir, "events")
     v = ev.select(
         "ts", "event_id", F.round(F.col("value") * 100).cast("long").alias("c")
@@ -177,11 +178,14 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when(F.col("c") >= F.col("m"), 1).otherwise(0).alias("s"),
     )
-    rk = with_global_rank(signs, "tsu", "event_id", "r")
-    prev = rk.select((F.col("r") + 1).alias("r"), F.col("s").alias("prev"))
-    runs = rk.join(prev, "r", "left").select(
+    # r9: microsecond timestamps are NEAR-UNIQUE — the ranged scan carries
+    # the lag in the same two phases (prev_s: partition-local lag + the
+    # previous partition's last sign via the offset table), replacing the
+    # r7 Fenwick rank pass AND its consecutive-rank self-join outright
+    rk = ranged_rank_cumsum(signs, "tsu", "event_id", lag_col="s")
+    runs = rk.select(
         "s",
-        F.when(~F.col("prev").eqNullSafe(F.col("s")), 1)
+        F.when(~F.col("prev_s").eqNullSafe(F.col("s")), 1)
         .otherwise(0)
         .alias("new_run"),
     )

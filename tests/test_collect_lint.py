@@ -118,6 +118,9 @@ WHITELIST: dict[str, tuple[int, str]] = {
         4096, "#partitions-sized offset table, broadcast back"),
     f"{_P}/operators/quantiles.py:ranged_rank_cumsum": (
         4096, "#partitions-sized offset table, broadcast back"),
+    f"{_P}/operators/quantiles.py:ranged_group_rank_cumsum": (
+        8192, "(#partitions + #groups)-sized offset table (contiguous "
+              "composite ranges), broadcast back"),
     f"{_P}/operators/similarity.py:knn_exact_blocked": (
         65_537, "query side, size-guarded at MAX_BLOCKED_QUERIES+1"),
     f"{_P}/plans/breadth21.py:join_bloom_pruned": (

@@ -17,6 +17,7 @@ from nocouncil_etl_spark.operators.quantiles import (
     _domain_shift,
     cumulate,
     dense_cumsum,
+    ranged_group_rank_cumsum,
     ranged_rank_cumsum,
     with_global_rank,
 )
@@ -261,6 +262,83 @@ def test_with_global_rank_negative_values(spark):
         for r in df.select(
             "id",
             F.row_number().over(Window.orderBy("v", "id")).cast("long").alias("rk"),
+        ).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("nparts", [1, 4, 17])
+def test_ranged_group_rank_equals_partitioned_window(spark, nparts):
+    """Grouped scan vs Window.partitionBy(g).orderBy(v, id): FEW groups
+    (3, like return flags) each much larger than a range partition, heavy
+    ties, group boundaries inside partitions."""
+    rng = random.Random(7)
+    rows = [
+        (i, "ANR"[rng.randint(0, 2)], rng.randint(0, 40), rng.randint(-5, 5))
+        for i in range(1500)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v long, m long")
+    out = ranged_group_rank_cumsum(
+        df, "g", "v", "id", ("m",), n_partitions=nparts
+    )
+    got = {r["id"]: (r.rk, r.cum_m) for r in out.collect()}
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = {
+        r["id"]: (r.rk, r.cum_m)
+        for r in df.select(
+            "id",
+            F.row_number().over(w).cast("long").alias("rk"),
+            F.sum("m")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long")
+            .alias("cum_m"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ranged_group_rank_boundary_tie_block(spark):
+    """The r8 boundary bug class, grouped form: one group's value-tie
+    block spans partitions while a LATER group holds smaller values —
+    the per-group offset walk must not interleave groups."""
+    rows = [(i, "a", 5, 1) for i in range(100, 200)]
+    rows += [(i, "b", 1, 1) for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, g string, v long, m long")
+    out = ranged_group_rank_cumsum(df, "g", "v", "id", ("m",), n_partitions=4)
+    got = {r["id"]: (r.rk, r.cum_m) for r in out.collect()}
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = {
+        r["id"]: (r.rk, r.cum_m)
+        for r in df.select(
+            "id",
+            F.row_number().over(w).cast("long").alias("rk"),
+            F.sum("m")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long")
+            .alias("cum_m"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ranged_group_rank_null_values(spark):
+    """NULL value rows rank FIRST within their group (Spark default),
+    via the None-first wrapper in the per-group offset walk."""
+    rows = [(i, "xy"[i % 2], None if i < 20 else (i * 7) % 11, 1)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g string, v long, m long")
+    out = ranged_group_rank_cumsum(df, "g", "v", "id", ("m",), n_partitions=5)
+    got = {r["id"]: (r.rk, r.cum_m) for r in out.collect()}
+    w = Window.partitionBy("g").orderBy(F.asc_nulls_first("v"), "id")
+    want = {
+        r["id"]: (r.rk, r.cum_m)
+        for r in df.select(
+            "id",
+            F.row_number().over(w).cast("long").alias("rk"),
+            F.sum("m")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long")
+            .alias("cum_m"),
         ).collect()
     }
     assert got == want
