@@ -31,7 +31,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
-from nocouncil_etl_spark.operators.quantiles import with_below, with_global_rank
+from nocouncil_etl_spark.operators.quantiles import (
+    ranged_rank_cumsum,
+    with_global_rank,
+)
 from nocouncil_etl_spark.plans.graph_plans import _EDGES_SQL, _graph
 from nocouncil_etl_spark.registry import query
 
@@ -138,20 +141,16 @@ def dq_id_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sequence-integrity check that catches dropped ingest batches
     and id-generator skips (islands = n_gaps + 1).
 
-    Scale shape (r7): adjacency in id order comes from an equi-join on
-    consecutive Fenwick prefix-count ranks (ids are distinct, so
-    rank(id) = #ids ≤ id; the successor is the unique id at rank+1) —
-    the windowless form of lag(): hash aggregates + keyed joins only,
-    no global sort at any row count."""
+    Scale shape (r9): adjacency in id order via ONE ranged scan carrying
+    the lag (ids are UNIQUE — the ranged scan's domain; the r7 Fenwick
+    rank + consecutive-rank join paid the O(levels) explode and a second
+    shuffle for the same lag): no global sort at any row count."""
     k = load(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("id")
     ).distinct()
-    byid = k.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("_c"))
-    rk = with_below(byid, "id", "_c").select(
-        "id", (F.col("below") + 1).alias("r")
+    g = ranged_rank_cumsum(k, "id", "id", lag_col="id").select(
+        "id", F.col("prev_id").alias("prev")
     )
-    succ = rk.select(F.col("id").alias("prev"), (F.col("r") + 1).alias("r"))
-    g = rk.join(succ, "r").select("id", "prev")
     gaps = g.filter(F.col("id") - F.col("prev") > 1).select(
         (F.col("prev") + 1).alias("gap_start"),
         (F.col("id") - F.col("prev") - 1).alias("gap_len"),

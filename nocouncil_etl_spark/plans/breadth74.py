@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
-from nocouncil_etl_spark.operators.quantiles import cumulate, with_global_rank
+from nocouncil_etl_spark.operators.quantiles import cumulate, ranged_rank_cumsum
 from nocouncil_etl_spark.plans.breadth15 import _pt, _pt_sql
 from nocouncil_etl_spark.plans.retrieval_plans import _TOK_SPARK, _TOK_SQL
 from nocouncil_etl_spark.registry import query
@@ -83,8 +83,9 @@ def stat_wald_wolfowitz(spark: SparkSession, sf_dir: str) -> DataFrame:
     stat_cvm_two_sample (it trades power for generality). Run counting
     is one lag comparison; z uses the exact null moments.
 
-    Scale shape (r7): adjacency via a consecutive-rank equi-join on
-    Fenwick ranks (no global sort), one rollup."""
+    Scale shape (r9): adjacency via ONE ranged scan carrying the lag
+    over the (value, id) total order — no Fenwick explode, no
+    consecutive-rank self-join, no global sort; one rollup."""
     s = (
         load(spark, sf_dir, "events")
         .filter(
@@ -99,12 +100,11 @@ def stat_wald_wolfowitz(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # r7: lag over the (value, id) total order = equi-join on consecutive
-    # with_global_rank ranks — no global sort (left join keeps the first
-    # row's NULL prev, matching lag() semantics)
-    rk = with_global_rank(s, "x", "event_id", "r")
-    prev = rk.select((F.col("r") + 1).alias("r"), F.col("is_a").alias("prev"))
-    o = rk.join(prev, "r", "left").select("is_a", "prev")
+    # r9: lag over the (value, id) total order via the ranged scan's
+    # lag_col (prev NULL on the global first row, matching lag())
+    o = ranged_rank_cumsum(s, "x", "event_id", lag_col="is_a").select(
+        "is_a", F.col("prev_is_a").alias("prev")
+    )
     agg = o.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("is_a").cast("long").alias("n1"),

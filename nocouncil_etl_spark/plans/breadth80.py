@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import load
-from nocouncil_etl_spark.operators.quantiles import with_global_rank
+from nocouncil_etl_spark.operators.quantiles import ranged_rank_cumsum
 from nocouncil_etl_spark.registry import query
 
 OC_N, OC_C = 50, 2
@@ -234,18 +234,19 @@ def agg_inspection_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_burst_viterbi's state model). Gaps are exact epoch-microsecond
     integers; moments 128-bit.
 
-    Scale shape (r7): arrival adjacency via a consecutive-rank equi-join
-    on with_global_rank (Fenwick prefix counts + tie-block window — no
-    global sort), one 3-moment rollup."""
+    Scale shape (r9): arrival adjacency via ONE ranged scan carrying the
+    lag (µs timestamps are near-unique — no Fenwick explode, no
+    consecutive-rank self-join, no global sort), one 3-moment rollup."""
     ev = load(spark, sf_dir, "events")
-    rk = with_global_rank(
+    rk = ranged_rank_cumsum(
         ev.select(F.unix_micros("ts").alias("tsu"), "event_id"),
         "tsu",
         "event_id",
-        "r",
+        lag_col="tsu",
     )
-    prev = rk.select((F.col("r") + 1).alias("r"), F.col("tsu").alias("ptsu"))
-    g = rk.join(prev, "r").select((F.col("tsu") - F.col("ptsu")).alias("gap"))
+    g = rk.filter(F.col("prev_tsu").isNotNull()).select(
+        (F.col("tsu") - F.col("prev_tsu")).alias("gap")
+    )
     m = g.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("gap").cast("long").alias("s"),
