@@ -51,6 +51,24 @@ DDL: dict[str, str] = {
 }
 
 
+def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition ahead of an EXPLOSIVE transform (n-gram /
+    shingle / token explode), where output volume is orders of magnitude
+    larger than input bytes.
+
+    Scan parallelism follows input bytes (`spark.sql.files.maxPartitionBytes`)
+    — correct for scans, wrong for a 50 kB-compressed doc batch about to
+    explode into millions of gram rows: the whole explode lands in however
+    few tasks the scan produced (locally: ONE for a single small parquet
+    file; at 100 TB: one straggler per oversized text file). One cheap
+    shuffle of the compact input buys full-cluster parallelism for the
+    expensive stage. Default width = the session's shuffle parallelism."""
+    n = partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    return df.repartition(n)
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one synthetic table. Scans stay columnar/pushdown-friendly."""
     if table not in TABLES:

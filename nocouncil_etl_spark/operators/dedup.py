@@ -33,6 +33,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from nocouncil_etl_spark.io import fan_out
+
 
 def words(text: Column | str) -> Column:
     return F.split(text, " ")
@@ -333,7 +335,10 @@ def lsh_near_duplicates(
     Callers doing many dedup passes in one session own its lifetime
     (``result.unpersist()`` when done)."""
     sh_udf = make_shingle_udf(shingle_n)
-    shd = df.select(F.col(id_col), sh_udf(text_col).alias("_sh")).persist()
+    # fan_out: the compact doc rows are about to shingle-explode into the
+    # signature stage's 128-hash md5 scan — scan-derived parallelism (one
+    # task per small input file) would serialize it (io.fan_out contract)
+    shd = fan_out(df).select(F.col(id_col), sh_udf(text_col).alias("_sh")).persist()
     sig = minhash_signatures(shd, id_col, "_sh", n_bands * rows_per_band)
     bands = F.array(
         *[
@@ -423,7 +428,10 @@ def lsh_near_duplicates_salted(
     lifecycle as the unsalted pipeline; the returned verified pair set is
     persisted and caller-owned."""
     sh_udf = make_shingle_udf(shingle_n)
-    shd = df.select(F.col(id_col), sh_udf(text_col).alias("_sh")).persist()
+    # fan_out: the compact doc rows are about to shingle-explode into the
+    # signature stage's 128-hash md5 scan — scan-derived parallelism (one
+    # task per small input file) would serialize it (io.fan_out contract)
+    shd = fan_out(df).select(F.col(id_col), sh_udf(text_col).alias("_sh")).persist()
     sig = minhash_signatures(shd, id_col, "_sh", n_bands * rows_per_band)
     banded = sig.select(
         F.col(id_col),

@@ -165,3 +165,88 @@ def hits_fixed_point(
     out = auth.join(hub, "node").persist()
     out.count()
     return out
+
+
+def star_components(
+    edges: DataFrame, src: str = "a", dst: str = "b", max_iters: int = 60
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star edge
+    rewiring (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — O(log^2 n) rounds, vs O(diameter) for min-label
+    propagation (operators/dedup.connected_components).
+
+    Use THIS form when component diameters grow with data size (spatial /
+    percolation-style graphs: DBSCAN candidate graphs, road-network-ish
+    meshes). Label propagation moves the minimum ONE HOP per round — no
+    amount of label-chain shortcutting beats that, because the information
+    itself travels the fixed edge set (measured: 28 rounds on the sf1
+    DBSCAN graph, still 22 with pointer-halving; 6 rounds for this form,
+    identical labels). Dedup clusters are near-cliques (diameter 2-4), so
+    connected_components stays the right tool there.
+
+    Rounds: large-star hangs every strictly-larger neighbor of u onto
+    min(Gamma(u) u {u}); small-star re-points u and its smaller neighbors
+    at their collective min. Both are one groupBy + one equi-join over the
+    edge set; edges stay (larger -> smaller) pointers, count never exceeds
+    the input edge count, and the fixpoint is a star forest rooted at each
+    component's minimum id.
+
+    Returns (node, comp) for every node incident to an input edge —
+    including roots, labeled by themselves — matching the
+    connected_components contract (isolated nodes never enter either).
+    Raises if the bound is hit — a partial star forest is silently WRONG
+    clusters."""
+    E = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.greatest(src, dst).alias("u"), F.least(src, dst).alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        # large-star: m = min over the symmetric neighborhood (incl. u)
+        sym = E.unionAll(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        e1 = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(
+                mins.filter(F.col("m") < F.col("u")).select(
+                    "u", F.col("m").alias("v")
+                )
+            )
+            .distinct()
+            .filter(F.col("u") != F.col("v"))
+            .localCheckpoint(eager=True)
+        )
+        # small-star on (larger -> smaller) pointers: children ∪ {u} hang
+        # off their min
+        mins2 = e1.groupBy("u").agg(F.min("v").alias("m"))
+        e2 = (
+            e1.join(mins2, "u")
+            .select(
+                F.when(F.col("v") == F.col("m"), F.col("u"))
+                .otherwise(F.col("v"))
+                .alias("u"),
+                F.col("m").alias("v"),
+            )
+            .distinct()
+            .filter(F.col("u") != F.col("v"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            e2.exceptAll(E).limit(1).count() + E.exceptAll(e2).limit(1).count()
+        )
+        E = e2
+        if changed == 0:
+            non_roots = E.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+            roots = E.select(F.col("v").alias("node")).distinct().withColumn(
+                "comp", F.col("node")
+            )
+            return non_roots.unionByName(roots)
+    raise RuntimeError(
+        f"star_components did not converge within max_iters={max_iters}; "
+        "partial star forests are silently wrong clusters"
+    )

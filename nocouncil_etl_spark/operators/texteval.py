@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nocouncil_etl_spark.io import fan_out
 from nocouncil_etl_spark.operators.dedup import make_shingle_udf
 
 ROUGE_SCALE = 1_000_000
@@ -32,7 +33,7 @@ def rouge_counts(
     consumers), the small per-doc result is materialized, then the shingle
     cache drops — the lsh_near_duplicates discipline. The RETURNED frame is
     persisted; the caller owns that entry (``.unpersist()`` when done)."""
-    g = df.select(
+    g = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         make_shingle_udf(n)(ref_col).alias("gr"),
         make_shingle_udf(n)(cand_col).alias("gc"),

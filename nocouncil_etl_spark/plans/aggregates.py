@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.functions.numeric import (
+    exact_sum,
     ravg,
     ravg_sql,
     rstddev,
@@ -199,11 +200,22 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouping-sets surface (SURVEY §2.7 note): CUBE over lineitem."""
+    """Grouping-sets surface (SURVEY §2.7 note): CUBE over lineitem.
+
+    Two-phase: aggregate at the finest granularity first (one linear scan,
+    map-side combine, no Expand), then CUBE the ~|rf|x|ls| base rows —
+    sum/count are decomposable, so re-aggregation is exact. Cubing the raw
+    scan multiplies the Expand input 4x (measured 13.6 s vs 4 s at sf1);
+    both grouping columns are non-null in TPC-H, so CUBE's null-indicator
+    rows cannot collide with data groups."""
     li = load(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        rsum("l_quantity").alias("sum_qty"),
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        exact_sum("l_quantity").alias("sq_dec"),
         F.count(F.lit(1)).alias("n"),
+    )
+    return base.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("sq_dec"), 2).cast("double").alias("sum_qty"),
+        F.sum("n").alias("n"),
     )
 
 
@@ -217,11 +229,20 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouping-sets surface: ROLLUP over orders."""
+    """Grouping-sets surface: ROLLUP over orders.
+
+    Same two-phase shape as agg_cube: finest-granularity exact aggregate
+    first (linear scan, no Expand), ROLLUP over the bounded base — the
+    Expand otherwise triples the scan's shuffle input. Both grouping
+    columns are non-null in TPC-H."""
     o = load(spark, sf_dir, "orders")
-    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+    base = o.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        rsum("o_totalprice").alias("total"),
+        exact_sum("o_totalprice").alias("tot_dec"),
+    )
+    return base.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.sum("n").alias("n"),
+        F.round(F.sum("tot_dec"), 2).cast("double").alias("total"),
     )
 
 

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.operators.dedup import make_shingle_udf
 from nocouncil_etl_spark.plans.dedup_plans import _sql_shingles
 from nocouncil_etl_spark.registry import query
@@ -189,7 +189,8 @@ def mine_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the already-aggregated counts. No doc×doc stage."""
     docs = load(spark, sf_dir, "documents")
     c = (
-        docs.select("source", F.explode(make_shingle_udf(GRAM_N)("text")).alias("gram"))
+        fan_out(docs)
+        .select("source", F.explode(make_shingle_udf(GRAM_N)("text")).alias("gram"))
         .groupBy("source", "gram")
         .agg(F.count("*").alias("n"))
     )

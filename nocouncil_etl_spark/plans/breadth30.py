@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -235,10 +235,15 @@ def eval_bleu_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: n-gram explode is map-side; the clip join is equi on
     (pair, order, gram) — shuffle volume is the n-gram multiset, the
-    same shape as dedup_span_ngrams. One final scalar reduce."""
+    same shape as dedup_span_ngrams. One final scalar reduce.
+
+    The pair frame is fanned out + pinned (it feeds both gram sides and
+    the length reduce — unpinned, the scan+lead-window subtree executed
+    ~9x), and all four n-gram orders ride ONE explode per side as
+    (n, gram) structs instead of a 4-branch union (4 passes -> 1)."""
     docs = load(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy("doc_id")
-    pairs = (
+    pairs = fan_out(
         docs.select(
             "source",
             "doc_id",
@@ -247,29 +252,35 @@ def eval_bleu_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ref", F.lead("hyp").over(w))
         .filter(F.col("ref").isNotNull())
         .select(F.col("doc_id").alias("pid"), "hyp", "ref")
-    )
+    ).localCheckpoint(eager=True)
 
-    def grams(col: str, n: int):
-        return F.when(
-            F.size(col) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(col) - n + 1),
-                lambda i: F.concat_ws(" ", F.slice(col, i, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+    def _mk(col: str, n: int):
+        # single-arg lambda: F.transform passes (element, index) to any
+        # TWO-arg callable, so a `n=n` default would silently rebind n to
+        # the array index
+        return lambda i: F.struct(
+            F.lit(n).alias("n"),
+            F.concat_ws(" ", F.slice(col, i, n)).alias("gram"),
+        )
 
-    def side_counts(col: str, cname: str):
-        parts = [
-            pairs.select(
-                "pid", F.lit(n).alias("n"), F.explode(grams(col, n)).alias("gram")
-            )
+    def grams_all(col: str):
+        arrs = [
+            F.when(
+                F.size(col) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(col) - n + 1), _mk(col, n)
+                ),
+            ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
             for n in BLEU_ORDERS
         ]
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.unionByName(p)
-        return u.groupBy("pid", "n", "gram").agg(
-            F.count("*").cast("long").alias(cname)
+        return F.flatten(F.array(*arrs))
+
+    def side_counts(col: str, cname: str):
+        return (
+            pairs.select("pid", F.explode(grams_all(col)).alias("g"))
+            .select("pid", "g.n", "g.gram")
+            .groupBy("pid", "n", "gram")
+            .agg(F.count("*").cast("long").alias(cname))
         )
 
     hc = side_counts("hyp", "ch")

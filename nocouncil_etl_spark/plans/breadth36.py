@@ -28,7 +28,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.operators.quantiles import cumulate, ranged_rank_cumsum
 from nocouncil_etl_spark.plans.graph_plans import _EDGES_SQL, _graph
 from nocouncil_etl_spark.registry import query
@@ -546,7 +546,7 @@ def curation_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     the op you run over 100 TB nightly)."""
     docs = load(spark, sf_dir, "documents")
     w = F.split("text", " ")
-    toks = docs.select("doc_id", w.alias("w"))
+    toks = fan_out(docs).select("doc_id", w.alias("w"))
     masked = toks.select(
         "doc_id",
         F.size("w").cast("long").alias("n_tokens"),

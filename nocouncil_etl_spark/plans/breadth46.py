@@ -28,7 +28,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.operators.quantiles import cumulate
 from nocouncil_etl_spark.plans.breadth15 import _pt, _pt_sql
 from nocouncil_etl_spark.registry import query
@@ -542,7 +542,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side); the duplicate report groups by chunk hash — shuffle
     keyed on content, exactly like exact dedup."""
     docs = load(spark, sf_dir, "documents")
-    words = docs.select(
+    words = fan_out(docs).select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "w")
     ).select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "w")
     flagged = words.withColumn(

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.registry import query
 
 _TOK_SPARK = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
@@ -213,7 +213,7 @@ def model_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     the model is always broadcastable because V is chosen, not data-sized.
     """
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
+    tok = fan_out(docs).select(
         "doc_id", "lang", F.explode(F.expr(_TOK_SPARK)).alias("term")
     )
     vocab = (

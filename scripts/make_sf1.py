@@ -28,7 +28,11 @@ KEYED = {
     "customer": {"c_custkey": "cust"},
     "supplier": {"s_suppkey": "supp"},
     "part": {"p_partkey": "part"},
-    "events": {"event_id": "event"},
+    # user_id scales WITH sf in the driver's generator (15/150/1500 distinct
+    # at sf0.001/0.01/0.1, ~66 events/user constant) — shift it like a key,
+    # or per-user density inflates 10x and every user-keyed join measures
+    # quadratically heavier than a faithful 10x scale-up (caught in r9).
+    "events": {"event_id": "event", "user_id": "user"},
     "documents": {"doc_id": "doc"},
     "embeddings": {"vec_id": "vec"},
 }

@@ -175,6 +175,64 @@ def test_connected_components_raises_when_unconverged(spark):
         connected_components(chain, max_iters=2)
 
 
+def test_star_components_matches_min_label_on_random_graph(spark):
+    """star_components (O(log^2) edge rewiring) must produce the identical
+    (node -> min-id) labeling as connected_components on an arbitrary mix
+    of chains, cliques, and pairs — it is the drop-in for graphs whose
+    component diameter grows with data (r9: the sf1 DBSCAN graph took 28
+    min-label rounds, 6 star rounds, same labels)."""
+    import random
+
+    from nocouncil_etl_spark.operators.dedup import connected_components
+    from nocouncil_etl_spark.operators.graph import star_components
+
+    rnd = random.Random(9)
+    edges = []
+    # chain 0..29 (the adversarial case for label propagation)
+    edges += [(i, i + 1) for i in range(29)]
+    # clique 100..104
+    clique = list(range(100, 105))
+    edges += [(a, b) for a in clique for b in clique if a < b]
+    # random pairs in 200..239
+    edges += [
+        (rnd.randrange(200, 240), rnd.randrange(200, 240)) for _ in range(30)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    want = {r.node: r.comp for r in connected_components(df, max_iters=40).collect()}
+    got = {
+        r.node: r.comp
+        for r in star_components(df, "src", "dst").collect()
+    }
+    assert got == want
+
+
+def test_star_components_long_chain_fast_rounds(spark):
+    """A 30-node chain converges well inside 8 star rounds (min-label needs
+    ~30); the bound doubles as the convergence regression."""
+    from nocouncil_etl_spark.operators.graph import star_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src long, dst long"
+    )
+    got = {r.node: r.comp for r in star_components(chain, "src", "dst", max_iters=8).collect()}
+    assert got == {i: 0 for i in range(31)}
+
+
+def test_star_components_raises_when_unconverged(spark):
+    """Hitting max_iters must raise — a partial star forest is silently
+    wrong clusters (the connected_components contract)."""
+    import pytest
+
+    from nocouncil_etl_spark.operators.graph import star_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        star_components(chain, "src", "dst", max_iters=1)
+
+
 def test_features_map_quarantines_null_content(spark):
     """A None binary value degrades to zero stats per row — never fails the
     stage (ADVICE r2: the module's poison-row contract)."""
