@@ -176,9 +176,11 @@ def simhash_table(
     """(id, simhash) via explode + one grouped aggregation: one md5 per word
     (codegen), n_bits conditional sums with map-side combine. Same result as
     simhash_bits, built the way it scales."""
-    ex = df.select(F.col(id_col), F.explode(F.col(word_col)).alias("_w")).select(
-        F.col(id_col), F.md5("_w").alias("_h")
-    )
+    # fan_out: the word explode + per-word md5 is the expensive stage; scan-
+    # derived parallelism over a compact doc file would serialize it
+    ex = fan_out(df).select(
+        F.col(id_col), F.explode(F.col(word_col)).alias("_w")
+    ).select(F.col(id_col), F.md5("_w").alias("_h"))
     ones = [
         F.sum(F.when(F.substring("_h", i, 1) >= "8", 1).otherwise(0)).alias(f"_o{i}")
         for i in range(1, n_bits + 1)

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.operators.dedup import (
     exact_dedup,
     jaccard,
@@ -115,7 +115,7 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries one row per doc — the 100 TB signature shape."""
     docs = load(spark, sf_dir, "documents")
     sh_udf = make_shingle_udf(SHINGLE_N)
-    shd = docs.select("doc_id", sh_udf("text").alias("sh"))
+    shd = fan_out(docs).select("doc_id", sh_udf("text").alias("sh"))
     return minhash_signatures(shd, "doc_id", "sh", N_HASHES)
 
 
@@ -201,7 +201,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star n-gram Jaccard: exact 2-gram similarity for adjacent doc
     pairs — the verification kernel of the LSH pipeline, isolated."""
     docs = load(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", shingles(words("text"), 2).alias("s"))
+    # fan_out + pin: the interpreted shingle expression is consumed by both
+    # join sides — unpinned it runs twice in one scan task each
+    sh = (
+        fan_out(docs)
+        .select("doc_id", shingles(words("text"), 2).alias("s"))
+        .localCheckpoint(eager=True)
+    )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
     b = sh.select((F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
     return (
@@ -257,10 +263,18 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nocouncil_etl_spark.operators.dedup import connected_components
 
     docs = load(spark, sf_dir, "documents")
-    fps = docs.select(
-        "doc_id",
-        fingerprint(F.split("text", " "), gram=4, width=16).alias("fp4"),
-        fingerprint(F.split("text", " "), gram=5, width=16).alias("fp5"),
+    # fan_out + pin: the two interpreted rolling-fingerprint columns are the
+    # expensive stage, and fps feeds FOUR join branches — unpinned, that is
+    # eight full single-task fingerprint scans (measured minutes at sf1);
+    # pinned, it is one parallel scan and four reads of a 3-column table.
+    fps = (
+        fan_out(docs)
+        .select(
+            "doc_id",
+            fingerprint(F.split("text", " "), gram=4, width=16).alias("fp4"),
+            fingerprint(F.split("text", " "), gram=5, width=16).alias("fp5"),
+        )
+        .localCheckpoint(eager=True)
     )
 
     def pairs_on(col: str) -> DataFrame:
@@ -334,10 +348,18 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nocouncil_etl_spark.operators.dedup import connected_components
 
     docs = load(spark, sf_dir, "documents")
-    fps = docs.select(
-        "doc_id",
-        fingerprint(F.split("text", " "), gram=4, width=16).alias("fp4"),
-        fingerprint(F.split("text", " "), gram=5, width=16).alias("fp5"),
+    # fan_out + pin: the two interpreted rolling-fingerprint columns are the
+    # expensive stage, and fps feeds FOUR join branches — unpinned, that is
+    # eight full single-task fingerprint scans (measured minutes at sf1);
+    # pinned, it is one parallel scan and four reads of a 3-column table.
+    fps = (
+        fan_out(docs)
+        .select(
+            "doc_id",
+            fingerprint(F.split("text", " "), gram=4, width=16).alias("fp4"),
+            fingerprint(F.split("text", " "), gram=5, width=16).alias("fp5"),
+        )
+        .localCheckpoint(eager=True)
     )
 
     def pairs_on(col: str) -> DataFrame:
