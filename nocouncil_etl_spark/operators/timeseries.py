@@ -60,10 +60,13 @@ def gapfill_interpolate(
         .orderBy("_i")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # reversed running frame — a following frame is O(n^2) per key in
+    # Spark (tail rescan per row); the grid _i is unique per key, so the
+    # reversed preceding frame reads the identical row set
     w_next = (
         Window.partitionBy("_k")
-        .orderBy("_i")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("_i"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     i_if_v = F.when(F.col("_v4").isNotNull(), F.col("_i"))
     ctx = grid.select(
@@ -73,8 +76,8 @@ def gapfill_interpolate(
         "_v4",
         F.last("_v4", ignorenulls=True).over(w_prev).alias("_pv"),
         F.last(i_if_v, ignorenulls=True).over(w_prev).alias("_pi"),
-        F.first("_v4", ignorenulls=True).over(w_next).alias("_nv"),
-        F.first(i_if_v, ignorenulls=True).over(w_next).alias("_ni"),
+        F.last("_v4", ignorenulls=True).over(w_next).alias("_nv"),
+        F.last(i_if_v, ignorenulls=True).over(w_next).alias("_ni"),
     )
     interp4 = F.expr(
         "(2 * (_pv * (_ni - _i) + _nv * (_i - _pi)) + (_ni - _pi))"

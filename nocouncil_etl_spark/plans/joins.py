@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.functions.numeric import rsum, rsum_sql
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.registry import query
 
 
@@ -150,9 +150,12 @@ def join_contains_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     First-match = min(partkey), J6's deterministic tie-break."""
     docs = load(spark, sf_dir, "documents")
     parts = load(spark, sf_dir, "part")
-    doc_tokens = docs.select(
+    # array_distinct dedupes within the doc BEFORE the explode, so the
+    # (doc_id, token) rows are already globally unique — a post-explode
+    # .distinct() would re-shuffle the whole token multiset for nothing
+    doc_tokens = fan_out(docs).select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
-    ).distinct()
+    )
     part_keyed = parts.select(
         "p_partkey", F.element_at(F.split("p_name", " "), 1).alias("token")
     )
@@ -267,12 +270,17 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("r_ts"),
     )
     merged = left.unionByName(right)
+    # running frame over the REVERSED order, not (0, unboundedFollowing):
+    # Spark re-scans the whole tail per row for following frames (O(n^2)
+    # per user), while the preceding frame is incremental. Same rows: at
+    # equal ts the right row sorts before the left row here, exactly as it
+    # sorted after it in the forward order.
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "is_right")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.desc("ts"), F.desc("is_right"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = F.first(
+    carried = F.last(
         F.when(F.col("is_right") == 1, F.col("r_ts")), ignorenulls=True
     ).over(w)
     return (
@@ -391,10 +399,12 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "is_left")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # reversed running frame — a following frame is O(n^2) per user in
+    # Spark (tail rescan per row); see join_asof_forward
     w_fwd = (
         Window.partitionBy("user_id")
-        .orderBy("ts", F.desc("is_left"))
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.desc("ts"), "is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     is_sig = F.when(F.col("is_left") == 0, F.col("sig_ts"))
     out = merged.select(
@@ -403,7 +413,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "is_left",
         F.last(is_sig, ignorenulls=True).over(w_back).alias("bts"),
-        F.first(is_sig, ignorenulls=True).over(w_fwd).alias("fts"),
+        F.last(is_sig, ignorenulls=True).over(w_fwd).alias("fts"),
     ).filter(F.col("is_left") == 1)
     t, bts, fts = F.unix_micros("ts"), F.unix_micros("bts"), F.unix_micros("fts")
     nearest = (
