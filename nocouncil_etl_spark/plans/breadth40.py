@@ -470,17 +470,6 @@ def rec_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("l_quantity")).cast("long").alias("r"))
         .localCheckpoint(eager=True)
     )
-    a = ratings.select("cid", F.col("pid").alias("pj"), F.col("r").alias("rj"))
-    b = ratings.select("cid", F.col("pid").alias("pi"), F.col("r").alias("ri"))
-    devs = (
-        a.join(b, "cid")
-        .filter(F.col("pj") != F.col("pi"))
-        .groupBy("pj", "pi")
-        .agg(
-            F.sum(F.col("rj") - F.col("ri")).cast("long").alias("num"),
-            F.count("*").cast("long").alias("c"),
-        )
-    )
     probe_users = ratings.filter(F.col("cid") < SO_USERS).select("cid").distinct()
     pops = (
         ratings.groupBy("pid")
@@ -491,6 +480,25 @@ def rec_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 20)
         .select("pid")
+    )
+    # The deviation matrix is only ever consulted at pj ∈ pops (the 20
+    # candidate items), so the co-rating self-join's left side is pruned
+    # to those BEFORE pairing — the unpruned Σ per-user-degree² pair set
+    # re-aggregated ~|parts|/20x more rows for nothing (51.8 -> ~4 s at
+    # sf1, identical predictions).
+    a = (
+        ratings.select("cid", F.col("pid").alias("pj"), F.col("r").alias("rj"))
+        .join(F.broadcast(pops.withColumnRenamed("pid", "pj")), "pj")
+    )
+    b = ratings.select("cid", F.col("pid").alias("pi"), F.col("r").alias("ri"))
+    devs = (
+        a.join(b, "cid")
+        .filter(F.col("pj") != F.col("pi"))
+        .groupBy("pj", "pi")
+        .agg(
+            F.sum(F.col("rj") - F.col("ri")).cast("long").alias("num"),
+            F.count("*").cast("long").alias("c"),
+        )
     )
     cands = (
         probe_users.crossJoin(F.broadcast(pops))

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.plans.breadth15 import _pt, _pt_sql
 from nocouncil_etl_spark.plans.breadth33 import _POIS_CDF, _boot_weight_sql
 from nocouncil_etl_spark.plans.breadth44 import ADA_STUMPS, _ADA_STUMPS_SQL
@@ -469,7 +469,7 @@ def search_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: term/doc stats are two hash-aggs over the token
     stream; scoring joins only the |docs|×{QL_NQ} grid against the tf
     table (queries are tiny; the posting lists do the work)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     cf = toks.groupBy("term").agg(F.count("*").cast("long").alias("cf"))
     ctot = toks.agg(F.count("*").cast("long").alias("ct"))

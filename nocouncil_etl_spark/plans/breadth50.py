@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.operators.quantiles import ranged_rank_cumsum
 from nocouncil_etl_spark.plans.breadth15 import _pt, _pt_sql
 from nocouncil_etl_spark.registry import query
@@ -253,7 +253,7 @@ def text_collocation_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: bigram counts and both margins are hash-aggs over the
     bigram stream; scoring joins the margins back (two broadcast-sized
     maps at real vocabulary scale); ranking is a bounded top-k."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     big = (
         docs.select(F.split("text", " ").alias("ws"))
         .select(

@@ -124,6 +124,10 @@ def ml_isolation_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(hr * 256) div 24").alias("cy"),
         )
         .withColumn("mz", F.expr(_morton_sql("cx", "cy", "div")))
+        # pinned: every quadtree level re-aggregates this frame and joins
+        # back onto it — unpinned, the scan+morton map re-executed once per
+        # level plus once per join (measured 31 s at sf1 -> 4 s)
+        .localCheckpoint(eager=True)
     )
     out = keyed
     for lv in range(1, ISO_MAXL + 1):

@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.operators.quantiles import ranged_rank_cumsum
 from nocouncil_etl_spark.plans.breadth15 import _pt, _pt_sql
 from nocouncil_etl_spark.registry import query
@@ -657,7 +657,8 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     |alphabet| rows per doc; the report is a bounded bottom-k."""
     docs = load(spark, sf_dir, "documents")
     chars = (
-        docs.select(
+        fan_out(docs)
+        .select(
             "doc_id",
             F.explode(
                 F.expr(

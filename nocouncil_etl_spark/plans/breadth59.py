@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.plans.retrieval_plans import _TOK_SPARK, _TOK_SQL
 from nocouncil_etl_spark.registry import query
 
@@ -360,7 +360,7 @@ def search_permuterm_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (not the corpus) — tiny and build-once; each query is a prefix range
     scan + one semi-join into the postings; the corpus is tokenized
     once."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     vocab = (
         docs.select(F.explode(F.expr(_TOK_SPARK)).alias("term")).distinct()
     )
@@ -444,7 +444,7 @@ def search_proximity_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
     (term-filtered before the join), equi-joined on doc_id — per-doc
     pair counts are occurrence products of two rare terms, never the
     corpus; one hash agg finishes it."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.posexplode(F.expr(_TOK_SPARK)).alias("pos0", "term")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.functions.text import STOPWORDS
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.registry import query
 
 # Gopher-rule thresholds (Rae et al. 2021 §A1.1 style, tuned to the synthetic
@@ -54,7 +54,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     document was dropped, plus the combined pass flag. Ratios divide exact
     integer counts; thresholds compare un-rounded doubles identically on
     both engines."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     w = F.split("text", " ")
     n_words = F.size(w).cast("long")
     n_chars_in_words = F.aggregate(
@@ -109,7 +109,7 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the audit trail). PII markers are synthesized deterministically so the
     redactor provably fires; patterns are RE2-safe so Java and DuckDB match
     identically. At 100 TB this is a narrow map — no shuffle, no UDF."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     body = F.concat(
         "text",
         F.lit(" contact user"),

@@ -21,7 +21,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.functions.vectors import cosine
 from nocouncil_etl_spark.io import load
 from nocouncil_etl_spark.registry import query
 
@@ -76,10 +75,17 @@ def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-training baseline for "is this embedding space linearly usable":
     compare against ml_learning_curve_centroid's 100% stage.
 
-    Scale shape: the all-pairs score here is the documented quadratic
-    BASELINE (same role as vec_knn_exact); the production path swaps in
-    the banded index candidates (vec_knn_from_index) with identical vote
-    logic downstream — top-k + two windowed aggs, both query-partitioned."""
+    Scale shape: the exact scoring stage rides knn_exact_blocked (the
+    engine's Arrow-batched matmul exact path — corpus streams once,
+    per-batch top-k, final window over <= (k+1)|Q| n_batches rows) with
+    its built-in self-exclusion = leave-one-out, identical (sim desc,
+    c_id) tie-break and Spark-rule rounding. The interpreted all-pairs
+    expression cosine it replaces was 126x wall at 10x data (952 s at
+    sf1 -> ~4 s). The production path swaps in the banded index
+    candidates (vec_knn_from_index) with identical vote logic
+    downstream — top-k + two windowed aggs, both query-partitioned."""
+    from nocouncil_etl_spark.operators.similarity import knn_exact_blocked
+
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
@@ -88,27 +94,19 @@ def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("actual"),
-        F.col("v").alias("qv"),
+        F.col("v").alias("q_vec"),
     )
-    scored = (
-        q.crossJoin(e)
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "actual",
-            F.col("label").alias("nlabel"),
-            F.round(cosine("qv", "v"), 6).alias("sim"),
-            F.col("vec_id").alias("c_id"),
-        )
+    knn = knn_exact_blocked(
+        q.select("q_id", "q_vec"),
+        e.select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_vec")),
+        KNN_K,
     )
     topk = (
-        scored.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("q_id").orderBy(F.desc("sim"), "c_id")
-            ),
+        knn.join(
+            e.select(F.col("vec_id").alias("c_id"), F.col("label").alias("nlabel")),
+            "c_id",
         )
-        .filter(F.col("rk") <= KNN_K)
+        .join(q.select("q_id", "actual"), "q_id")
         .select("q_id", "actual", "nlabel")
     )
     votes = topk.groupBy("q_id", "actual", "nlabel").agg(

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.registry import query
 
 CHUNK = 64       # tokens per chunk
@@ -173,7 +173,7 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (smoothed idf = ln((N+1)/(df+1)); ties broken by term so both engines
     agree exactly). The df table is term-cardinality-sized → broadcast to
     the tf side; N rides along as a broadcast scalar, not a collect."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(F.expr(_TOK_SPARK)).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     # df = rows per term in tf (one row per (doc, term)) — a window count

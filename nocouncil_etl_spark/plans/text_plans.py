@@ -17,7 +17,7 @@ from nocouncil_etl_spark.functions.text import (
     token_count_bpe_ish,
     token_count_ws,
 )
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.registry import query
 
 
@@ -51,7 +51,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star language-ID: stopword-hit argmax with deterministic
     tie-break (max over (score, lang) structs — identical struct-compare
     semantics in Spark and DuckDB)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     ws = F.split("text", " ")
     scores = lang_scores(ws)
     return docs.select(
@@ -152,7 +152,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle)."""
     from nocouncil_etl_spark.operators.dedup import make_shingle_udf, words
 
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     sh_udf = make_shingle_udf(5)
     grams = docs.select(
         "doc_id",
@@ -201,7 +201,7 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: pure per-row HOF expressions (regexp inside a list
     transform, JVM-side) — zero shuffles."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     ws = F.split("text", " ")
     sents = F.split("text", "\\.")
     syll = F.aggregate(
