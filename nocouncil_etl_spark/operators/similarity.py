@@ -188,6 +188,78 @@ def knn_exact(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+
+def _query_matrix(rows, q_id: str, q_vec: str):
+    """(ids, row-normalized float64 matrix, zero-norm mask) from collected
+    query rows — the shippable task-closure form of a bounded query set."""
+    ids = np.array([r[q_id] for r in rows])
+    qm = np.array([r[q_vec] for r in rows], dtype=np.float64)
+    q_norm = np.linalg.norm(qm, axis=1, keepdims=True)
+    q_zero = (q_norm == 0).ravel()
+    qm = np.divide(qm, q_norm, out=np.zeros_like(qm), where=q_norm != 0)
+    return ids, qm, q_zero
+
+
+def _blocked_candidates_by_part(
+    corpus: DataFrame,
+    per_part: dict,
+    k: int,
+    part_col: str,
+    c_id: str,
+    c_vec: str,
+    q_id: str,
+) -> DataFrame:
+    """Per-partition twin of knn_exact_blocked's scoring pass: each Arrow
+    batch of corpus vectors is grouped by its partition key and scored
+    against THAT partition's query matrix with one numpy matmul, emitting
+    per-batch top-(k+1) candidates (same pruning epsilon, zero-norm-null,
+    and Spark-rule rounding as the exact kernel). per_part maps partition
+    key -> (q_ids, normalized query matrix, zero mask)."""
+
+    def score(batches):
+        for pdf in batches:
+            for part, sub in pdf.groupby(part_col, sort=False):
+                qp = per_part.get(part)
+                if qp is None:
+                    continue
+                q_ids, qm, q_zero = qp
+                cm = np.vstack(sub[c_vec].to_numpy()).astype(np.float64)
+                c_norm = np.linalg.norm(cm, axis=1, keepdims=True)
+                c_zero = (c_norm == 0).ravel()
+                cm = np.divide(
+                    cm, c_norm, out=np.zeros_like(cm), where=c_norm != 0
+                )
+                sims = cm @ qm.T
+                sims[c_zero, :] = -np.inf
+                sims[:, q_zero] = -np.inf
+                c_ids = sub[c_id].to_numpy()
+                out_q, out_c, out_s = [], [], []
+                top = min(k + 1, len(c_ids))
+                for j in range(qm.shape[0]):
+                    col = sims[:, j]
+                    finite = np.nonzero(np.isfinite(col))[0]
+                    if len(finite) >= top:
+                        vals = col[finite]
+                        kth = np.partition(vals, len(vals) - top)[len(vals) - top]
+                        idx = finite[vals >= kth - 1e-6]
+                    else:
+                        nulls = np.nonzero(~np.isfinite(col))[0]
+                        pick = nulls[np.argsort(c_ids[nulls])[: top - len(finite)]]
+                        idx = np.concatenate([finite, pick])
+                    out_q.extend([q_ids[j]] * len(idx))
+                    out_c.extend(c_ids[idx])
+                    out_s.extend(
+                        _round6_like_spark(v) if np.isfinite(v) else None
+                        for v in col[idx]
+                    )
+                yield pd.DataFrame({q_id: out_q, c_id: out_c, "sim": out_s})
+
+    return corpus.select(part_col, c_id, c_vec).mapInPandas(
+        score, schema=f"{q_id} long, {c_id} long, sim double"
+    )
+
+
+
 def knn_partitioned(
     queries: DataFrame,
     corpus: DataFrame,
@@ -200,19 +272,37 @@ def knn_partitioned(
 ) -> DataFrame:
     """IVF-style ANN: equi-join on a coarse partition key, then top-k within.
 
-    The cross join becomes a shuffle hash join on ``part_col`` — candidate
-    count drops by the partition fan-out; recall is bounded by the coarse
-    quantizer (exactly IVF with nprobe=1)."""
-    qn = queries.withColumn("_qn", l2_norm(q_vec))
-    cn = corpus.withColumn("_cn", l2_norm(c_vec))
-    pairs = cn.join(F.broadcast(qn), on=part_col).filter(F.col(q_id) != F.col(c_id))
-    sim = F.when(
-        F.col("_qn") * F.col("_cn") != 0,
-        dot(q_vec, c_vec) / (F.col("_qn") * F.col("_cn")),
+    Candidate count drops by the partition fan-out; recall is bounded by
+    the coarse quantizer (exactly IVF with nprobe=1). Scoring is the
+    blocked numpy-matmul kernel grouped by partition key (the
+    knn_exact_blocked pass with one query matrix per partition) — the
+    per-pair expression cosine it replaces evaluated interpreted and grew
+    quadratically in wall time with cell size. Query side bounded by
+    MAX_BLOCKED_QUERIES, the blocked-strategy contract."""
+    q_rows = (
+        queries.select(part_col, q_id, q_vec)
+        .limit(MAX_BLOCKED_QUERIES + 1)
+        .collect()
     )
-    scored = pairs.select(q_id, c_id, F.round(sim, 6).alias("sim"))
-    w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id))
-    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    if len(q_rows) > MAX_BLOCKED_QUERIES:
+        raise ValueError(
+            f"knn_partitioned ships the query side in the task closure and "
+            f"got more than {MAX_BLOCKED_QUERIES} query rows; chunk the "
+            "query set into waves."
+        )
+    by_part: dict = {}
+    for r in q_rows:
+        by_part.setdefault(r[part_col], []).append(r)
+    per_part = {p: _query_matrix(rows, q_id, q_vec) for p, rows in by_part.items()}
+    candidates = _blocked_candidates_by_part(
+        corpus, per_part, k, part_col, c_id, c_vec, q_id
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("sim").desc_nulls_last(), F.col(c_id))
+    return (
+        candidates.filter(F.col(q_id) != F.col(c_id))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
 
 
 def knn_lsh(
@@ -334,17 +424,32 @@ def knn_ivf_probe(
         .select(q_id, q_vec, F.col("_probe").alias(part_col))
         .withColumn("_qn", l2_norm(q_vec))
     )
-    cn = corpus.withColumn("_cn", l2_norm(c_vec))
-    pairs = cn.join(F.broadcast(probes), on=part_col).filter(
-        F.col(q_id) != F.col(c_id)
+    # probe rows are |Q| x nprobe — the same bounded contract as the
+    # blocked kernels; scoring is the per-partition matmul pass (a query
+    # appears in every partition it probes)
+    p_rows = (
+        probes.select(part_col, q_id, q_vec)
+        .limit(MAX_BLOCKED_QUERIES + 1)
+        .collect()
     )
-    sim = F.when(
-        F.col("_qn") * F.col("_cn") != 0,
-        dot(q_vec, c_vec) / (F.col("_qn") * F.col("_cn")),
+    if len(p_rows) > MAX_BLOCKED_QUERIES:
+        raise ValueError(
+            f"knn_ivf_probe got more than {MAX_BLOCKED_QUERIES} probe rows; "
+            "chunk the query set into waves."
+        )
+    by_part: dict = {}
+    for r in p_rows:
+        by_part.setdefault(r[part_col], []).append(r)
+    per_part = {p: _query_matrix(rows, q_id, q_vec) for p, rows in by_part.items()}
+    candidates = _blocked_candidates_by_part(
+        corpus, per_part, k, part_col, c_id, c_vec, q_id
     )
-    scored = pairs.select(q_id, c_id, F.round(sim, 6).alias("sim"))
-    w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id))
-    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    w = Window.partitionBy(q_id).orderBy(F.col("sim").desc_nulls_last(), F.col(c_id))
+    return (
+        candidates.filter(F.col(q_id) != F.col(c_id))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
 
 
 # Driver-side cap for the blocked strategy's query matrix. 64k × 64 dims ×

@@ -541,9 +541,17 @@ def vec_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: candidates come from an equi-join on the block key
     (swap in the trained-IVF cells of ``vec_knn_index_kmeans`` or LSH
-    bands for an unlabeled corpus); per-pair work is one fused
-    zip_with/aggregate over the quantized arrays, no explode on the
-    Spark side; top-k is a bounded per-key window."""
+    bands for an unlabeled corpus); the within-block scoring is one
+    int64 numpy matmul per block (applyInPandas) emitting only each
+    vector's top-{KNNG_K} — exact-integer-identical to the pairwise
+    zip_with/aggregate expression it replaces, which evaluated
+    interpreted per pair and went 115x wall at 10x data (360 s at sf1
+    -> ~3 s). Like the blocked exact-KNN path, a block must fit one
+    executor's memory — the documented contract of within-block exact
+    scoring (real corpora swap in bounded IVF cells)."""
+    import numpy as np
+    import pandas as pd
+
     e = load(spark, sf_dir, "embeddings")
     q = e.select(
         "vec_id",
@@ -552,47 +560,34 @@ def vec_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(embedding,"
             " x -> CAST(round(1000 * CAST(x AS DOUBLE)) AS BIGINT))"
         ).alias("q"),
-    ).withColumn(
-        "n2", F.expr("aggregate(q, 0L, (acc, x) -> acc + x * x)")
     )
-    a = q.select(
-        F.col("vec_id").alias("u"), "label", F.col("q").alias("qa"),
-        F.col("n2").alias("na2"),
-    )
-    b = q.select(
-        F.col("vec_id").alias("v"), "label", F.col("q").alias("qb"),
-        F.col("n2").alias("nb2"),
-    )
-    scored = (
-        a.join(b, "label")
-        .filter(F.col("u") != F.col("v"))
-        .withColumn(
-            "dot",
-            F.expr(
-                "aggregate(zip_with(qa, qb, (x, y) -> x * y),"
-                " 0L, (acc, z) -> acc + z)"
-            ),
-        )
-        .withColumn("den", F.expr("(na2 * nb2) div 1000000"))
-        .filter(F.col("den") > 0)
-        .select(
-            "u",
-            "v",
-            F.expr(
-                "CASE WHEN dot >= 0 THEN (dot * dot) div den"
-                " ELSE -((dot * dot) div den) END"
-            ).alias("score_1e6"),
-        )
-    )
-    topk = (
-        scored.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("u").orderBy(F.desc("score_1e6"), "v")
-            ),
-        )
-        .filter(F.col("rk") <= KNNG_K)
-        .select("u", "v", "score_1e6")
+
+    def block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        qm = np.vstack(pdf["q"].to_numpy()).astype(np.int64)
+        ids = pdf["vec_id"].to_numpy().astype(np.int64)
+        # |x| <= 1000, d = 32: dot <= 3.2e7, dot^2 and n2*n2 <= ~1e15 —
+        # every intermediate stays exact in int64
+        n2 = (qm * qm).sum(axis=1)
+        dot = qm @ qm.T
+        den = np.outer(n2, n2) // 1_000_000
+        out_u, out_v, out_s = [], [], []
+        for i in range(len(ids)):
+            mask = den[i] > 0
+            mask[i] = False
+            vs = np.nonzero(mask)[0]
+            if len(vs) == 0:
+                continue
+            d = dot[i, vs]
+            sc = d * d // den[i, vs]
+            sc = np.where(d >= 0, sc, -sc)
+            pick = np.lexsort((ids[vs], -sc))[:KNNG_K]
+            out_u.extend([ids[i]] * len(pick))
+            out_v.extend(ids[vs[pick]])
+            out_s.extend(sc[pick])
+        return pd.DataFrame({"u": out_u, "v": out_v, "score_1e6": out_s})
+
+    topk = q.groupBy("label").applyInPandas(
+        block_topk, schema="u long, v long, score_1e6 long"
     )
     rev = topk.select(F.col("u").alias("v"), F.col("v").alias("u"))
     return (

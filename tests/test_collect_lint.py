@@ -123,6 +123,12 @@ WHITELIST: dict[str, tuple[int, str]] = {
               "composite ranges), broadcast back"),
     f"{_P}/operators/similarity.py:knn_exact_blocked": (
         65_537, "query side, size-guarded at MAX_BLOCKED_QUERIES+1"),
+    f"{_P}/operators/similarity.py:knn_partitioned": (
+        65_537, "query side, size-guarded at MAX_BLOCKED_QUERIES+1 (r9: "
+        "partitioned blocked kernel ships per-part query matrices)"),
+    f"{_P}/operators/similarity.py:knn_ivf_probe": (
+        65_537, "probe rows = |Q| x nprobe, size-guarded at "
+        "MAX_BLOCKED_QUERIES+1 (r9: partitioned blocked kernel)"),
     f"{_P}/plans/breadth21.py:join_bloom_pruned": (
         4096, "bloom bitset words, filter size fixed"),
     f"{_P}/plans/breadth34.py:io_manifest_file_pruning": (
