@@ -549,12 +549,34 @@ def vec_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     aug = e.unionByName(perturbed)
-    a = aug.select(F.col("vec_id").alias("id_a"), "label", F.col("v").alias("va"))
-    b = aug.select(F.col("vec_id").alias("id_b"), "label", F.col("v").alias("vb"))
-    sim = F.round(cosine("va", "vb"), 6)
-    return (
-        a.join(b, "label")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("sim"))
-        .filter(F.col("sim") >= 0.99)
+
+    # within-label scoring as one normalized float64 matmul per label
+    # (applyInPandas) — the knn_exact_blocked kernel semantics (same
+    # Spark-rule rounding); the interpreted per-pair expression cosine
+    # ground through |block|^2 pairs one at a time (minutes at sf1)
+    import numpy as np
+    import pandas as pd
+
+    from nocouncil_etl_spark.operators.similarity import _round6_like_spark
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy().astype(np.int64)
+        m = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        norm = np.linalg.norm(m, axis=1, keepdims=True)
+        nm = np.divide(m, norm, out=np.zeros_like(m), where=norm != 0)
+        sims = nm @ nm.T
+        # raw pre-filter at threshold - 1e-4: HALF_UP rounding to 6dp moves
+        # a value by <= 5e-7, so nothing below 0.9899 can round into 0.99;
+        # the exact Spark-rule rounding then runs on the survivors only
+        ia, ib = np.nonzero((sims >= 0.9899) & (ids[:, None] < ids[None, :]))
+        s = np.array(
+            [_round6_like_spark(x) for x in sims[ia, ib]], dtype=np.float64
+        )
+        keep = s >= 0.99
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "sim": s[keep]}
+        )
+
+    return aug.groupBy("label").applyInPandas(
+        block_pairs, schema="id_a long, id_b long, sim double"
     )
