@@ -123,6 +123,9 @@ WHITELIST: dict[str, tuple[int, str]] = {
               "composite ranges), broadcast back"),
     f"{_P}/operators/similarity.py:knn_exact_blocked": (
         65_537, "query side, size-guarded at MAX_BLOCKED_QUERIES+1"),
+    f"{_P}/plans/breadth38.py:vec_triplet_semihard": (
+        31, "fixed TRIPLET_ANCHORS=30 probe batch, shipped in the task "
+        "closure (r9: anchor-distance pass is one Arrow matmul)"),
     f"{_P}/operators/similarity.py:knn_partitioned": (
         65_537, "query side, size-guarded at MAX_BLOCKED_QUERIES+1 (r9: "
         "partitioned blocked kernel ships per-part query matrices)"),
