@@ -188,3 +188,21 @@ def test_corrupt_parquet_file_degrades_alone(spark, sf_dir, tmp_path):
         assert got.join(docs, ["doc_id", "source"], "left_anti").count() == 0
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+
+
+def test_fan_out_widens_single_partition_input(spark):
+    """io.fan_out must spread a 1-partition frame to the session's shuffle
+    width (the explosive-transform contract: parallelism sized to output
+    work, not input bytes) and preserve the rows exactly."""
+    from pyspark.sql import functions as F
+
+    from nocouncil_etl_spark.io import fan_out
+
+    df = spark.range(0, 1000, 1, 1).withColumn("v", F.col("id") * 2)
+    assert df.rdd.getNumPartitions() == 1
+    wide = fan_out(df)
+    assert wide.rdd.getNumPartitions() == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    assert sorted(r.id for r in wide.collect()) == list(range(1000))
+    assert fan_out(df, 7).rdd.getNumPartitions() == 7
