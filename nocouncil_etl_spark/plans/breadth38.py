@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.plans.breadth15 import _pt, _pt_sql
 from nocouncil_etl_spark.registry import query
 
@@ -695,7 +695,7 @@ def vec_triplet_semihard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["d2"].extend(d2[keep, j])
             yield pd.DataFrame(out)
 
-    dists = quant.mapInPandas(
+    dists = fan_out(quant).mapInPandas(
         score,
         schema="anchor long, other long, olabel int, alabel int, d2 long",
     ).localCheckpoint(eager=True)

@@ -212,8 +212,13 @@ def model_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(hit terms · classes), never corpus×vocab. The same shape at 100 TB:
     the model is always broadcastable because V is chosen, not data-sized.
     """
-    docs = load(spark, sf_dir, "documents")
-    tok = fan_out(docs).select(
+    # fan_out ONCE and pin: tok is consumed by vocab, class counts, and
+    # doc tf — pinning the compact fanned docs costs one small shuffle +
+    # cache instead of one repartition per consumer
+    docs = fan_out(load(spark, sf_dir, "documents")).localCheckpoint(
+        eager=True
+    )
+    tok = docs.select(
         "doc_id", "lang", F.explode(F.expr(_TOK_SPARK)).alias("term")
     )
     vocab = (
