@@ -169,8 +169,15 @@ def stat_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lf.persist()
 
+    # one job for all five margin lookups, not five filter().first() jobs
+    wanted = {m1, m2, n1, n2, n}
+    lf_map = {
+        int(r.j): int(r.lf)
+        for r in lf.filter(F.col("j").isin(*[int(x) for x in wanted])).collect()
+    }
+
     def lf_at(j: int) -> int:
-        return int(lf.filter(F.col("j") == j).first().lf)
+        return lf_map[j]
 
     base = lf_at(m1) + lf_at(m2) + lf_at(n1) + lf_at(n2) - lf_at(n)
     klo, khi = max(0, m1 + n1 - n), min(m1, n1)
