@@ -481,6 +481,12 @@ def dq_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 KNNG_K = 3
+# Element budget for one tile of the within-block score matrix: the kernel
+# chunks its query rows so dot/denominator intermediates hold at most this
+# many int64s (2M ≈ 16 MB each) regardless of block cardinality — the
+# applyInPandas task's quadratic intermediate becomes tile_rows × n, linear
+# in n. Tests shrink this to force multi-tile execution on small blocks.
+KNNG_TILE_ELEMS = 1 << 21
 _Q_SQL = (
     "list_transform(embedding,"
     " x -> CAST(round(1000 * CAST(x AS DOUBLE)) AS BIGINT))"
@@ -546,9 +552,13 @@ def vec_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector's top-{KNNG_K} — exact-integer-identical to the pairwise
     zip_with/aggregate expression it replaces, which evaluated
     interpreted per pair and went 115x wall at 10x data (360 s at sf1
-    -> ~3 s). Like the blocked exact-KNN path, a block must fit one
-    executor's memory — the documented contract of within-block exact
-    scoring (real corpora swap in bounded IVF cells)."""
+    -> ~3 s). The kernel TILES its query rows (KNNG_TILE_ELEMS budget):
+    each tile scores tile_rows x n and keeps only its rows' top-{KNNG_K},
+    so per-task memory is the block's row data (n x d, linear) plus one
+    bounded tile — never the n^2 score matrix. A block therefore only
+    needs its VECTORS to fit an executor, the same linear contract as
+    the Arrow-batched exact path (real corpora swap in bounded IVF
+    cells for candidate generation)."""
     import numpy as np
     import pandas as pd
 
@@ -568,22 +578,29 @@ def vec_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
         # |x| <= 1000, d = 32: dot <= 3.2e7, dot^2 and n2*n2 <= ~1e15 —
         # every intermediate stays exact in int64
         n2 = (qm * qm).sum(axis=1)
-        dot = qm @ qm.T
-        den = np.outer(n2, n2) // 1_000_000
+        n = len(ids)
+        # Tile the query rows: each tile's dot/den matrices are
+        # tile_rows x n elements (<= KNNG_TILE_ELEMS), never n x n.
+        tile = max(1, KNNG_TILE_ELEMS // max(n, 1))
         out_u, out_v, out_s = [], [], []
-        for i in range(len(ids)):
-            mask = den[i] > 0
-            mask[i] = False
-            vs = np.nonzero(mask)[0]
-            if len(vs) == 0:
-                continue
-            d = dot[i, vs]
-            sc = d * d // den[i, vs]
-            sc = np.where(d >= 0, sc, -sc)
-            pick = np.lexsort((ids[vs], -sc))[:KNNG_K]
-            out_u.extend([ids[i]] * len(pick))
-            out_v.extend(ids[vs[pick]])
-            out_s.extend(sc[pick])
+        for lo in range(0, n, tile):
+            hi = min(lo + tile, n)
+            dot = qm[lo:hi] @ qm.T
+            den = np.outer(n2[lo:hi], n2) // 1_000_000
+            for ti in range(hi - lo):
+                i = lo + ti
+                mask = den[ti] > 0
+                mask[i] = False
+                vs = np.nonzero(mask)[0]
+                if len(vs) == 0:
+                    continue
+                d = dot[ti, vs]
+                sc = d * d // den[ti, vs]
+                sc = np.where(d >= 0, sc, -sc)
+                pick = np.lexsort((ids[vs], -sc))[:KNNG_K]
+                out_u.extend([ids[i]] * len(pick))
+                out_v.extend(ids[vs[pick]])
+                out_s.extend(sc[pick])
         return pd.DataFrame({"u": out_u, "v": out_v, "score_1e6": out_s})
 
     topk = q.groupBy("label").applyInPandas(

@@ -98,6 +98,21 @@ def test_mutual_knn_graph_is_symmetric_and_bounded(spark, sf_dir):
     assert max(deg.values()) <= KNNG_K
 
 
+def test_mutual_knn_graph_tiling_is_result_invariant(spark, sf_dir, monkeypatch):
+    """The block kernel's quadratic-intermediate guard: shrinking the tile
+    budget to one element forces every query row into its own tile (the
+    degenerate many-tile execution an oversized label block would take),
+    and the edge set must be bit-identical to the default single-tile run."""
+    import nocouncil_etl_spark.plans.breadth43 as b43
+
+    fn = REG["vec_knn_graph_mutual"].fn
+    base = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    monkeypatch.setattr(b43, "KNNG_TILE_ELEMS", 1)
+    tiled = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert base == tiled
+    assert base  # non-vacuous
+
+
 def test_lttb_keeps_endpoints_and_subsets_the_series(spark, sf_dir):
     from nocouncil_etl_spark.io import load
 
