@@ -106,13 +106,16 @@ def main() -> None:
     # apparent +35-80% on cheap queries was machine contention, not code —
     # this row makes that diagnosable from the JSON alone (compare
     # calibration_sec across rounds before reading per-query deltas).
-    cal: list[float] = []
-    for i in range(4):
-        t0 = time.perf_counter()
-        spark.range(200_000_000).selectExpr("sum(id)").collect()
-        if i > 0:
-            cal.append(time.perf_counter() - t0)
-    calibration = round(statistics.median(cal), 3)
+    def calibrate() -> float:
+        cal: list[float] = []
+        for i in range(4):
+            t0 = time.perf_counter()
+            spark.range(200_000_000).selectExpr("sum(id)").collect()
+            if i > 0:
+                cal.append(time.perf_counter() - t0)
+        return round(statistics.median(cal), 3)
+
+    calibration = calibrate()
 
     names = [n for n in HEADLINE if n in registry]
     timings: dict[str, float] = {}
@@ -137,6 +140,16 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
+    # Contention sentinel (round-9 verdict #5): the probe runs once BEFORE
+    # and once AFTER the headline loop; if machine speed drifted >20%
+    # between them, some per-query medians were taken under load the
+    # single up-front calibration could not see (r9's triage had to
+    # re-measure its fix table on a quiet machine for exactly this).
+    # "contended": true tells the judge to read deltas as load, not code.
+    calibration_after = calibrate()
+    lo, hi = sorted((calibration, calibration_after))
+    contended = lo > 0 and hi / lo > 1.2
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -146,6 +159,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "calibration_sec": calibration,
+                "calibration_after_sec": calibration_after,
+                "contended": contended,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

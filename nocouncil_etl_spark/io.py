@@ -69,6 +69,28 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(n)
 
 
+def fan_out_if_narrow(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Conditional fan_out for COMPUTE-DENSE 1:1 maps (heavy per-row
+    HOF/regex passes with NO output amplification — readability, PII
+    redaction, lang-id, Gopher rules).
+
+    These are not fan_out's contract (nothing explodes), but their cost per
+    input byte dwarfs the scan's, so byte-derived scan parallelism still
+    under-schedules them LOCALLY: a single small parquet file plans one
+    task and the interpreted pass serializes (round 9 measured 6.5 s → 0.8 s
+    at sf1 for the lang-id cohort). At 100 TB the same scan already plans
+    ~one task per 128 MB split — ample parallelism — and a full-corpus
+    round-robin shuffle would be pure overhead. So: repartition ONLY when
+    the planned scan parallelism is below the session target; at cluster
+    scan widths this is a no-op and the map stays narrow/zero-shuffle."""
+    n = partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one synthetic table. Scans stay columnar/pushdown-friendly."""
     if table not in TABLES:

@@ -118,6 +118,86 @@ def global_window_inputs(df) -> list[tuple[str, int | None]]:
     return out
 
 
+#: frame spec whose upper bound is unboundedFollowing — capture the lower
+#: bound to exempt the whole-partition (unboundedPreceding, unboundedFollowing)
+#: frame, which Spark computes once per partition (O(n)); every other
+#: lower bound makes an UnboundedFollowingWindowFunctionFrame that
+#: RECOMPUTES the aggregate from scratch at each row — O(n²) per
+#: partition, measured at 18 s / 160k rows in the round-9 triage. The fix
+#: idiom is a running frame over the REVERSED ordering (plans/joins.py:273).
+_UF_FRAME_RE = __import__("re").compile(
+    r"specifiedwindowframe\((?:Row|Range)Frame, ([^,]+), unboundedfollowing\$\(\)\)"
+)
+
+
+def unbounded_following_agg_frames(df) -> list[str]:
+    """Static plan check (no job runs): every window frame in df's physical
+    plan — including frames inside cached subtrees and AQE stages — whose
+    upper bound is unboundedFollowing with a lower bound other than
+    unboundedPreceding. These are the O(n²)-per-partition suffix-aggregate
+    frames banned by tests/test_frame_lint.py."""
+    bad: list[str] = []
+    for node in walk_plan(df._jdf.queryExecution().executedPlan()):
+        if node.nodeName() != "Window":
+            continue
+        for m in _UF_FRAME_RE.finditer(node.toString()):
+            if m.group(1) != "unboundedpreceding$()":
+                bad.append(m.group(0))
+    return bad
+
+
+#: nodes that redistribute (or bound) their output — a Generate above one
+#: of these inherits the session's shuffle parallelism, not the scan's
+#: byte-derived task count
+_FANNED_NODES = {
+    "Exchange",
+    "ShuffleQueryStage",
+    "AQEShuffleRead",
+    "BroadcastExchange",
+    "BroadcastQueryStage",
+    "ReusedExchange",
+    "FlatMapGroupsInPandas",  # grouped applyInPandas: keyed shuffle built in
+    "FlatMapCoGroupsInPandas",
+}
+
+#: leaves whose cardinality is driver-chosen, not data-sized
+_BOUNDED_LEAVES = {"Range", "LocalTableScan", "OneRowRelation", "EmptyRelation"}
+
+
+def unfanned_generates(df) -> list[tuple[str, str]]:
+    """Static plan check (no job runs): Generate (explode) nodes fed by a
+    file scan through only narrow operators — i.e. no shuffle between the
+    scan and the explode, so the explosive stage runs at the scan's
+    byte-derived parallelism (round-9 discovery #1: one task for a small
+    compressed file locally, a straggler per oversized file at 100 TB; fix
+    is io.fan_out ahead of the explode). Returns (generate, scan) string
+    pairs; cached subtrees and AQE stages are descended."""
+    from collections import deque as _dq
+
+    bad: list[tuple[str, str]] = []
+    for node in walk_plan(df._jdf.queryExecution().executedPlan()):
+        if node.nodeName().split(" (")[0] != "Generate":
+            continue
+        q = _dq(_children(node))
+        seen: set[int] = set()
+        while q:
+            n = q.popleft()
+            if id(n) in seen:
+                continue
+            seen.add(id(n))
+            base = n.nodeName().split(" (")[0].strip()
+            if base in _FANNED_NODES or base in LIMIT_NODES or base in _BOUNDED_LEAVES:
+                continue  # this branch is fanned/bounded — stop descending
+            if base == "Scan ExistingRDD":  # driver-local rows, bounded
+                continue
+            if base.startswith("Scan") or base in ("FileSourceScan", "BatchScan"):
+                sdesc = n.toString().splitlines()[0][:200]
+                bad.append((node.toString().splitlines()[0][:120], sdesc))
+                continue
+            q.extend(_children(n))
+    return bad
+
+
 def plan_has_global_window(df) -> bool:
     """Static pre-check (no execution): does the formatted physical plan
     contain a Window whose second Arguments bracket group is an order

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.functions.text import STOPWORDS
-from nocouncil_etl_spark.io import fan_out, load
+from nocouncil_etl_spark.io import fan_out_if_narrow, load
 from nocouncil_etl_spark.registry import query
 
 # Gopher-rule thresholds (Rae et al. 2021 §A1.1 style, tuned to the synthetic
@@ -53,8 +53,10 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection — each rule an explicit column so downstream can audit WHY a
     document was dropped, plus the combined pass flag. Ratios divide exact
     integer counts; thresholds compare un-rounded doubles identically on
-    both engines."""
-    docs = fan_out(load(spark, sf_dir, "documents"))
+    both engines. Narrow 1:1 map at cluster scan widths —
+    fan_out_if_narrow shuffles only in the local single-small-file case
+    where the interpreted HOF pass would otherwise run in one task."""
+    docs = fan_out_if_narrow(load(spark, sf_dir, "documents"))
     w = F.split("text", " ")
     n_words = F.size(w).cast("long")
     n_chars_in_words = F.aggregate(
@@ -108,8 +110,11 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star PII scrubbing: email/phone redaction with per-doc counts
     (the audit trail). PII markers are synthesized deterministically so the
     redactor provably fires; patterns are RE2-safe so Java and DuckDB match
-    identically. At 100 TB this is a narrow map — no shuffle, no UDF."""
-    docs = fan_out(load(spark, sf_dir, "documents"))
+    identically. At 100 TB this is a narrow map — no shuffle, no UDF
+    (fan_out_if_narrow is a no-op at cluster scan widths; it repartitions
+    only when the scan plans fewer tasks than the session target, the
+    local single-file case where the regex pass would serialize)."""
+    docs = fan_out_if_narrow(load(spark, sf_dir, "documents"))
     body = F.concat(
         "text",
         F.lit(" contact user"),

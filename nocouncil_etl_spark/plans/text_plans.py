@@ -17,7 +17,7 @@ from nocouncil_etl_spark.functions.text import (
     token_count_bpe_ish,
     token_count_ws,
 )
-from nocouncil_etl_spark.io import fan_out, load
+from nocouncil_etl_spark.io import fan_out, fan_out_if_narrow, load
 from nocouncil_etl_spark.registry import query
 
 
@@ -50,8 +50,9 @@ FROM ranked
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star language-ID: stopword-hit argmax with deterministic
     tie-break (max over (score, lang) structs — identical struct-compare
-    semantics in Spark and DuckDB)."""
-    docs = fan_out(load(spark, sf_dir, "documents"))
+    semantics in Spark and DuckDB). Narrow 1:1 map at cluster scan widths;
+    fan_out_if_narrow shuffles only in the local single-small-file case."""
+    docs = fan_out_if_narrow(load(spark, sf_dir, "documents"))
     ws = F.split("text", " ")
     scores = lang_scores(ws)
     return docs.select(
@@ -200,8 +201,10 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-stable.
 
     Scale shape: pure per-row HOF expressions (regexp inside a list
-    transform, JVM-side) — zero shuffles."""
-    docs = fan_out(load(spark, sf_dir, "documents"))
+    transform, JVM-side) — zero shuffles at cluster scan widths
+    (fan_out_if_narrow repartitions only when the scan plans fewer tasks
+    than the session target, i.e. the local single-small-file case)."""
+    docs = fan_out_if_narrow(load(spark, sf_dir, "documents"))
     ws = F.split("text", " ")
     sents = F.split("text", "\\.")
     syll = F.aggregate(

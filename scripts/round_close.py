@@ -6,6 +6,14 @@ without its sweep artifact once).
 Usage: python scripts/round_close.py <round_number>
 
 Runs, in order:
+  0. ADVICE.md disposition check            (every advisor item must have a
+                                             FIXED/STALE/ACCEPTED entry in
+                                             ADVICE_STATUS.md — round-9
+                                             verdict #6: both r8 lows were
+                                             fixed in-round but ADVICE.md
+                                             still listed them as open, so a
+                                             cold reader would re-do closed
+                                             work)
   1. python -m pytest tests/ -q              (must be 0 failed / 0 errors)
   2. python scripts/oracle_check.py --summary SWEEP_r<N>.json
                                              (must end ALL MATCH)
@@ -19,10 +27,46 @@ commit, never after.
 from __future__ import annotations
 
 import os
+import re
 import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def advice_dispositions() -> list[str]:
+    """Every `- **sev** anchor — ...` bullet in ADVICE.md must have a line
+    in ADVICE_STATUS.md containing the same anchor plus a disposition
+    keyword (FIXED / STALE / ACCEPTED). Returns the list of problems."""
+    advice = os.path.join(REPO, "ADVICE.md")
+    status = os.path.join(REPO, "ADVICE_STATUS.md")
+    if not os.path.exists(advice):
+        return []
+    with open(advice, encoding="utf-8") as fh:
+        bullets = re.findall(
+            r"^- \*\*(?:low|medium|high)\*\* (\S+?) —", fh.read(), re.M
+        )
+    if not bullets:
+        return []
+    if not os.path.exists(status):
+        return [f"ADVICE_STATUS.md missing but ADVICE.md has {len(bullets)} items"]
+    with open(status, encoding="utf-8") as fh:
+        stat = fh.read()
+    problems = []
+    for anchor in bullets:
+        # match on the file path — the advisor's line number drifts as the
+        # file is edited, so requiring the exact :line would go stale the
+        # moment the item is fixed
+        path = anchor.split(":")[0]
+        line_re = re.compile(
+            rf"^.*{re.escape(path)}.*\b(FIXED|STALE|ACCEPTED)\b", re.M
+        )
+        if not line_re.search(stat):
+            problems.append(
+                f"ADVICE item {anchor} has no FIXED/STALE/ACCEPTED line in "
+                "ADVICE_STATUS.md"
+            )
+    return problems
 
 
 def main() -> int:
@@ -30,6 +74,14 @@ def main() -> int:
         print("usage: python scripts/round_close.py <round_number>")
         return 2
     rnd = int(sys.argv[1])
+
+    print("[round_close] gate 0/2: ADVICE.md dispositions ...", flush=True)
+    problems = advice_dispositions()
+    if problems:
+        for p in problems:
+            print(f"[round_close]   {p}")
+        print("[round_close] FAIL — advise items lack dispositions")
+        return 1
 
     print(f"[round_close] gate 1/2: pytest tests/ (full suite) ...", flush=True)
     p1 = subprocess.run(

@@ -206,3 +206,23 @@ def test_fan_out_widens_single_partition_input(spark):
     )
     assert sorted(r.id for r in wide.collect()) == list(range(1000))
     assert fan_out(df, 7).rdd.getNumPartitions() == 7
+
+
+def test_fan_out_if_narrow_is_noop_at_cluster_widths(spark):
+    """io.fan_out_if_narrow: the compute-dense 1:1-map contract — widen a
+    single-task local scan, but add NO shuffle when the input already plans
+    at least the session's shuffle width (the 100 TB case, where the scan's
+    byte-derived splits give ample parallelism)."""
+    from pyspark.sql import functions as F
+
+    from nocouncil_etl_spark.io import fan_out_if_narrow
+
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    narrow = spark.range(0, 1000, 1, 1).withColumn("v", F.col("id") * 2)
+    widened = fan_out_if_narrow(narrow)
+    assert widened.rdd.getNumPartitions() == width
+    assert sorted(r.id for r in widened.collect()) == list(range(1000))
+
+    wide = spark.range(0, 1000, 1, width + 3)
+    same = fan_out_if_narrow(wide)
+    assert same is wide  # structurally unchanged: no repartition node added
