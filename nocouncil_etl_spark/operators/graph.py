@@ -167,6 +167,22 @@ def hits_fixed_point(
     return out
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free a superseded localCheckpoint's storage blocks immediately.
+
+    Dataset.localCheckpoint persists an internal RDD that the returned
+    frame wraps as a LogicalRDD; nothing user-facing unpersists it, so
+    superseded rounds of an iterative algorithm accumulate executor
+    storage until the JVM GCs the reference. Reaching through the
+    analyzed plan to that RDD and unpersisting (non-blocking) returns the
+    blocks eagerly. Best-effort: anything unexpected (not a LogicalRDD,
+    already released) is ignored — correctness never depends on it."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — storage hygiene only
+        pass
+
+
 def star_components(
     edges: DataFrame, src: str = "a", dst: str = "b", max_iters: int = 60
 ) -> DataFrame:
@@ -236,9 +252,16 @@ def star_components(
             .filter(F.col("u") != F.col("v"))
             .localCheckpoint(eager=True)
         )
+        # single symmetric-difference probe: one job instead of two
+        # (either direction differing is enough to continue)
         changed = (
-            e2.exceptAll(E).limit(1).count() + E.exceptAll(e2).limit(1).count()
+            e2.exceptAll(E).unionAll(E.exceptAll(e2)).limit(1).count()
         )
+        # free the superseded round's checkpoint blocks now — they
+        # otherwise sit in executor storage until the JVM happens to GC
+        # the RDD references (accumulates across rounds on big graphs)
+        _release_checkpoint(E)
+        _release_checkpoint(e1)
         E = e2
         if changed == 0:
             non_roots = E.select(F.col("u").alias("node"), F.col("v").alias("comp"))

@@ -278,17 +278,20 @@ def knn_partitioned(
     knn_exact_blocked pass with one query matrix per partition) — the
     per-pair expression cosine it replaces evaluated interpreted and grew
     quadratically in wall time with cell size. Query side bounded by
-    MAX_BLOCKED_QUERIES, the blocked-strategy contract."""
+    MAX_BLOCKED_QUERIES, the blocked-strategy contract; a LARGER query set
+    falls back to the fully-distributed equi-join + expression-cosine path
+    (result-identical, never leaves the cluster) instead of failing —
+    slower per pair, but the right trade when the query side itself is
+    data-sized."""
     q_rows = (
         queries.select(part_col, q_id, q_vec)
         .limit(MAX_BLOCKED_QUERIES + 1)
         .collect()
     )
     if len(q_rows) > MAX_BLOCKED_QUERIES:
-        raise ValueError(
-            f"knn_partitioned ships the query side in the task closure and "
-            f"got more than {MAX_BLOCKED_QUERIES} query rows; chunk the "
-            "query set into waves."
+        return _knn_part_distributed(
+            queries.withColumn("_qn", l2_norm(q_vec)),
+            corpus, k, part_col, q_id, c_id, q_vec, c_vec,
         )
     by_part: dict = {}
     for r in q_rows:
@@ -303,6 +306,36 @@ def knn_partitioned(
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
+
+
+def _knn_part_distributed(
+    q_with_norm: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    part_col: str,
+    q_id: str,
+    c_id: str,
+    q_vec: str,
+    c_vec: str,
+) -> DataFrame:
+    """Fallback scoring when the query/probe side exceeds
+    MAX_BLOCKED_QUERIES (too big for a task closure): shuffle-hash
+    equi-join on the partition key + JVM expression cosine. shuffle_hash
+    is hinted explicitly so Spark can never elect to broadcast a
+    data-sized query side. Result-identical to the blocked kernel: same
+    6dp HALF_UP rounding (F.round), null sims for zero norms ranked last,
+    same (sim desc, c_id) tie-break."""
+    cn = corpus.withColumn("_cn", l2_norm(c_vec))
+    pairs = cn.join(q_with_norm.hint("shuffle_hash"), on=part_col).filter(
+        F.col(q_id) != F.col(c_id)
+    )
+    sim = F.when(
+        F.col("_qn") * F.col("_cn") != 0,
+        dot(q_vec, c_vec) / (F.col("_qn") * F.col("_cn")),
+    )
+    scored = pairs.select(q_id, c_id, F.round(sim, 6).alias("sim"))
+    w = Window.partitionBy(q_id).orderBy(F.col("sim").desc_nulls_last(), F.col(c_id))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
 def knn_lsh(
@@ -433,9 +466,11 @@ def knn_ivf_probe(
         .collect()
     )
     if len(p_rows) > MAX_BLOCKED_QUERIES:
-        raise ValueError(
-            f"knn_ivf_probe got more than {MAX_BLOCKED_QUERIES} probe rows; "
-            "chunk the query set into waves."
+        # |Q|·nprobe outgrew the task-closure contract: score the probe
+        # assignments with the distributed equi-join path instead
+        # (probes already carries part_col, q_vec, and _qn per probe row)
+        return _knn_part_distributed(
+            probes, corpus, k, part_col, q_id, c_id, q_vec, c_vec
         )
     by_part: dict = {}
     for r in p_rows:

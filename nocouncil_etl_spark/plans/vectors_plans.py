@@ -567,7 +567,14 @@ def vec_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims = nm @ nm.T
         # raw pre-filter at threshold - 1e-4: HALF_UP rounding to 6dp moves
         # a value by <= 5e-7, so nothing below 0.9899 can round into 0.99;
-        # the exact Spark-rule rounding then runs on the survivors only
+        # the exact Spark-rule rounding then runs on the survivors only.
+        # Accepted 1-ulp tolerance: normalize-then-matmul orders the float
+        # ops differently than the oracle's dot/(|a||b|) expression, so a
+        # RAW sim within ~1 ulp of a .5e-7 rounding boundary at the 0.99
+        # cutoff could in principle flip inclusion vs DuckDB. No synthetic
+        # or sf1 vector has ever sat on that boundary (the correctness
+        # sweep covers this query at both SFs); if one ever does, the
+        # mismatch is this documented evaluation-order artifact, not a bug
         ia, ib = np.nonzero((sims >= 0.9899) & (ids[:, None] < ids[None, :]))
         s = np.array(
             [_round6_like_spark(x) for x in sims[ia, ib]], dtype=np.float64

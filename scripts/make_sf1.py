@@ -7,6 +7,24 @@ columns are untouched, so group-by cardinalities on attribute columns
 (returnflag, mktsegment, event_type, ...) stay constant while data volume
 scales — the shape a real 10× data-growth has.
 
+Replica SALTING (round-9 verdict #4): identical replica text/vectors made
+every near-dup family's sf1 pair output quadratic in replica multiplicity
+by construction (dedup_simhash_pairs 0.86 M → 86 M pairs) — an artifact, not
+organic growth. Replicas i>0 are therefore perturbed deterministically:
+
+- documents.text: each word's LAST character is replaced by a
+  replica-keyed letter (length-preserving, so n_chars stays valid).
+  Identical texts WITHIN a replica stay identical (the perturbation is a
+  pure function of (word, i)), so planted intra-corpus dup families
+  survive per replica; across replicas every ≥2-char word differs, so
+  shingle/gram/simhash families see disjoint feature sets — linear pair
+  growth, the organic shape.
+- embeddings.embedding: per-(vec_id, dim, i) sin-noise of amplitude 0.04
+  (delta-norm ≈ 0.23 on unit vectors → cross-replica cosine ≈ 0.95,
+  safely under the 0.99 near-dup cutoffs; queries that plant their own
+  runtime twins, e.g. +0.1 on the last dim, keep them ≥0.995 regardless).
+  Replica 0 is bit-identical to the source in both tables.
+
 Usage: python scripts/make_sf1.py [out_dir] [copies]
 (default .scratch/sf1 under the repo, 10 copies)
 """
@@ -61,6 +79,30 @@ def main() -> None:
         )
         print(f"{table}: copied")
 
+    # deterministic replica salting — see module docstring
+    SALTED = {
+        ("documents", "text"): (
+            "CASE WHEN i.i = 0 THEN text ELSE array_to_string("
+            "list_transform(string_split(text, ' '), w -> "
+            "CASE WHEN len(w) <= 1 THEN w ELSE "
+            "substr(w, 1, len(w) - 1) || "
+            # shift = 3i+22 (mod 26): nonzero and pairwise-distinct for
+            # i in 1..9, so every replica differs from the source AND from
+            # every other replica (a +7i shift is ≡0 mod 26 at i=0 — and
+            # 97+7 ≡ 0 collapsed the first draft to identity on lowercase)
+            "chr(CAST(97 + (ord(substr(w, len(w), 1)) + i.i * 3 + 3) % 26 "
+            "AS INTEGER)) END"
+            "), ' ') END AS text"
+        ),
+        ("embeddings", "embedding"): (
+            "CASE WHEN i.i = 0 THEN embedding ELSE "
+            "list_transform(range(1, len(embedding) + 1), j -> CAST("
+            "embedding[CAST(j AS INTEGER)] + 0.04 * sin(CAST("
+            "vec_id * 997 + j * 7919 + i.i * 104729 AS DOUBLE))"
+            " AS FLOAT)) END AS embedding"
+        ),
+    }
+
     for table, keys in KEYED.items():
         cols = con.execute(
             f"SELECT * FROM read_parquet('{SRC}/{table}.parquet') LIMIT 0"
@@ -68,9 +110,13 @@ def main() -> None:
         select = ", ".join(
             f"{c} + i.i * {spans[keys[c]]} AS {c}"
             if c in keys
-            # events.ts is TIMESTAMP(NANOS) in the source layout (Spark reads
-            # it as long nanos via io.load); keep the replica faithful
-            else (f"{c}::TIMESTAMP_NS AS {c}" if (table, c) == ("events", "ts") else c)
+            else SALTED.get(
+                (table, c),
+                # events.ts is TIMESTAMP(NANOS) in the source layout (Spark
+                # reads it as long nanos via io.load); keep the replica
+                # faithful
+                f"{c}::TIMESTAMP_NS AS {c}" if (table, c) == ("events", "ts") else c,
+            )
             for c in cols
         )
         con.execute(

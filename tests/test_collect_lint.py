@@ -128,10 +128,13 @@ WHITELIST: dict[str, tuple[int, str]] = {
         "closure (r9: anchor-distance pass is one Arrow matmul)"),
     f"{_P}/operators/similarity.py:knn_partitioned": (
         65_537, "query side, size-guarded at MAX_BLOCKED_QUERIES+1 (r9: "
-        "partitioned blocked kernel ships per-part query matrices)"),
+        "partitioned blocked kernel ships per-part query matrices; r10: "
+        "over the cap it falls back to the distributed shuffle_hash join "
+        "instead of raising)"),
     f"{_P}/operators/similarity.py:knn_ivf_probe": (
         65_537, "probe rows = |Q| x nprobe, size-guarded at "
-        "MAX_BLOCKED_QUERIES+1 (r9: partitioned blocked kernel)"),
+        "MAX_BLOCKED_QUERIES+1 (r9: partitioned blocked kernel; r10: over "
+        "the cap it falls back to the distributed shuffle_hash join)"),
     f"{_P}/plans/breadth21.py:join_bloom_pruned": (
         4096, "bloom bitset words, filter size fixed"),
     f"{_P}/plans/breadth34.py:io_manifest_file_pruning": (

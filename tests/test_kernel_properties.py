@@ -128,6 +128,42 @@ def test_knn_blocked_guards_large_query_side(spark, monkeypatch):
         similarity.knn_exact_blocked(vecs, corpus, k=2)
 
 
+def test_knn_partitioned_falls_back_distributed_over_cap(spark, monkeypatch):
+    """knn_partitioned / knn_ivf_probe over MAX_BLOCKED_QUERIES must NOT
+    fail: they fall back to the distributed shuffle_hash equi-join path,
+    and the fallback's results are identical to the blocked kernel's."""
+    from nocouncil_etl_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [(i, i % 3, [float(i % 5) + 0.5, float(i % 7) + 1.0]) for i in range(12)],
+        "q_id long, part int, q_vec array<double>",
+    )
+    corpus = vecs.select(
+        vecs.part, vecs.q_id.alias("c_id"), vecs.q_vec.alias("c_vec")
+    )
+
+    def run_part():
+        return sorted(
+            (r.q_id, r.c_id, r.sim)
+            for r in similarity.knn_partitioned(
+                vecs, corpus, k=2, part_col="part"
+            ).collect()
+        )
+
+    def run_ivf():
+        return sorted(
+            (r.q_id, r.c_id, r.sim)
+            for r in similarity.knn_ivf_probe(
+                vecs, corpus, k=2, part_col="part", nprobe=2
+            ).collect()
+        )
+
+    blocked_part, blocked_ivf = run_part(), run_ivf()
+    monkeypatch.setattr(similarity, "MAX_BLOCKED_QUERIES", 3)
+    assert run_part() == blocked_part
+    assert run_ivf() == blocked_ivf
+
+
 def test_knn_blocked_zero_norm_scores_null(spark):
     """Zero-norm vectors have undefined cosine: sim must surface as null and
     rank last — matching knn_exact's F.when(null) semantics."""
