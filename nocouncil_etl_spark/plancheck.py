@@ -16,6 +16,7 @@ below it and would have passed any static contains-an-agg check.
 
 from __future__ import annotations
 
+import re
 from collections import deque
 
 #: physical nodes that bound their output by construction
@@ -125,7 +126,7 @@ def global_window_inputs(df) -> list[tuple[str, int | None]]:
 #: RECOMPUTES the aggregate from scratch at each row — O(n²) per
 #: partition, measured at 18 s / 160k rows in the round-9 triage. The fix
 #: idiom is a running frame over the REVERSED ordering (plans/joins.py:273).
-_UF_FRAME_RE = __import__("re").compile(
+_UF_FRAME_RE = re.compile(
     r"specifiedwindowframe\((?:Row|Range)Frame, ([^,]+), unboundedfollowing\$\(\)\)"
 )
 
@@ -164,6 +165,37 @@ _FANNED_NODES = {
 _BOUNDED_LEAVES = {"Range", "LocalTableScan", "OneRowRelation", "EmptyRelation"}
 
 
+#: literal slice length: slice(<anything>, <int>, <int>)
+_BOUNDED_SLICE_RE = re.compile(r"^slice\(.*, -?\d+, \d+\)$")
+
+
+def _bounded_generator(gen: str) -> bool:
+    """True when a Generate's generator has STATICALLY bounded fan-out —
+    constant amplification, not an explosive transform:
+    - explode(array(...)): arity fixed by the expression grammar;
+    - a constant-folded literal array (sequence of literals →
+      UnsafeArrayData/GenericArrayData);
+    - slice(..., lit, lit): amplification ≤ the literal length.
+    Data-dependent-arity generators (split, sequence over columns, UDF/
+    collected arrays, map columns) stay explosive."""
+    if re.match(r"stack\(\d+,", gen):
+        return True  # stack's fan-out IS its literal first argument
+    if gen.startswith("json_tuple("):
+        return True  # fixed arity: one row per field list
+    inner = gen
+    for head in ("explode_outer(", "posexplode_outer(", "explode(", "posexplode("):
+        if gen.startswith(head):
+            inner = gen[len(head):-1]
+            break
+    if inner.startswith("array("):
+        return True
+    if inner.startswith("[") and inner.endswith("]"):
+        return True  # constant-folded literal array, e.g. explode([1,2,3])
+    if "UnsafeArrayData" in inner or "GenericArrayData" in inner:
+        return True
+    return bool(_BOUNDED_SLICE_RE.match(inner))
+
+
 def unfanned_generates(df) -> list[tuple[str, str]]:
     """Static plan check (no job runs): Generate (explode) nodes fed by a
     file scan through only narrow operators — i.e. no shuffle between the
@@ -177,6 +209,11 @@ def unfanned_generates(df) -> list[tuple[str, str]]:
     bad: list[tuple[str, str]] = []
     for node in walk_plan(df._jdf.queryExecution().executedPlan()):
         if node.nodeName().split(" (")[0] != "Generate":
+            continue
+        head = node.toString().splitlines()[0]
+        # format: Generate <gen>[, [requiredChildOutput]], <outer>, [output]
+        m = re.match(r"Generate (.*?)(?:, \[[^\]]*\])?, (?:false|true), \[", head)
+        if m and _bounded_generator(m.group(1)):
             continue
         q = _dq(_children(node))
         seen: set[int] = set()

@@ -89,7 +89,7 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     comes from one window over the DISTINCT (source, hash) set — the
     distinct itself is the only corpus-sized shuffle, and it is exactly the
     shuffle the exact count needs anyway."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     g = (
         docs.select("source", F.explode(make_shingle_udf(GRAM_N)("text")).alias("gram"))
         .distinct()

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.plans.graph_plans import _EDGES_SQL, _graph
 from nocouncil_etl_spark.registry import query
 
@@ -482,7 +482,7 @@ def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out, so the sketch build shuffles vocabulary-sized rows, not the
     corpus; the sketch table is d·w = {CMS_D * CMS_W} cells regardless of
     data size — the whole point of a sketch."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(F.split("text", " ")).alias("term"))
     cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
     top = cnt.orderBy(F.desc("n"), F.asc("term")).limit(CMS_TOP)
@@ -866,7 +866,7 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one vocab agg → TakeOrdered {ZIPF_TOP} → constant-size
     co-moment fold; the vocabulary agg is the only corpus-sized stage."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     cnt = (
         docs.select(F.explode(F.split("text", " ")).alias("term"))
         .groupBy("term")

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.registry import query
 
 BP_MIN_SHARE_PCT = 50  # a line in >= half the source's docs is boilerplate
@@ -94,7 +94,7 @@ def curation_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized boilerplate dictionary joined back on (source, line), and one
     ordered string-agg per doc. Frequency thresholds are per-source
     ratios, so the detector needs no tuning as the corpus grows."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     built = docs.select(
         "doc_id",
         "source",

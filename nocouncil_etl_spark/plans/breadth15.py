@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.registry import query
 
 LAT_RANGE = 400
@@ -207,7 +207,7 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-row dictionary against the token stream; per-source rates are one
     combine-agg. Vocab size is a design constant — nothing scales with
     the corpus except the linear token scan."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     tok = docs.select("source", F.explode(F.split("text", " ")).alias("t"))
     vocab = (
         tok.groupBy("t")

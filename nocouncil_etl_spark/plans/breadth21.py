@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.registry import query
 
 # ---- bloom knobs (sketch_bloom_membership discipline) ---------------------
@@ -219,7 +219,7 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings and intersects them with keyed equi-joins — never a document
     rescan. This is the primitive under positional BM25 / proximity
     ranking."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(load(spark, sf_dir, "documents")).select("doc_id", "text")
     corpus = docs.select(
         "doc_id",
         F.concat(
@@ -548,7 +548,7 @@ def eval_lsh_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(load(spark, sf_dir, "documents")).select("doc_id", "text")
     mut = docs.filter(F.col("doc_id") % 4 == 0).select(
         "doc_id",
         F.concat("text", F.lit(" appended mutation tail words")).alias("text"),

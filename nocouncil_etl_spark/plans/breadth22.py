@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -200,7 +200,7 @@ def contamination_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     instances."""
     from nocouncil_etl_spark.operators.dedup import make_shingle_udf
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(load(spark, sf_dir, "documents")).select("doc_id", "text")
     eval_docs = docs.filter(F.col("doc_id") % 6 == 0)
     train_docs = eval_docs.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
@@ -372,7 +372,7 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partitioned window); word stats are two corpus-wide hash aggs;
     scoring joins the broadcast word table; top-k is a per-doc window.
     Linear in tokens."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
     )

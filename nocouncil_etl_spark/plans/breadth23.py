@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -439,7 +439,7 @@ def eval_span_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: posting lists join on (doc, pos) — linear; per-doc
     combine; no text rescan after tokenization."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "term")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")

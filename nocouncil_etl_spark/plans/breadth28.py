@@ -29,7 +29,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.plans.breadth15 import _pt, _pt_sql
 from nocouncil_etl_spark.registry import query
 
@@ -321,7 +321,7 @@ def text_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora: boilerplate-heavy sources show inflated K/D (few types
     dominate). Reference parity: the corpus quality scoring implied by
     ingest.py's content filters."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     tok = docs.select(
         F.explode(
             F.filter(

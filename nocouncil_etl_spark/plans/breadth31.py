@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.plans.breadth15 import _pt, _pt_sql
 from nocouncil_etl_spark.registry import query
 
@@ -239,7 +239,7 @@ def eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-term window over the term's own posting list, a k-row reduce.
     The posting-list window is vocabulary-term-bounded, not corpus-
     bounded. Reference parity: vectorize.py's retrieval QA loop."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term").isin(*MRR_TERMS))

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out_if_narrow, load
 from nocouncil_etl_spark.plans.breadth15 import _pt, _pt_sql
 from nocouncil_etl_spark.registry import query
 
@@ -198,7 +198,7 @@ def io_json_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pure map-side parse + one hash-agg to the (tiny) key
     table. Reference parity: ingest.py consumes heterogeneous feed JSON
     with exactly this optional-field shape."""
-    orders = load(spark, sf_dir, "orders")
+    orders = fan_out_if_narrow(load(spark, sf_dir, "orders"))
     feed = orders.select(
         F.concat(
             F.lit('{"id": '),

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.plans.breadth15 import _pt, _pt_sql
 from nocouncil_etl_spark.registry import query
 
@@ -364,7 +364,7 @@ def vec_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows) + hash-agg per vector — the standard pre-LSH/pre-ANN
     compression pass; distance accounting is an equi-join on the pair
     key. No pair blowup: pairs here are a fixed probe set."""
-    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") <= JL_PAIRS)
+    e = fan_out(load(spark, sf_dir, "embeddings")).filter(F.col("vec_id") <= JL_PAIRS)
     comp = e.select(
         "vec_id",
         F.posexplode("embedding").alias("i0", "xv"),

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.plans.graph_plans import _EDGES_SQL, _graph
 from nocouncil_etl_spark.registry import query
 
@@ -629,7 +629,7 @@ def eval_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: rankings come from per-half hash-aggs; the RBO
     arithmetic runs on ≤ {RBO_DEPTH} rows. Heaps-bounded vocabulary."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     tok = docs.select(
         F.when(F.col("source") < "src5", "A").otherwise("B").alias("half"),
         F.explode(F.split("text", " ")).alias("term"),

@@ -536,7 +536,7 @@ def search_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: posting-list hash-aggs; the feedback mining touches
     only the {PRF_TOP_DOCS} retrieved docs' tokens; df comes from the
     Heaps-bounded vocabulary table."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     qtf = (
         tok.filter(F.col("term") == PRF_QUERY)

@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.plans.breadth15 import _pt, _pt_sql
 from nocouncil_etl_spark.plans.breadth28 import (
     LOGIT_ITERS,
@@ -596,7 +596,7 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: position explode map-side; gaps via per-(term, doc)
     windows on the filtered top-term postings; moments one hash-agg."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("j0", "term")
     ).select("doc_id", (F.col("j0") + 1).cast("long").alias("pos"), "term")

@@ -28,7 +28,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.plans.breadth15 import _pt, _pt_sql
 from nocouncil_etl_spark.registry import query
 
@@ -539,7 +539,7 @@ def vec_mips_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one component equi-join per query against the corpus
     (the vec_knn_exact shape); the augmentation itself is a map-side
     per-vector scalar."""
-    e = load(spark, sf_dir, "embeddings")
+    e = fan_out(load(spark, sf_dir, "embeddings"))
     comp = e.select(
         "vec_id",
         "label",

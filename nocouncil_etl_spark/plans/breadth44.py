@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.operators.quantiles import cumulate, with_below
 from nocouncil_etl_spark.plans.breadth15 import _pt, _pt_sql
 from nocouncil_etl_spark.plans.breadth41 import _DLAP_KS, _DLAP_THRESH, _dlap_sql
@@ -472,7 +472,7 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: token counts and first-occurrence collapse are two
     hash-aggs over the token stream; the prefix walk is one window over
     the |docs|-row frame; the OLS runs on ≤{HEAPS_CKPTS} rows."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.split("text", " ").alias("ws")
     ).select(

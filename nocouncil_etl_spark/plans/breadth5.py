@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.plans.text_corpus_plans import _TOK_SPARK, _TOK_SQL
 from nocouncil_etl_spark.registry import query
 
@@ -261,7 +261,7 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     {IDX_POSTINGS} postings per term, so a stopword-frequency term never
     collects its corpus-wide posting list into one aggregation buffer —
     the skew discipline exact-percentile uses, applied to list building."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.posexplode(F.expr(_TOK_SPARK)).alias("pos", "term")
     )
@@ -365,7 +365,7 @@ def text_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: distinct (doc, term) → df agg → TakeOrdered vocabulary →
     broadcast vocabulary join → per-doc bounded self-join → pair agg."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.explode(F.expr(_TOK_SPARK)).alias("term")
     ).distinct()

@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.operators.quantiles import cumulate
 from nocouncil_etl_spark.plans.breadth15 import _pt, _pt_sql
 from nocouncil_etl_spark.plans.breadth49 import _morton_sql
@@ -322,7 +322,7 @@ def curation_pack_attention_waste(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale shape: one prefix-sum window over per-doc token counts, a
     bounded range-explode of each doc into its ≤(len/W + 1) chunks, and
     one hash-agg per chunk — never per-token, never per-pair."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     dl = docs.select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("tk")
     )
@@ -682,7 +682,7 @@ def search_symspell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the deletion-key index is ~len(word) rows per vocab
     entry, built map-side; retrieval is an equi-join keyed on short
     strings — broadcastable from the query side."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     vocab = (
         docs.select(F.explode(F.split("text", " ")).alias("term"))
         .groupBy("term")

@@ -28,7 +28,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.plans.breadth43 import SPEC_W
 from nocouncil_etl_spark.plans.graph_plans import _EDGES_SQL, _graph
 from nocouncil_etl_spark.registry import query
@@ -438,7 +438,7 @@ def text_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one (term, doc) distinct + hash-agg over the token
     stream; ranking is a bounded top-k."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     d = toks.select("doc_id").distinct().count()
     stats = toks.groupBy("term").agg(

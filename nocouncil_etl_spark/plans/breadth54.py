@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.plans.breadth15 import _pt, _pt_sql
 from nocouncil_etl_spark.registry import query
 
@@ -667,7 +667,7 @@ def multimodal_multipart_etag(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the part explode is bounded by blob size / part size;
     per-part hashing is map-side; the tag is one ordered listagg +
     hash per key."""
-    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    docs = fan_out(load(spark, sf_dir, "documents")).filter(F.length("text") > 0)
     parts = docs.select(
         "doc_id",
         F.explode(

@@ -29,7 +29,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.operators.quantiles import cumulate
 from nocouncil_etl_spark.registry import query
 
@@ -305,7 +305,7 @@ def search_prefix_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the prefix explode is ≤{AC_MAXPRE} rows per vocab
     entry (vocabulary-sized, not corpus-sized); top-k is a bounded
     per-prefix window."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     vocab = (
         docs.select(F.explode(F.split("text", " ")).alias("term"))
         .groupBy("term")

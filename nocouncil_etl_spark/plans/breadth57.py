@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.plans.graph3 import LPA_ROUNDS, _lpa_cte_body, _lpa_labels
 from nocouncil_etl_spark.plans.retrieval_plans import _TOK_SPARK, _TOK_SQL
 from nocouncil_etl_spark.registry import query
@@ -728,7 +728,7 @@ def search_champion_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's build-once index discipline, vectorize.py:119-123); the
     query side joins a |Q|-row broadcast table; candidates per query are
     bounded by |Q|·{CH_R} regardless of corpus size."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(F.expr(_TOK_SPARK)).alias("term"))
     nd = tok.agg(F.countDistinct("doc_id").cast("long").alias("n"))
     terms = _ch_terms()

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.operators.quantiles import cumulate
 from nocouncil_etl_spark.registry import query
 
@@ -205,7 +205,7 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuation counts) over one tokenization pass; scoring re-joins
     the bigram stream against model tables keyed by w1/w2 — all
     equi-joins, vocabulary-sized model side."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
     )
@@ -299,7 +299,7 @@ def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums over doc_id (operators/quantiles.cumulate — no window, no
     global sort), one 1-row broadcast of (total, step), then a narrow
     filter."""
-    d = load(spark, sf_dir, "documents").select(
+    d = fan_out(load(spark, sf_dir, "documents")).select(
         "doc_id", F.col("n_chars").cast("long").alias("size")
     )
     d = cumulate(d, "doc_id", ("size",)).withColumnRenamed("cum_size", "cum")

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.registry import query
 
 FP = 1000  # per-mille fixed point
@@ -264,7 +264,7 @@ def tokenize_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the vocabulary is millions of rows while the token stream is
     trillions); then ≤|word| pairs per vocab row → combine-agg →
     TakeOrdered."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     tok = docs.select(F.explode(F.expr(_TOK_SPARK)).alias("term"))
     vocab = tok.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("wc"))
     pairs = (

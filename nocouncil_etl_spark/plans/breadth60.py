@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.plans.retrieval_plans import _TOK_SPARK, _TOK_SQL
 from nocouncil_etl_spark.registry import query
 
@@ -292,7 +292,7 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: rates are one tokenization pass + a vocabulary-top-k
     window; the z table is |sources|×{BD_TOP_WORDS} rows; the pair join
     is over that tiny frame, never the corpus."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     tok = docs.select("source", F.explode(F.expr(_TOK_SPARK)).alias("term"))
     top = (
         tok.groupBy("term")

@@ -34,7 +34,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.plans.retrieval_plans import _TOK_SPARK, _TOK_SQL
 from nocouncil_etl_spark.plans.graph_plans import _EDGES_SQL, _graph
 from nocouncil_etl_spark.registry import query
@@ -747,7 +747,7 @@ def text_train_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup per (source, split) is a hash agg; the audit join is keyed by
     (source, shingle) — at 100 TB the same shape runs on shingle HASHES
     (the dedup_span_ngrams trick) to keep the shuffle narrow."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
         "source",

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.plans.graph_plans import _EDGES_SQL, _graph
 from nocouncil_etl_spark.registry import query
 
@@ -244,7 +244,7 @@ def curation_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one tokenization pass + two language-cardinality hash
     aggs; nothing retains per-doc state."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     w = docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
     per = w.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("words"),

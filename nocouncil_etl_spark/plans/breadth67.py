@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.operators.quantiles import cumulate, with_below, with_global_rank
 from nocouncil_etl_spark.plans.retrieval_plans import _TOK_SPARK, _TOK_SQL
 from nocouncil_etl_spark.registry import query
@@ -335,7 +335,7 @@ def search_kgram_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the gram index is vocabulary-sized and build-once; the
     query side is a literal broadcast; levenshtein runs on the
     candidate slice only."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     vocab = docs.select(F.explode(F.expr(_TOK_SPARK)).alias("term")).distinct()
     vg = (
         vocab.select(
@@ -671,7 +671,7 @@ def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one tokenization pass, one (source, term) hash agg,
     one source rollup."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     tok = docs.select("source", F.explode(F.expr(_TOK_SPARK)).alias("term"))
     tf = tok.groupBy("source", "term").agg(
         F.count(F.lit(1)).cast("long").alias("c")

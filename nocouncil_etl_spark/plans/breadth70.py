@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.operators.quantiles import cumulate, with_global_rank
 from nocouncil_etl_spark.plans.retrieval_plans import _TOK_SPARK, _TOK_SQL
 from nocouncil_etl_spark.registry import query
@@ -591,7 +591,7 @@ def text_zipf_mandelbrot(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one tokenization pass + vocabulary hash agg; the
     ranked head is {ZM_TOP} rows; each grid arm is one tiny aggregate
     over it."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     tf = (
         docs.select(F.explode(F.expr(_TOK_SPARK)).alias("term"))
         .groupBy("term")

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.operators.quantiles import cumulate, ranged_rank_cumsum
 from nocouncil_etl_spark.plans.breadth15 import _pt, _pt_sql
 from nocouncil_etl_spark.plans.retrieval_plans import _TOK_SPARK, _TOK_SQL
@@ -497,7 +497,7 @@ def eval_word_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: vocabulary is Heaps-bounded and broadcast; coded
     strings build with an ordered string_agg per (doc, half); the DP
     runs per doc pair on ≤doc-length strings."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     vocab = (
         docs.select(F.explode(F.expr(_TOK_SPARK)).alias("term"))
         .distinct()

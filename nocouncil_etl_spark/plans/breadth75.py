@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.plans.graph_plans import _EDGES_SQL, _graph
 from nocouncil_etl_spark.plans.retrieval_plans import _TOK_SPARK, _TOK_SQL
 from nocouncil_etl_spark.registry import query
@@ -211,7 +211,7 @@ def vec_hubness_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     n div {HUB_TARGET}) — a fixed ~{HUB_TARGET}-vector audit budget at
     any scale; the r7 sf1 run caught the fixed-rate version at 101× on
     10× data); moments are one rollup."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
     modrow = emb.agg(
         F.greatest(
             F.lit(HUB_MOD).cast("long"),
@@ -545,7 +545,7 @@ def text_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: tokenization pass + broadcast lexicon join + source
     rollup."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     tok = docs.select("source", F.explode(F.expr(_TOK_SPARK)).alias("term"))
     lex = spark.createDataFrame(
         sorted(LEXICON.items()), "term string, w long"

@@ -32,7 +32,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.operators.quantiles import with_below
 from nocouncil_etl_spark.registry import query
 
@@ -141,7 +141,7 @@ def vec_pca_explained_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: centered entries are exact integers; each iteration is
     two keyed joins + hash aggs over the (vector, dim) long table;
     state per round is {PCA_DIMS} integers."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
     dims = emb.select(
         "vec_id", F.posexplode("embedding").alias("i0", "v")
     ).select(

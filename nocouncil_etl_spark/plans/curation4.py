@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.functions.numeric import DEC
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.operators.dedup import make_shingle_udf
 from nocouncil_etl_spark.plans.dedup_plans import _sql_shingles
 from nocouncil_etl_spark.registry import query
@@ -80,7 +80,7 @@ def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle subtree once measured SLOWER here — the span-partition sort
     costs more than the branch recompute when the query is this shallow;
     curation4_e2e, whose consumers are deeper, keeps the window form.)"""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(load(spark, sf_dir, "documents")).select("doc_id", "text")
     copies = docs.filter(F.col("doc_id") % 6 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat_ws(" ", F.slice(F.split("text", " "), 1, COPY_WORDS)).alias("text"),
@@ -389,7 +389,7 @@ def curation4_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; everything after runs on per-doc rows, then per-source
     windows, then a bounded group-by. Word sums are BIGINT; the average is
     decimal-exact."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "lang", "text")
+    docs = fan_out(load(spark, sf_dir, "documents")).select("doc_id", "source", "lang", "text")
     base = docs.withColumn("w", F.split("text", " "))
     sh = base.select("doc_id", make_shingle_udf(SPAN_N)("text").alias("s"))
     ds = sh.select("doc_id", F.explode("s").alias("span")).distinct()

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.functions.numeric import DEC
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.plans.curation4 import _changes
 from nocouncil_etl_spark.registry import query
 
@@ -441,7 +441,7 @@ def curation_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: LM build = one vocab-sized agg; scoring = token stream ⋈
     broadcast LM (vocab-sized) + per-doc integer agg. Linear, two
     shuffles, no driver state."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     lm = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
     total = lm.agg(F.sum("n").cast("long").alias("total"))

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.operators.quantiles import ranged_rank_cumsum
 from nocouncil_etl_spark.registry import query
 
@@ -285,7 +285,7 @@ def text_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: token stream → (source, term) hash-agg restricted to the
     chosen vocabulary (|sources|·V state), the rest is arithmetic on that
     contingency table — one data-sized pass total."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     tok = docs.select(
         "source",
         F.explode(

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -216,7 +216,7 @@ def curation_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     window PARTITIONED by stage. Value thresholds instead of quantile
     thresholds keep the plan shuffle-minimal; quantile staging would
     compose with curation_quantile_normalize_grid's sort-free grid."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     diff = toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_tok"),
@@ -498,7 +498,7 @@ def model_bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-shingle pass) + hash agg; the LM is bigram-vocab-sized and joins
     the instance stream broadcast; scoring is one per-doc integer agg.
     Linear end-to-end."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
     )

@@ -442,7 +442,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     The candidate join is an equi-join on that key (bucket sizes are
     near-dup cluster sizes, AQE-splittable); the exact intersect runs
     once per candidate; no all-pairs stage."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     # Arrow shingles + explode + codegen md5 + combiner min — the measured
     # MinHash discipline. The interpreted-HOF form (array_min over
     # F.transform per doc, arrays carried through the join) measured

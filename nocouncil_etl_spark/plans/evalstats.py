@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.functions.text import STOPWORDS, predict_lang
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.operators.quantiles import cumulate
 from nocouncil_etl_spark.registry import query
 
@@ -171,7 +171,7 @@ def eval_confusion_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     double division per emitted row (F1 via the 2tp/(2tp+fp+fn) form — no
     intermediate rounding). The grid is a literal, so Catalyst folds it; at
     100 TB the fan-out constant is len(grid), never data-sized."""
-    ev = load(spark, sf_dir, "events")
+    ev = fan_out(load(spark, sf_dir, "events"))
     scored = ev.select(
         F.round(
             F.col("value")

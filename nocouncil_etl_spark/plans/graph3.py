@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.operators.graph import SCALE
 from nocouncil_etl_spark.plans.graph_plans import _EDGES_SQL, _graph
 from nocouncil_etl_spark.plans.retrieval_plans import _TOK_SPARK, _TOK_SQL
@@ -219,7 +219,7 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass is one narrow scan, the iteration cost is O(vocab). The vocab-sized
     propagation table is persisted for the iterations (caller-owns-cache
     contract, as pagerank_fixed_point)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.expr(_TOK_SPARK).alias("l"))
     flat = tok.select("doc_id", F.explode("l").alias("term"))
     vocab = (

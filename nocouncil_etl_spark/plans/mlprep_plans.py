@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.functions.vectors import cosine
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.operators.fusion import mmr_greedy
 from nocouncil_etl_spark.plans.retrieval_plans import _TOK_SPARK, _TOK_SQL
 from nocouncil_etl_spark.registry import query
@@ -149,7 +149,7 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     the encoder needs NO vocabulary pass, no broadcast state, and the
     output width is chosen ({FH_DIM}), which is exactly why hashing
     vectorizers are the default for streaming/100 TB featurization."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(F.expr(_TOK_SPARK)).alias("term"))
     h = F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long")
     hs = F.conv(

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.operators.models import (
     EMBED_DIM,
     MAX_QUOTES,
@@ -259,7 +259,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star multimodal: frame sampling — explode frame indices from
     media metadata, keep every 5th. The explode/filter plan shape is the real
     video sampler; only the decode kernel is faked."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     media = to_media_column(docs, "text", "doc_id")
     return frame_sample(media, every_n=5)
 
@@ -422,7 +422,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     confirm is one codegen'd bit op per candidate pair."""
     from nocouncil_etl_spark.operators.multimodal import ahash_map, to_media_column
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(load(spark, sf_dir, "documents")).select("doc_id", "text")
     copies = docs.filter(F.col("doc_id") % 9 == 0).select(
         (F.col("doc_id") + 400000).alias("doc_id"),
         F.concat(

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.functions.vectors import cosine
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.operators.fusion import mmr_greedy, rrf_fuse
 from nocouncil_etl_spark.registry import query
 from nocouncil_etl_spark.plans.retrieval_plans import (
@@ -160,7 +160,7 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector (the serving path for a single query — batch serving is
     vec_knn_from_index's banded join). At 100 TB only the two linear scans
     grow; the fusion stays constant-size."""
-    e = load(spark, sf_dir, "embeddings")
+    e = fan_out(load(spark, sf_dir, "embeddings"))
     parts = _bm25_parts(spark, sf_dir)
     lex = (
         parts.groupBy("doc_id")
@@ -452,7 +452,7 @@ def pipeline_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     search_mmr_rerank, eval_ndcg_at_k) through shared kernels
     (operators/fusion) — the composed DAG is the thing the judge can
     value-hash, not just its parts."""
-    e = load(spark, sf_dir, "embeddings")
+    e = fan_out(load(spark, sf_dir, "embeddings"))
     parts = _bm25_parts(spark, sf_dir)
     lex = (
         parts.groupBy("doc_id")

@@ -94,7 +94,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: tokenization is one narrow pass; the tf table carries only
     query-term hits (≤|Q| rows per doc); df is |Q| rows (broadcast); doc
     lengths join on doc_id. TakeOrderedAndProject caps the result."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(F.expr(_TOK_SPARK)).alias("term"))
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
     meta = dl.agg(

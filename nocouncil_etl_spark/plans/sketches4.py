@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.operators.dedup import make_shingle_udf
 from nocouncil_etl_spark.plans.analytics4 import (
     GRAM_N,
@@ -91,7 +91,7 @@ def sketch_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes, constant in corpus size. The exact-count join on the distinct
     hash set is the audit path (one hash-keyed shuffle), not the serving
     path — at 100 TB you'd publish only the sketches."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     g = docs.select(
         "source", F.explode(make_shingle_udf(GRAM_N)("text")).alias("gram")
     ).distinct()

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nocouncil_etl_spark.io import load
+from nocouncil_etl_spark.io import fan_out, load
 from nocouncil_etl_spark.registry import query
 
 HASH_SPACE = float(1 << 60)
@@ -317,7 +317,7 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined agg to {BOOT_B} rows; no per-replica scan of the
     data. At 100 TB you'd trade fan-out for {BOOT_B} weight columns in ONE
     pass — same arithmetic, fewer shuffled bytes."""
-    ev = load(spark, sf_dir, "events")
+    ev = fan_out(load(spark, sf_dir, "events"))
     reps = ev.select(
         "event_id",
         F.round(F.col("value") * 100).cast("long").alias("v"),

@@ -46,7 +46,7 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     summarize.py chunks transcripts before the LLM for the same reason).
     Narrow per-row expressions: split → sequence of chunk starts →
     posexplode → slice; no shuffle at all until a downstream op needs one."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     w = F.split("text", " ")
     n_chunks = F.ceil(
         F.greatest(F.size(w) - F.lit(OVERLAP), F.lit(1)) / F.lit(float(STRIDE))
@@ -129,7 +129,7 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     desc, term asc — fully deterministic). explode → map-side-combined
     count → TakeOrdered; one row per distinct term crosses the shuffle,
     never one per token."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     tok = docs.select(F.explode(F.expr(_TOK_SPARK)).alias("term"))
     counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
     # orderBy+limit compiles to TakeOrderedAndProject (distributed per-
@@ -265,7 +265,7 @@ def pipeline_rag_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nocouncil_etl_spark.operators.models import embed_text_udf
     from nocouncil_etl_spark.operators.similarity import knn_exact_blocked
 
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     w = F.split("text", " ")
     n_chunks = F.ceil(
         F.greatest(F.size(w) - F.lit(OVERLAP), F.lit(1)) / F.lit(float(STRIDE))

@@ -26,6 +26,7 @@ def main() -> int:
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.driver.memory", "6g")
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
