@@ -530,7 +530,7 @@ def _minhash_sketch_est(spark: SparkSession, sf_dir: str):
     """(tok, est) building blocks shared by the sketch query and the
     exact anchor: distinct source bigrams, and the pooled bottom-k
     Broder estimate per source pair."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     w = F.split("text", " ")
     bigrams = F.when(
         F.size(w) >= 2,

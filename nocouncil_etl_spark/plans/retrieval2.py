@@ -73,7 +73,7 @@ scored AS (
 
 def _bm25_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, term, tf, part DECIMAL(18,6)) — Spark twin of the CTE."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(F.expr(_TOK_SPARK)).alias("term"))
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
     meta = dl.agg(

@@ -33,7 +33,19 @@ from nocouncil_etl_spark.registry import load_all
 
 REG = load_all()
 
-WHITELIST: dict[str, str] = {}
+WHITELIST: dict[str, str] = {
+    "join_interval_overlap": (
+        "interval-to-bucket sequence explode spans <= 3 buckets by "
+        "construction (literal interval length / bucket width, documented "
+        "in the plan docstring); the (user, bucket) equi-join shuffle "
+        "follows immediately, so the explode stage does trivial work"
+    ),
+    "vec_knn_lsh_multi": (
+        "buckets explode arity == L=4 literal signature tables (operator "
+        "constant in similarity.attach_signature multi mode); the bucket "
+        "equi-join shuffle follows immediately"
+    ),
+}
 
 
 @pytest.mark.parametrize("name", sorted(REG))
