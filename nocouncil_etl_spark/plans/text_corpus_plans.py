@@ -44,8 +44,11 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG/embedding prep: split each document into {CHUNK}-token chunks with
     {OVERLAP}-token overlap (the chunking in front of every embed step —
     summarize.py chunks transcripts before the LLM for the same reason).
-    Narrow per-row expressions: split → sequence of chunk starts →
-    posexplode → slice; no shuffle at all until a downstream op needs one."""
+    Per-row expressions after one fan_out: split → sequence of chunk
+    starts → explode → slice. The explode's arity is the per-doc chunk
+    count (data-dependent), so the fan-out contract applies — one compact
+    shuffle of the doc rows buys full-width parallelism for the chunk
+    stage (lint: tests/test_fanout_lint.py)."""
     docs = fan_out(load(spark, sf_dir, "documents"))
     w = F.split("text", " ")
     n_chunks = F.ceil(
