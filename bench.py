@@ -91,6 +91,8 @@ HEADLINE: list[str] = [
 
 
 def main() -> None:
+    # sampled before the session spins up any work — see the sentinel below
+    load_start = os.getloadavg()[0] if hasattr(os, "getloadavg") else 0.0
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from nocouncil_etl_spark.registry import load_all
     from nocouncil_etl_spark.session import get_session
@@ -140,15 +142,20 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
-    # Contention sentinel (round-9 verdict #5): the probe runs once BEFORE
-    # and once AFTER the headline loop; if machine speed drifted >20%
-    # between them, some per-query medians were taken under load the
-    # single up-front calibration could not see (r9's triage had to
-    # re-measure its fix table on a quiet machine for exactly this).
-    # "contended": true tells the judge to read deltas as load, not code.
+    # Contention sentinel (round-9 verdict #5): "contended": true tells the
+    # judge to read per-query deltas as ambient load, not code. Two signals:
+    # 1. the 1-min loadavg sampled BEFORE bench started its own work — a
+    #    quiet machine reads < ~1; concurrent gate/sweep jobs read 8-32;
+    # 2. the AFTER-loop probe slower than the BEFORE probe by >20% — the
+    #    JVM only gets FASTER within a run (measured: the probe decays
+    #    0.16 → 0.05 s across the suite as C2 tiers up, which is why a
+    #    symmetric drift check misfires on every run), so after > before
+    #    means something external was eating the machine at the end.
+    # Both probes are reported either way so rounds stay comparable.
     calibration_after = calibrate()
-    lo, hi = sorted((calibration, calibration_after))
-    contended = lo > 0 and hi / lo > 1.2
+    contended = load_start > 4.0 or (
+        calibration > 0 and calibration_after / calibration > 1.2
+    )
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -160,6 +167,7 @@ def main() -> None:
                 "unit": "sec",
                 "calibration_sec": calibration,
                 "calibration_after_sec": calibration_after,
+                "loadavg_start": round(load_start, 2),
                 "contended": contended,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
