@@ -296,6 +296,12 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # the old label table is strictly superseded once the changed
+        # probe has run — release its checkpoint blocks now instead of
+        # letting one node-table per round pile up until JVM GC
+        from nocouncil_etl_spark.operators.graph import _release_checkpoint
+
+        _release_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             return labels

@@ -108,8 +108,12 @@ def hits_fixed_point(
     growing DAG (the round-5 verdict's 7.95 s headline was dominated by
     that re-analysis + persist bookkeeping, not data). The normalizer max
     is still fetched as ONE driver scalar per half-step over the
-    checkpointed blocks. Checkpoint blocks free on GC via the
-    ContextCleaner — no unpersist bookkeeping.
+    checkpointed blocks. Each round releases the PREVIOUS round's two
+    checkpoints explicitly (_release_checkpoint) — both are strictly
+    superseded once this round's are materialized, and waiting for the
+    ContextCleaner lets 2·iters node tables pile up in executor storage
+    on big graphs (the r9 advisor's star_components finding, applied
+    here too).
 
     Contract: the returned frame is persisted (last iteration's state);
     the caller should ``.unpersist()`` it once consumed."""
@@ -127,6 +131,7 @@ def hits_fixed_point(
     edges = edges.localCheckpoint(eager=False)
     hub = nodes.withColumn("h", F.lit(scale).cast("long"))
     auth = None
+    prev_a = prev_h = None
     for _ in range(iters):
         araw = (
             edges.join(hub, edges["src"] == hub["node"])
@@ -161,6 +166,13 @@ def hits_fixed_point(
         hub = hraw.select(
             "node", F.expr(f"(h * {scale}) div {hmax}").cast("long").alias("h")
         )
+        # last round's half-step states are strictly superseded now (this
+        # round's araw/hraw are both materialized); free their blocks —
+        # the final round's pair stays live for the output join below
+        if prev_a is not None:
+            _release_checkpoint(prev_a)
+            _release_checkpoint(prev_h)
+        prev_a, prev_h = araw, hraw
 
     out = auth.join(hub, "node").persist()
     out.count()
