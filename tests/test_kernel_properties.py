@@ -211,6 +211,33 @@ def test_connected_components_raises_when_unconverged(spark):
         connected_components(chain, max_iters=2)
 
 
+def test_release_checkpoint_frees_storage_blocks(spark):
+    """_release_checkpoint's contract: a superseded localCheckpoint's
+    blocks leave executor storage immediately (the iterative operators —
+    star_components, hits_fixed_point, connected_components — rely on
+    this to keep per-round state from accumulating until JVM GC). The
+    helper is best-effort by design, so this test pins that the plan
+    shape it reaches through (analyzed LogicalRDD → persisted RDD) still
+    holds on the running Spark version."""
+    from pyspark.sql import functions as F
+
+    from nocouncil_etl_spark.operators.graph import _release_checkpoint
+
+    def n_stored():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    base = n_stored()
+    cp = (
+        spark.range(500)
+        .select(F.col("id").alias("u"), (F.col("id") % 7).alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    assert n_stored() == base + 1
+    assert cp.count() == 500
+    _release_checkpoint(cp)
+    assert n_stored() == base
+
+
 def test_star_components_matches_min_label_on_random_graph(spark):
     """star_components (O(log^2) edge rewiring) must produce the identical
     (node -> min-id) labeling as connected_components on an arbitrary mix
