@@ -26,6 +26,14 @@ from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.operators.similarity import _round6_like_spark
 
+# Element budget for one tile of an in-cluster score matrix: pair kernels
+# chunk their row side so the sims/denominator intermediates hold at most
+# this many float64s (2M ≈ 16 MB each) regardless of cluster cardinality —
+# per-task memory is the cluster's vectors (n × dim, linear) plus one
+# bounded tile, never the n² matrix. Tests shrink this to force multi-tile
+# execution on small clusters.
+PAIR_TILE_ELEMS = 1 << 21
+
 
 def assign_nearest_centroid(
     vectors: DataFrame,
@@ -95,30 +103,49 @@ def cluster_pair_scan(
 ) -> DataFrame:
     """(cent_id, id, vec) → (cluster_id, id_keep, id_dup, sim) pairs with
     cosine ≥ threshold, quadratic only WITHIN a cluster (applyInPandas per
-    cent_id group). Pairs are oriented id_keep < id_dup."""
+    cent_id group). Pairs are oriented id_keep < id_dup. The row side is
+    TILED (PAIR_TILE_ELEMS): work stays quadratic in cluster size but
+    per-task memory stays linear — an oversized cluster slows down
+    instead of OOMing the executor."""
 
     def pair_scan(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
         vm = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
         vn = np.linalg.norm(vm, axis=1)
-        sims = (vm @ vm.T) / np.outer(vn, vn)
-        ii, jj = np.triu_indices(len(ids), 1)
-        raw = sims[ii, jj]
-        # decimal-round only near-threshold candidates (one rounding ulp of
-        # margin); everything below can't round up past the threshold
-        near = raw >= threshold - 1e-5
-        ii, jj, raw = ii[near], jj[near], raw[near]
-        s = np.array([_round6_like_spark(x) for x in raw])
-        m = s >= threshold
-        lo = np.minimum(ids[ii][m], ids[jj][m])
-        hi = np.maximum(ids[ii][m], ids[jj][m])
+        n = len(ids)
+        tile = max(1, PAIR_TILE_ELEMS // max(n, 1))
+        col = np.arange(n)
+        out_i: list = []
+        out_j: list = []
+        out_s: list = []
+        for t0 in range(0, n, tile):
+            t1 = min(t0 + tile, n)
+            sims = (vm[t0:t1] @ vm.T) / np.outer(vn[t0:t1], vn)
+            # global upper triangle: column index > this tile's row index
+            rr, jj = np.nonzero(col[None, :] > np.arange(t0, t1)[:, None])
+            raw = sims[rr, jj]
+            # decimal-round only near-threshold candidates (one rounding
+            # ulp of margin); everything below can't round up past the
+            # threshold
+            near = raw >= threshold - 1e-5
+            rr, jj, raw = rr[near], jj[near], raw[near]
+            s = np.array([_round6_like_spark(x) for x in raw])
+            m = s >= threshold
+            out_i.extend(rr[m] + t0)
+            out_j.extend(jj[m])
+            out_s.extend(s[m])
+        ii = np.array(out_i, dtype=np.int64)
+        jj = np.array(out_j, dtype=np.int64)
+        s = np.array(out_s, dtype=np.float64)
+        lo = np.minimum(ids[ii], ids[jj]) if len(ii) else np.array([], dtype=np.int64)
+        hi = np.maximum(ids[ii], ids[jj]) if len(ii) else np.array([], dtype=np.int64)
         cid = pdf[cent_id_col].to_numpy()[0] if len(pdf) else 0
         return pd.DataFrame(
             {
                 "cluster_id": np.full(len(lo), cid, dtype=np.int64),
                 "id_keep": lo,
                 "id_dup": hi,
-                "sim": s[m],
+                "sim": s,
             }
         )
 

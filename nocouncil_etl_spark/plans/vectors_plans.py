@@ -559,12 +559,36 @@ def vec_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from nocouncil_etl_spark.operators.similarity import _round6_like_spark
 
+    from nocouncil_etl_spark.operators.semantic import PAIR_TILE_ELEMS
+
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy().astype(np.int64)
         m = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
         norm = np.linalg.norm(m, axis=1, keepdims=True)
         nm = np.divide(m, norm, out=np.zeros_like(m), where=norm != 0)
-        sims = nm @ nm.T
+        # tile the row side (PAIR_TILE_ELEMS budget): per-task memory stays
+        # linear in block size — the sims matrix is tile_rows x n, never n²
+        n = len(ids)
+        tile = max(1, PAIR_TILE_ELEMS // max(n, 1))
+        out_a: list = []
+        out_b: list = []
+        out_s: list = []
+        for t0 in range(0, n, tile):
+            t1 = min(t0 + tile, n)
+            sims = nm[t0:t1] @ nm.T
+            ia, ib, svals = _tile_pairs(sims, ids, t0, t1)
+            out_a.extend(ia)
+            out_b.extend(ib)
+            out_s.extend(svals)
+        return pd.DataFrame(
+            {
+                "id_a": np.array(out_a, dtype=np.int64),
+                "id_b": np.array(out_b, dtype=np.int64),
+                "sim": np.array(out_s, dtype=np.float64),
+            }
+        )
+
+    def _tile_pairs(sims, ids, t0, t1):
         # raw pre-filter at threshold - 1e-4: HALF_UP rounding to 6dp moves
         # a value by <= 5e-7, so nothing below 0.9899 can round into 0.99;
         # the exact Spark-rule rounding then runs on the survivors only.
@@ -574,15 +598,18 @@ def vec_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cutoff could in principle flip inclusion vs DuckDB. No synthetic
         # or sf1 vector has ever sat on that boundary (the correctness
         # sweep covers this query at both SFs); if one ever does, the
-        # mismatch is this documented evaluation-order artifact, not a bug
-        ia, ib = np.nonzero((sims >= 0.9899) & (ids[:, None] < ids[None, :]))
+        # mismatch is this documented evaluation-order artifact, not a bug.
+        # The id-value condition picks each unordered pair exactly once —
+        # at whichever tile holds the smaller-id row — so tiling emits no
+        # duplicates and misses nothing.
+        ia, ib = np.nonzero(
+            (sims >= 0.9899) & (ids[t0:t1][:, None] < ids[None, :])
+        )
         s = np.array(
             [_round6_like_spark(x) for x in sims[ia, ib]], dtype=np.float64
         )
         keep = s >= 0.99
-        return pd.DataFrame(
-            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "sim": s[keep]}
-        )
+        return ids[t0 + ia[keep]], ids[ib[keep]], s[keep]
 
     return aug.groupBy("label").applyInPandas(
         block_pairs, schema="id_a long, id_b long, sim double"

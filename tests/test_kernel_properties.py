@@ -211,6 +211,25 @@ def test_connected_components_raises_when_unconverged(spark):
         connected_components(chain, max_iters=2)
 
 
+def test_pair_kernels_tiling_is_result_invariant(spark, sf_dir, monkeypatch):
+    """The in-cluster/in-block pair kernels (semantic.cluster_pair_scan and
+    vec_neardup_cosine's block_pairs) tile their row side under
+    PAIR_TILE_ELEMS; forcing one-row tiles must leave the emitted pair
+    sets bit-identical to the default run — same guard class as the
+    mutual-kNN tiling test in test_breadth43.py."""
+    from nocouncil_etl_spark.operators import semantic
+    from nocouncil_etl_spark.registry import load_all
+
+    reg = load_all()
+    for qname in ("dedup_semantic_centroid", "vec_neardup_cosine"):
+        base = sorted(map(tuple, reg[qname].fn(spark, sf_dir).collect()))
+        monkeypatch.setattr(semantic, "PAIR_TILE_ELEMS", 1)
+        tiled = sorted(map(tuple, reg[qname].fn(spark, sf_dir).collect()))
+        monkeypatch.undo()
+        assert tiled == base
+        assert base, qname  # non-vacuous
+
+
 def test_release_checkpoint_frees_storage_blocks(spark):
     """_release_checkpoint's contract: a superseded localCheckpoint's
     blocks leave executor storage immediately (the iterative operators —
