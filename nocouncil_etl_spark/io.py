@@ -11,6 +11,8 @@ tables by join key).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -51,10 +53,63 @@ DDL: dict[str, str] = {
 }
 
 
+# Logical-plan nodes that never imply an exchange: a frame whose analyzed
+# plan is built ONLY from these is "scan-rooted" — planning its RDD is free
+# (no upstream query stages to materialize), and its partition count is the
+# file-split count the scan planned. Anything else (Join/Aggregate/Window/
+# Repartition/GlobalLimit/...) is refused: under AQE, probing .rdd on a
+# frame with upstream exchanges finalizes the physical plan and eagerly
+# EXECUTES the shuffle stages — a hidden job at plan-build time.
+_NARROW_NODES = frozenset(
+    {
+        "Relation",
+        "LogicalRelation",
+        "LocalRelation",
+        "LogicalRDD",
+        "Range",
+        "Project",
+        "Filter",
+        "Generate",
+        "Union",
+        "SubqueryAlias",
+        "View",
+        "Sample",
+        "MapInPandas",
+        "PythonMapInArrow",
+    }
+)
+_NODE_RE = re.compile(r"^[\s+:\-]*([A-Za-z]+)")
+
+
+def _planned_scan_width(df: DataFrame) -> int | None:
+    """Planned partition count of a SCAN-ROOTED frame, else None.
+
+    Walks the ANALYZED logical plan (pure metadata — never triggers
+    execution) and only if every node is narrow (see _NARROW_NODES) probes
+    `df.rdd.getNumPartitions()`, which for such frames just plans the file
+    splits. Frames with upstream exchanges return None instead of being
+    probed: .rdd would finalize the physical plan and, under AQE, eagerly
+    run the shuffle stages — an invisible cost to the caller (round-10
+    ADVICE #1). Callers treat None as "already shuffled to session width"."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().treeString()
+    except Exception:  # noqa: BLE001 — best-effort probe, never load-bearing
+        return None
+    for line in plan.splitlines():
+        m = _NODE_RE.match(line)
+        if m and m.group(1) not in _NARROW_NODES:
+            return None
+    try:
+        return df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Round-robin repartition ahead of an EXPLOSIVE transform (n-gram /
     shingle / token explode), where output volume is orders of magnitude
-    larger than input bytes.
+    larger than input bytes — with a width FLOOR: it never repartitions a
+    frame DOWN.
 
     Scan parallelism follows input bytes (`spark.sql.files.maxPartitionBytes`)
     — correct for scans, wrong for a 50 kB-compressed doc batch about to
@@ -62,10 +117,24 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     few tasks the scan produced (locally: ONE for a single small parquet
     file; at 100 TB: one straggler per oversized text file). One cheap
     shuffle of the compact input buys full-cluster parallelism for the
-    expensive stage. Default width = the session's shuffle parallelism."""
+    expensive stage. Default width = the session's shuffle parallelism.
+
+    The floor (round-10 verdict #1): at 100 TB a parquet scan plans ~one
+    task per 128 MB split — far MORE tasks than shuffle.partitions — so an
+    unconditional repartition would shuffle the corpus's input bytes AND
+    collapse the explode stage to fewer tasks than the scan had. When the
+    frame is scan-rooted and already at/above the target width, return it
+    unchanged (identical plan, no Exchange). Frames that are NOT scan-rooted
+    (an upstream exchange exists) keep the unconditional repartition — their
+    width probe is unsafe under AQE (see _planned_scan_width) and the
+    lint-enforced call sites are all scan-rooted anyway
+    (tests/test_fanout_lint.py)."""
     n = partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    width = _planned_scan_width(df)
+    if width is not None and width >= n:
+        return df
     return df.repartition(n)
 
 
@@ -82,11 +151,18 @@ def fan_out_if_narrow(df: DataFrame, partitions: int | None = None) -> DataFrame
     ~one task per 128 MB split — ample parallelism — and a full-corpus
     round-robin shuffle would be pure overhead. So: repartition ONLY when
     the planned scan parallelism is below the session target; at cluster
-    scan widths this is a no-op and the map stays narrow/zero-shuffle."""
+    scan widths this is a no-op and the map stays narrow/zero-shuffle.
+
+    Width probing goes through _planned_scan_width, which refuses frames
+    with upstream exchanges (probing .rdd there would eagerly execute
+    shuffle stages under AQE — round-10 ADVICE #1); such frames come back
+    unchanged, correctly: an upstream exchange means the frame is already
+    at the session's shuffle width."""
     n = partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    if df.rdd.getNumPartitions() >= n:
+    width = _planned_scan_width(df)
+    if width is None or width >= n:
         return df
     return df.repartition(n)
 

@@ -226,3 +226,58 @@ def test_fan_out_if_narrow_is_noop_at_cluster_widths(spark):
     wide = spark.range(0, 1000, 1, width + 3)
     same = fan_out_if_narrow(wide)
     assert same is wide  # structurally unchanged: no repartition node added
+
+
+def test_fan_out_never_repartitions_down(spark):
+    """io.fan_out's width FLOOR (round-10 verdict #1): a scan-rooted frame
+    already at/above the target width comes back untouched — identical
+    object, no Exchange — because at 100 TB the parquet scan plans far more
+    tasks than shuffle.partitions and a repartition would shuffle the full
+    input bytes while REDUCING the explode stage's parallelism. A narrow
+    frame still widens exactly as before."""
+    from nocouncil_etl_spark.io import fan_out
+
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    wide = spark.range(0, 1000, 1, width + 5)
+    same = fan_out(wide)
+    assert same is wide  # no Exchange added: the 100 TB scan keeps its width
+    assert fan_out(wide, 3) is wide  # explicit smaller target: still floored
+
+    narrow = spark.range(0, 1000, 1, 1)
+    assert fan_out(narrow).rdd.getNumPartitions() == width
+    assert fan_out(narrow, 7).rdd.getNumPartitions() == 7
+
+
+def test_planned_scan_width_refuses_exchanged_frames(spark):
+    """_planned_scan_width only probes scan-rooted plans: narrow chains
+    (scan/filter/project/generate/union) report their planned split count;
+    anything with an upstream exchange (aggregate, join, repartition)
+    returns None — probing .rdd there would finalize the physical plan and
+    eagerly execute shuffle stages under AQE (round-10 ADVICE #1). fan_out
+    then falls back to the unconditional repartition, and fan_out_if_narrow
+    leaves the frame alone (it is already at shuffle width)."""
+    from pyspark.sql import functions as F
+
+    from nocouncil_etl_spark.io import (
+        _planned_scan_width,
+        fan_out,
+        fan_out_if_narrow,
+    )
+
+    scan = spark.range(0, 100, 1, 4).withColumn(
+        "w", F.explode(F.split(F.lit("a b"), " "))
+    )
+    assert _planned_scan_width(scan.filter(F.col("id") > 1)) == 4
+    assert (
+        _planned_scan_width(scan.union(scan)) is not None
+    )  # union of scans is still narrow
+
+    agg = spark.range(100).groupBy((F.col("id") % 3).alias("k")).count()
+    assert _planned_scan_width(agg) is None
+    joined = spark.range(10).join(spark.range(10), "id")
+    assert _planned_scan_width(joined) is None
+
+    # behavioral fallbacks on the refused frame
+    assert fan_out_if_narrow(agg) is agg
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert fan_out(agg).rdd.getNumPartitions() == n
