@@ -33,6 +33,15 @@ from nocouncil_etl_spark.operators.similarity import _round6_like_spark
 # bounded tile, never the n² matrix. Tests shrink this to force multi-tile
 # execution on small clusters.
 PAIR_TILE_ELEMS = 1 << 21
+# Row cap for EXACT in-cluster pair scanning (round-10 verdict #4): tiling
+# bounds memory but work is still O(n²) per cluster. Clusters over this cap
+# split into sign-LSH sub-cells (operators/celling.subcell_over_cap) and the
+# scan runs per sub-cell — per-cluster work bounded at ~cap², pairs
+# straddling a sub-cell boundary missed at the documented SimHash recall
+# (the SAME trade SemDeDup's own clustering already makes at the cluster
+# boundary, one level down). Under the cap results are exact; every
+# test/bench scale is under it. Tests shrink the cap to force celling.
+PAIR_BLOCK_CAP = 4096
 
 
 def assign_nearest_centroid(
@@ -106,7 +115,10 @@ def cluster_pair_scan(
     cent_id group). Pairs are oriented id_keep < id_dup. The row side is
     TILED (PAIR_TILE_ELEMS): work stays quadratic in cluster size but
     per-task memory stays linear — an oversized cluster slows down
-    instead of OOMing the executor."""
+    instead of OOMing the executor. Clusters over PAIR_BLOCK_CAP rows are
+    additionally split into sign-LSH sub-cells so work per task is
+    bounded too (see PAIR_BLOCK_CAP; exact below the cap)."""
+    from nocouncil_etl_spark.operators.celling import subcell_over_cap
 
     def pair_scan(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
@@ -149,7 +161,8 @@ def cluster_pair_scan(
             }
         )
 
-    return clustered.groupBy(cent_id_col).applyInPandas(
+    celled = subcell_over_cap(clustered, [cent_id_col], vec_col, PAIR_BLOCK_CAP)
+    return celled.groupBy(cent_id_col, "_cell").applyInPandas(
         pair_scan, schema="cluster_id long, id_keep long, id_dup long, sim double"
     )
 

@@ -487,6 +487,16 @@ KNNG_K = 3
 # applyInPandas task's quadratic intermediate becomes tile_rows × n, linear
 # in n. Tests shrink this to force multi-tile execution on small blocks.
 KNNG_TILE_ELEMS = 1 << 21
+# Row cap for EXACT within-block scoring (round-10 verdict #4): tiling made
+# the kernel's MEMORY linear, but its WORK is still O(n²) per block — at
+# 100× data with the fixed label arity that is 10,000× compute. Blocks over
+# this cap route through celling.subcell_over_cap (sign-LSH sub-cells sized
+# to ~cap/2 expected rows), bounding per-block work at ~cap² regardless of
+# corpus growth, at the documented SimHash recall cost. Every test/bench
+# scale (sf0.01: 59-row max block, sf0.1: 218, sf1: ~2.2k) is under the cap,
+# so oracle results stay exact; tests shrink the cap to force the celled
+# path.
+KNNG_BLOCK_CAP = 4096
 _Q_SQL = (
     "list_transform(embedding,"
     " x -> CAST(round(1000 * CAST(x AS DOUBLE)) AS BIGINT))"
@@ -557,8 +567,17 @@ def vec_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     so per-task memory is the block's row data (n x d, linear) plus one
     bounded tile — never the n^2 score matrix. A block therefore only
     needs its VECTORS to fit an executor, the same linear contract as
-    the Arrow-batched exact path (real corpora swap in bounded IVF
-    cells for candidate generation)."""
+    the Arrow-batched exact path.
+
+    WORK is capped too (round-10 verdict #4): a block over
+    KNNG_BLOCK_CAP rows is split into sign-LSH sub-cells
+    (operators/celling.subcell_over_cap) and the kernel scores per
+    sub-cell — candidates become cell-mates, exactly the graceful
+    degradation real corpora use (bounded IVF cells / LSH bands for
+    candidate generation). Under the cap the cell id is the constant 0
+    and results are EXACT — every test/bench scale is under it, so the
+    DuckDB oracle stays valid; over it, recall follows the documented
+    SimHash curve (identical vectors always share a cell)."""
     import numpy as np
     import pandas as pd
 
@@ -603,7 +622,10 @@ def vec_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out_s.extend(sc[pick])
         return pd.DataFrame({"u": out_u, "v": out_v, "score_1e6": out_s})
 
-    topk = q.groupBy("label").applyInPandas(
+    from nocouncil_etl_spark.operators.celling import subcell_over_cap
+
+    celled = subcell_over_cap(q, ["label"], "q", KNNG_BLOCK_CAP)
+    topk = celled.groupBy("label", "_cell").applyInPandas(
         block_topk, schema="u long, v long, score_1e6 long"
     )
     rev = topk.select(F.col("u").alias("v"), F.col("v").alias("u"))
