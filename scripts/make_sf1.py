@@ -19,6 +19,19 @@ organic growth. Replicas i>0 are therefore perturbed deterministically:
   survive per replica; across replicas every ≥2-char word differs, so
   shingle/gram/simhash families see disjoint feature sets — linear pair
   growth, the organic shape.
+- customer.c_name (round-10 verdict #3): the LAST character gets the same
+  replica-keyed letter shift, so linkage-key blocking on (nation,
+  name-4-suffix) — join_record_linkage_fs — sees per-replica blocks
+  instead of verbatim name copies inflating every block 10×. Length-
+  preserving, prefix-5 untouched, replica 0 bit-identical.
+
+The letter shift is a Caesar keyed by replica index with an EFFECTIVE
+shift of 1 + 3(i-1) mod 25 — nonzero and pairwise-distinct for i in
+1..25 (3 is coprime to 25), so every replica differs from the source AND
+from every other replica. A Caesar has only 25 distinct nonzero shifts,
+so the scheme caps at 26 total copies; main() enforces that (the r10
+formula, 3i+22 mod 26, was ≡0 at i=10 — copies > 10 silently
+reintroduced bit-identical replicas, round-10 ADVICE #2).
 - embeddings.embedding: per-(vec_id, dim, i) sin-noise of amplitude 0.04
   (delta-norm ≈ 0.23 on unit vectors → cross-replica cosine ≈ 0.95,
   safely under the 0.99 near-dup cutoffs; queries that plant their own
@@ -60,6 +73,11 @@ FIXED = ["region", "nation"]
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, ".scratch", "sf1")
     copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    if copies > 26:
+        raise SystemExit(
+            "make_sf1: the replica Caesar salt has only 25 distinct nonzero "
+            f"shifts, so at most 26 copies stay pairwise-distinct; got {copies}"
+        )
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
 
@@ -79,20 +97,29 @@ def main() -> None:
         )
         print(f"{table}: copied")
 
-    # deterministic replica salting — see module docstring
+    # deterministic replica salting — see module docstring.
+    # Addend 8 + 3(i-1) mod 25: on a lowercase letter, 97 ≡ 19 (mod 26)
+    # folds in, so the EFFECTIVE shift is 1 + 3(i-1) mod 25 — in [1, 25],
+    # never identity, pairwise-distinct for i in 1..25 (3 coprime to 25).
+    SHIFT = "8 + ((i.i - 1) * 3) % 25"
     SALTED = {
         ("documents", "text"): (
             "CASE WHEN i.i = 0 THEN text ELSE array_to_string("
             "list_transform(string_split(text, ' '), w -> "
             "CASE WHEN len(w) <= 1 THEN w ELSE "
             "substr(w, 1, len(w) - 1) || "
-            # shift = 3i+22 (mod 26): nonzero and pairwise-distinct for
-            # i in 1..9, so every replica differs from the source AND from
-            # every other replica (a +7i shift is ≡0 mod 26 at i=0 — and
-            # 97+7 ≡ 0 collapsed the first draft to identity on lowercase)
-            "chr(CAST(97 + (ord(substr(w, len(w), 1)) + i.i * 3 + 3) % 26 "
+            f"chr(CAST(97 + (ord(substr(w, len(w), 1)) + {SHIFT}) % 26 "
             "AS INTEGER)) END"
             "), ' ') END AS text"
+        ),
+        # linkage-key salt (round-10 verdict #3): c_name's last char is
+        # inside join_record_linkage_fs's blocking suffix, so replicas land
+        # in per-replica blocks; length and prefix-5 preserved
+        ("customer", "c_name"): (
+            "CASE WHEN i.i = 0 THEN c_name ELSE "
+            "substr(c_name, 1, len(c_name) - 1) || "
+            f"chr(CAST(97 + (ord(substr(c_name, len(c_name), 1)) + {SHIFT}) "
+            "% 26 AS INTEGER)) END AS c_name"
         ),
         ("embeddings", "embedding"): (
             "CASE WHEN i.i = 0 THEN embedding ELSE "
