@@ -117,30 +117,33 @@ def main() -> None:
                 cal.append(time.perf_counter() - t0)
         return round(statistics.median(cal), 3)
 
-    calibration = calibrate()
-
     names = [n for n in HEADLINE if n in registry]
-    timings: dict[str, float] = {}
-    for name in names:
-        # warm-up + median-of-3: a single contended sample on a busy driver
-        # machine produced 2x phantom "regressions" (r4: pricing_summary
-        # 1.83s driver vs 1.08s quiet re-run, code untouched). The warm-up
-        # absorbs codegen/compile; the median is robust to one noisy run.
-        samples: list[float] = []
-        for i in range(4):
-            t0 = time.perf_counter()
-            df = registry[name].fn(spark, sf_dir)
-            n = len(df.collect())
-            assert n >= 0
-            if i > 0:
-                samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 3)
-        # isolate queries from each other: drop any leftover cache and let
-        # the JVM reclaim shuffle/broadcast heap, so a query's number
-        # reflects its own plan, not its predecessor's garbage (measured:
-        # late-list queries ran 1.5-3x their isolated time without this)
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
+
+    def measure() -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in names:
+            # warm-up + median-of-3: a single contended sample on a busy
+            # driver machine produced 2x phantom "regressions" (r4:
+            # pricing_summary 1.83s driver vs 1.08s quiet re-run, code
+            # untouched). The warm-up absorbs codegen/compile; the median
+            # is robust to one noisy run.
+            samples: list[float] = []
+            for i in range(4):
+                t0 = time.perf_counter()
+                df = registry[name].fn(spark, sf_dir)
+                n = len(df.collect())
+                assert n >= 0
+                if i > 0:
+                    samples.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(samples), 3)
+            # isolate queries from each other: drop any leftover cache and
+            # let the JVM reclaim shuffle/broadcast heap, so a query's
+            # number reflects its own plan, not its predecessor's garbage
+            # (measured: late-list queries ran 1.5-3x their isolated time
+            # without this)
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        return timings
 
     # Contention sentinel (round-9 verdict #5): "contended": true tells the
     # judge to read per-query deltas as ambient load, not code. Two signals:
@@ -152,10 +155,33 @@ def main() -> None:
     #    symmetric drift check misfires on every run), so after > before
     #    means something external was eating the machine at the end.
     # Both probes are reported either way so rounds stay comparable.
-    calibration_after = calibrate()
-    contended = load_start > 4.0 or (
-        calibration > 0 and calibration_after / calibration > 1.2
-    )
+    #
+    # Quiet-retry (round-10 verdict #2): BENCH_r10 shipped contended: true —
+    # the sentinel fired on its first outing but the round still has no
+    # clean round-over-round number. When the first pass is contended,
+    # wait (bounded) for the 1-min loadavg to settle and re-measure ONCE;
+    # the reported numbers are the final attempt's, with the first
+    # attempt's flag kept so a still-contended retry is visible. The JSON
+    # line is ALWAYS emitted — the driver contract never fails on load.
+    first_contended: bool | None = None
+    for attempt in (1, 2):
+        if attempt == 2:
+            # settle: poll up to 90 s for the 1-min loadavg to drop below
+            # the gate before burning a second measurement pass
+            deadline = time.monotonic() + 90
+            while time.monotonic() < deadline and os.getloadavg()[0] > 4.0:
+                time.sleep(5)
+            load_start = os.getloadavg()[0] if hasattr(os, "getloadavg") else 0.0
+        calibration = calibrate()
+        timings = measure()
+        calibration_after = calibrate()
+        contended = load_start > 4.0 or (
+            calibration > 0 and calibration_after / calibration > 1.2
+        )
+        if first_contended is None:
+            first_contended = contended
+        if not contended:
+            break
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -169,6 +195,8 @@ def main() -> None:
                 "calibration_after_sec": calibration_after,
                 "loadavg_start": round(load_start, 2),
                 "contended": contended,
+                "attempts": attempt,
+                "first_attempt_contended": first_contended,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

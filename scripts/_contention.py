@@ -1,0 +1,67 @@
+"""Shared contention sentinel for the sf1/SCALE measurement scripts
+(round-10 verdict #5): bench.py grew dual calibration probes + a loadavg
+gate in round 10; the scale-factor tables that adjudicate 10× claims must
+carry the same self-labeling so future factor rows are readable without
+re-running them.
+
+Usage (inside a bench_scale_* script, around the measurement block):
+
+    from _contention import Sentinel
+    s = Sentinel(spark)            # samples loadavg + calibration probe
+    ... measurements ...
+    flags = s.finish()             # second probe + verdict dict
+    # cite flags in the SCALE.md table header for the block
+
+The rules mirror bench.py exactly (one source of truth for the thresholds
+would be nicer, but bench.py is contractually a standalone driver CLI and
+scripts/ must not import from it at runtime; the values are pinned by
+test_contention_sentinel_rules_match_bench):
+- loadavg gate: 1-min loadavg > 4.0 at block start;
+- asymmetric probe drift: the after-probe slower than the before-probe by
+  >20% (the JVM only gets FASTER within a run as C2 tiers up, so a
+  symmetric rule misfires on every run — r10 measured the probe decaying
+  0.16 → 0.05 s across a suite).
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import time
+
+LOADAVG_GATE = 4.0
+DRIFT_GATE = 1.2
+
+
+def calibrate(spark) -> float:
+    """Machine-speed probe: fixed-size whole-stage-codegen range sum,
+    independent of repo code or data — identical to bench.py's."""
+    cal: list[float] = []
+    for i in range(4):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id)").collect()
+        if i > 0:
+            cal.append(time.perf_counter() - t0)
+    return round(statistics.median(cal), 3)
+
+
+class Sentinel:
+    def __init__(self, spark):
+        self._spark = spark
+        self.loadavg_start = (
+            os.getloadavg()[0] if hasattr(os, "getloadavg") else 0.0
+        )
+        self.calibration = calibrate(spark)
+
+    def finish(self) -> dict:
+        calibration_after = calibrate(self._spark)
+        contended = self.loadavg_start > LOADAVG_GATE or (
+            self.calibration > 0
+            and calibration_after / self.calibration > DRIFT_GATE
+        )
+        return {
+            "loadavg_start": round(self.loadavg_start, 2),
+            "calibration_sec": self.calibration,
+            "calibration_after_sec": calibration_after,
+            "contended": contended,
+        }
