@@ -14,6 +14,8 @@ oracle (unrolled one CTE per iteration).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -188,11 +190,28 @@ def _release_checkpoint(df: DataFrame) -> None:
     storage until the JVM GCs the reference. Reaching through the
     analyzed plan to that RDD and unpersisting (non-blocking) returns the
     blocks eagerly. Best-effort: anything unexpected (not a LogicalRDD,
-    already released) is ignored — correctness never depends on it."""
+    already released) is ignored — correctness never depends on it — but
+    the FIRST unexpected failure logs once at debug level, so a Spark
+    upgrade that changes the analyzed plan shape (silently turning every
+    release into a no-op and letting per-round storage accumulate in
+    HITS/star_components/connected_components) is diagnosable instead of
+    invisible (round-10 ADVICE #5). The pinning test covers both the
+    eager and the lazy (eager=False, as used by hits_fixed_point)
+    checkpoint shapes: tests/test_kernel_properties.py."""
+    global _RELEASE_WARNED
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:  # noqa: BLE001 — storage hygiene only
-        pass
+    except Exception as exc:  # noqa: BLE001 — storage hygiene only
+        if not _RELEASE_WARNED:
+            _RELEASE_WARNED = True
+            logging.getLogger(__name__).debug(
+                "_release_checkpoint: analyzed-plan RDD unreachable (%s); "
+                "superseded checkpoint blocks will wait for JVM GC",
+                exc,
+            )
+
+
+_RELEASE_WARNED = False
 
 
 def star_components(

@@ -322,9 +322,16 @@ def _knn_part_distributed(
     MAX_BLOCKED_QUERIES (too big for a task closure): shuffle-hash
     equi-join on the partition key + JVM expression cosine. shuffle_hash
     is hinted explicitly so Spark can never elect to broadcast a
-    data-sized query side. Result-identical to the blocked kernel: same
-    6dp HALF_UP rounding (F.round), null sims for zero norms ranked last,
-    same (sim desc, c_id) tie-break."""
+    data-sized query side. Semantically identical to the blocked kernel —
+    same 6dp HALF_UP rounding (F.round), null sims for zero norms ranked
+    last, same (sim desc, c_id) tie-break — up to the documented ~1-ulp
+    float evaluation-order tolerance: this path computes JVM
+    dot/(|a|·|b|) then rounds, the blocked kernel a numpy normalized
+    matmul then _round6_like_spark, so a value within ~1 ulp of a .5e-7
+    rounding boundary at 6dp can round apart and flip a rank (the same
+    tolerance vec_neardup_cosine documents at its 0.99 cutoff). No
+    synthetic vector sits on a boundary; a future mismatch here is that
+    known artifact, not a fallback bug."""
     cn = corpus.withColumn("_cn", l2_norm(c_vec))
     pairs = cn.join(q_with_norm.hint("shuffle_hash"), on=part_col).filter(
         F.col(q_id) != F.col(c_id)

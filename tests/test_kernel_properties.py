@@ -256,6 +256,20 @@ def test_release_checkpoint_frees_storage_blocks(spark):
     _release_checkpoint(cp)
     assert n_stored() == base
 
+    # the LAZY shape too (round-10 ADVICE #5): hits_fixed_point checkpoints
+    # with eager=False — blocks materialize at the first action, and the
+    # analyzed-plan reach-through must release THAT form as well, or every
+    # HITS round's half-step state accumulates undetected
+    lazy = (
+        spark.range(300)
+        .select(F.col("id").alias("u"), (F.col("id") % 5).alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    assert lazy.count() == 300  # materializes the checkpoint blocks
+    assert n_stored() == base + 1
+    _release_checkpoint(lazy)
+    assert n_stored() == base
+
 
 def test_star_components_matches_min_label_on_random_graph(spark):
     """star_components (O(log^2) edge rewiring) must produce the identical
