@@ -533,7 +533,14 @@ WHERE {_COS} >= 0.99
 def vec_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star near-dup detection over embeddings: same-label candidate
     pairs with cosine ≥ 0.99. Near-duplicates are synthesized deterministically
-    (last dim +0.1 on every 5th vector) so the detector provably fires."""
+    (last dim +0.1 on every 5th vector) so the detector provably fires.
+
+    Work is bounded like the other pair kernels (round-10 verdict #4,
+    applied here proactively): label blocks over semantic.PAIR_BLOCK_CAP
+    rows split into sign-LSH sub-cells (operators/celling) before the
+    per-block matmul, so per-task WORK caps at ~cap² while staying exact
+    at every test/bench scale (sf1's largest augmented block ≈ 2.6k rows
+    < 4096 → cell id constant 0, oracle untouched)."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -611,6 +618,10 @@ def vec_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep = s >= 0.99
         return ids[t0 + ia[keep]], ids[ib[keep]], s[keep]
 
-    return aug.groupBy("label").applyInPandas(
+    from nocouncil_etl_spark.operators import semantic
+    from nocouncil_etl_spark.operators.celling import subcell_over_cap
+
+    celled = subcell_over_cap(aug, ["label"], "v", semantic.PAIR_BLOCK_CAP)
+    return celled.groupBy("label", "_cell").applyInPandas(
         block_pairs, schema="id_a long, id_b long, sim double"
     )

@@ -45,6 +45,27 @@ def calibrate(spark) -> float:
     return round(statistics.median(cal), 3)
 
 
+def calibrate_python() -> float:
+    """Python-kernel speed probe: a fixed int64 numpy matmul (NON-BLAS —
+    numpy integer matmul is a compiled loop, like the mutual-kNN /
+    hamming kernels' hot path). The JVM probe cannot label drift in the
+    Arrow/numpy-bound queries: round 11 measured vec_knn_graph_mutual
+    ~1.8× its r10 wall at BOTH SFs on a quiet machine while the JVM probe
+    matched r10's (0.13 vs 0.14 s) — the movement was in the Python
+    kernel environment, invisible to a codegen probe. Factor rows over
+    Arrow kernels cite THIS number alongside the JVM one."""
+    import numpy as np
+
+    rng = np.arange(640_000, dtype=np.int64).reshape(800, 800) % 1000
+    cal: list[float] = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        (rng @ rng.T).sum()
+        if i > 0:
+            cal.append(time.perf_counter() - t0)
+    return round(statistics.median(cal), 3)
+
+
 class Sentinel:
     def __init__(self, spark):
         self._spark = spark
@@ -52,6 +73,7 @@ class Sentinel:
             os.getloadavg()[0] if hasattr(os, "getloadavg") else 0.0
         )
         self.calibration = calibrate(spark)
+        self.py_calibration = calibrate_python()
 
     def finish(self) -> dict:
         calibration_after = calibrate(self._spark)
@@ -63,5 +85,7 @@ class Sentinel:
             "loadavg_start": round(self.loadavg_start, 2),
             "calibration_sec": self.calibration,
             "calibration_after_sec": calibration_after,
+            "py_calibration_sec": self.py_calibration,
+            "py_calibration_after_sec": calibrate_python(),
             "contended": contended,
         }

@@ -19,11 +19,16 @@ organic growth. Replicas i>0 are therefore perturbed deterministically:
   survive per replica; across replicas every ≥2-char word differs, so
   shingle/gram/simhash families see disjoint feature sets — linear pair
   growth, the organic shape.
-- customer.c_name (round-10 verdict #3): the LAST character gets the same
-  replica-keyed letter shift, so linkage-key blocking on (nation,
-  name-4-suffix) — join_record_linkage_fs — sees per-replica blocks
-  instead of verbatim name copies inflating every block 10×. Length-
-  preserving, prefix-5 untouched, replica 0 bit-identical.
+- customer.c_name (round-10 verdict #3): the last FOUR digits are replaced
+  by the base-26 letter encoding of last4 + 10000·i — INJECTIVE over
+  (name, replica) for i ≤ 25 (26⁴ = 456,976 > 26·10,000), so salted names
+  never collide across customers or replicas (a single-char Caesar left
+  only 54k distinct of 150k: 100 (digit, replica) combos can't fit 26
+  letters). Linkage-key blocking on (nation, name-4-suffix) —
+  join_record_linkage_fs — therefore sees organic per-replica blocks.
+  Length-preserving, prefix-5 untouched, the planted dirty-twin mutation
+  zone (chars 7..13) untouched, replica 0 bit-identical; letters never
+  collide with replica 0's digit tails.
 
 The letter shift is a Caesar keyed by replica index with an EFFECTIVE
 shift of 1 + 3(i-1) mod 25 — nonzero and pairwise-distinct for i in
@@ -102,6 +107,9 @@ def main() -> None:
     # folds in, so the EFFECTIVE shift is 1 + 3(i-1) mod 25 — in [1, 25],
     # never identity, pairwise-distinct for i in 1..25 (3 coprime to 25).
     SHIFT = "8 + ((i.i - 1) * 3) % 25"
+    # the 4-digit name tail as an integer, offset per replica — injective
+    # over (tail, replica) for i ≤ 25 since 26^4 > 26 * 10000
+    V = "(CAST(substr(c_name, len(c_name) - 3, 4) AS INTEGER) + 10000 * i.i)"
     SALTED = {
         ("documents", "text"): (
             "CASE WHEN i.i = 0 THEN text ELSE array_to_string("
@@ -112,14 +120,17 @@ def main() -> None:
             "AS INTEGER)) END"
             "), ' ') END AS text"
         ),
-        # linkage-key salt (round-10 verdict #3): c_name's last char is
-        # inside join_record_linkage_fs's blocking suffix, so replicas land
-        # in per-replica blocks; length and prefix-5 preserved
+        # linkage-key salt (round-10 verdict #3): replace the 4-digit tail
+        # (= join_record_linkage_fs's blocking suffix) with base-26 letters
+        # of last4 + 10000·i — injective over (customer, replica), so
+        # salted names never collide (see module docstring)
         ("customer", "c_name"): (
             "CASE WHEN i.i = 0 THEN c_name ELSE "
-            "substr(c_name, 1, len(c_name) - 1) || "
-            f"chr(CAST(97 + (ord(substr(c_name, len(c_name), 1)) + {SHIFT}) "
-            "% 26 AS INTEGER)) END AS c_name"
+            "substr(c_name, 1, len(c_name) - 4) || "
+            f"chr(CAST(97 + ({V} // 17576) % 26 AS INTEGER)) || "
+            f"chr(CAST(97 + ({V} // 676) % 26 AS INTEGER)) || "
+            f"chr(CAST(97 + ({V} // 26) % 26 AS INTEGER)) || "
+            f"chr(CAST(97 + {V} % 26 AS INTEGER)) END AS c_name"
         ),
         ("embeddings", "embedding"): (
             "CASE WHEN i.i = 0 THEN embedding ELSE "

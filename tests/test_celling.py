@@ -141,3 +141,20 @@ def test_cluster_pair_scan_over_cap_is_subset_with_equal_sims(
     assert set(celled) <= set(exact)
     for k, sim in celled.items():
         assert sim == exact[k]
+
+
+def test_vec_neardup_over_cap_is_subset_with_equal_sims(
+    spark, sf_dir, monkeypatch
+):
+    """Same subset-with-equal-sims contract for the third pair kernel
+    (vec_neardup_cosine routes through semantic.PAIR_BLOCK_CAP)."""
+    import nocouncil_etl_spark.operators.semantic as semantic
+
+    fn = REG["vec_neardup_cosine"].fn
+    exact = {(r.id_a, r.id_b): r.sim for r in fn(spark, sf_dir).collect()}
+    assert exact  # the plan plants +0.1-perturbed twins, so pairs exist
+    monkeypatch.setattr(semantic, "PAIR_BLOCK_CAP", 16)
+    celled = {(r.id_a, r.id_b): r.sim for r in fn(spark, sf_dir).collect()}
+    assert set(celled) <= set(exact)
+    for k, sim in celled.items():
+        assert sim == exact[k]

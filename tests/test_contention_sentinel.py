@@ -45,6 +45,7 @@ def test_sentinel_verdict_is_asymmetric(monkeypatch):
             self._after = after
             self.loadavg_start = load
             self.calibration = before
+            self.py_calibration = 0.1
             self._spark = None
 
         def finish(self):
@@ -67,6 +68,9 @@ def test_sentinel_reports_all_fields(spark):
         "loadavg_start",
         "calibration_sec",
         "calibration_after_sec",
+        "py_calibration_sec",
+        "py_calibration_after_sec",
         "contended",
     }
     assert flags["calibration_sec"] > 0
+    assert flags["py_calibration_sec"] > 0

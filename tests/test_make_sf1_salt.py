@@ -50,26 +50,46 @@ def test_salt_shift_injective_and_nonzero_over_accepted_range():
     assert len(set(chars)) == 25, "colliding shifts: two replicas identical"
 
 
-def test_salt_customer_name_perturbs_blocking_suffix_only():
-    """c_name salt (verdict #3): length-preserving, prefix-5 intact, last
-    char (inside join_record_linkage_fs's name-4-suffix blocking key)
-    differs per replica — so sf1 linkage blocks are per-replica instead of
-    10× verbatim-copy inflated."""
-    shift = _shift_expr()
-    expr = (
-        "substr(c_name, 1, len(c_name) - 1) || "
-        f"chr(CAST(97 + (ord(substr(c_name, len(c_name), 1)) + {shift}) "
-        "% 26 AS INTEGER))"
+def _cname_expr() -> str:
+    """The customer-name salt expression as the script interpolates it."""
+    with open(SCRIPT, encoding="utf-8") as fh:
+        src = fh.read()
+    m = re.search(r'V = "([^"]+)"', src)
+    assert m, "make_sf1.py no longer defines the V tail expression"
+    v = m.group(1)
+    return (
+        "CASE WHEN i.i = 0 THEN c_name ELSE "
+        "substr(c_name, 1, len(c_name) - 4) || "
+        f"chr(CAST(97 + ({v} // 17576) % 26 AS INTEGER)) || "
+        f"chr(CAST(97 + ({v} // 676) % 26 AS INTEGER)) || "
+        f"chr(CAST(97 + ({v} // 26) % 26 AS INTEGER)) || "
+        f"chr(CAST(97 + {v} % 26 AS INTEGER)) END"
     )
+
+
+def test_salt_customer_name_is_injective_over_names_and_replicas():
+    """c_name salt (verdict #3): length-preserving, prefix untouched
+    through the dirty-twin mutation zone, and INJECTIVE over
+    (name, replica) — a single-char Caesar left only 54k distinct of 150k
+    at sf1 (100 digit×replica combos can't fit 26 letters), which planted
+    spurious exact-name agreements in join_record_linkage_fs. The 4-digit
+    tail → base-26(tail + 10000·i) encoding never collides for i ≤ 25."""
+    expr = _cname_expr()
     rows = duckdb.connect().execute(
-        f"SELECT i.i, {expr} FROM (SELECT 'Customer#000000001' AS c_name), "
-        "(SELECT unnest(range(1, 26)) AS i) i"
+        f"SELECT c_name AS src, i.i, {expr} AS salted "
+        "FROM (SELECT 'Customer#' || lpad(CAST(k AS VARCHAR), 9, '0') AS c_name "
+        "      FROM (SELECT unnest(range(990, 1010)) AS k)), "
+        "(SELECT unnest(range(0, 26)) AS i) i"
     ).fetchall()
-    names = [r[1] for r in rows]
-    assert all(len(n) == 18 for n in names)
-    assert all(n.startswith("Customer#") for n in names)
-    assert all(n != "Customer#000000001" for n in names)
-    assert len(set(n[-1] for n in names)) == 25
+    salted = [r[2] for r in rows]
+    assert len(set(salted)) == len(salted)  # fully injective
+    for src, i, s in rows:
+        assert len(s) == 18
+        assert s[:14] == src[:14]  # mutation zone + prefix untouched
+        if i == 0:
+            assert s == src
+        else:
+            assert s[-4:].isalpha()  # never collides with replica 0 digits
 
 
 def test_copies_over_cap_fails_fast(tmp_path):
@@ -87,10 +107,11 @@ def test_copies_over_cap_fails_fast(tmp_path):
 @pytest.mark.skipif(
     not os.path.exists("/root/testdata/sf0.1"), reason="sf0.1 source absent"
 )
-def test_shift_matches_script_usage():
-    """The SHIFT expression is actually interpolated into both SALTED
-    entries (documents.text and customer.c_name) — a refactor that inlines
-    a divergent copy would silently decouple the two salts."""
+def test_salt_expressions_actually_interpolated():
+    """The SHIFT (documents.text) and V (customer.c_name) expressions are
+    actually interpolated into the SALTED entries — a refactor that inlines
+    a divergent copy would silently decouple the salts from these tests."""
     with open(SCRIPT, encoding="utf-8") as fh:
         src = fh.read()
-    assert src.count("{SHIFT}") == 2
+    assert src.count("{SHIFT}") == 1
+    assert src.count("{V}") == 4
