@@ -101,6 +101,16 @@ def window_input_rows(inp) -> tuple[str, int | None]:
         r = _metric(n)
         if r is not None:
             return base, r
+        if base == "Exchange":
+            # the global-sort shuffle that feeds every empty-partition
+            # Window records its EXACT producer cardinality in the write
+            # metrics — read it here instead of descending past the
+            # exchange, where AQE stage state has (once, r11 full-suite
+            # ordering) left numOutputRows unreachable and the lint
+            # reported ('unknown', None) on a provably 30-row input
+            rw = _metric(n, "shuffleRecordsWritten")
+            if rw is not None:
+                return base, rw
         if base in _PASSTHROUGH:
             q.extend(_children(n))
         # a non-passthrough node without the metric ends this branch:

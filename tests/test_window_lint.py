@@ -75,7 +75,12 @@ def test_no_unbounded_global_window(name, spark, sf_dir):
             # SQL metrics on stages shared with earlier tests (cached
             # subtrees, reused exchanges) can accumulate across
             # executions; a clean replan separates that noise from a
-            # real unbounded window, which persists.
+            # real unbounded window, which persists. (The r11 full-suite
+            # ('unknown', None) flake on ts_seasonal_anomaly is closed at
+            # the source: window_input_rows now reads the feeding
+            # exchange's shuffleRecordsWritten — the exact input
+            # cardinality — instead of descending past it into AQE stage
+            # state.)
             spark.catalog.clearCache()
             bad = _offenders(REG[name].fn(spark, sf_dir))
         assert not bad, (
