@@ -25,18 +25,19 @@ the engine's test/bench scales every block is under the default cap and
 results are EXACT (the DuckDB oracles stay valid); the celled path is the
 100×-growth contingency, exercised by cap-shrunk tests.
 
-Scale shape: one map-side-combined count per block key (the key is the
-coarse-quantizer arity — labels / trained centroids — broadcast-sized by
-construction), broadcast back, then a pure-JVM signature expression on
-over-cap rows only. No new wide stage beyond the groupBy the caller
-already does; the caller's group key just gains the cell column.
+Scale shape: one whole-partition count window on the block key (an O(n)
+frame — upstream executes ONCE; see subcell_over_cap's docstring for why
+not a count-agg joined back), then a pure-JVM signature expression on
+over-cap rows only. Cost is one extra corpus shuffle on the block key
+ahead of the shuffle the caller's groupBy already does; the caller's
+group key just gains the cell column.
 """
 
 from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Hyperplane budget: supports blocks up to cap·2^16 rows before expected
@@ -73,13 +74,20 @@ def subcell_over_cap(
     sub-cell id sized so the expected sub-cell holds ≤ cap/2 rows. Callers
     group the pair kernel by ``block_cols + [out_col]``.
 
-    The block-size count is a tiny map-side-combined agg over the block key
-    (bounded by the coarse-quantizer arity) broadcast back onto the rows —
-    the fact side is never re-shuffled for it."""
+    The block-size count is a whole-partition window over the block key —
+    an O(n)-per-partition frame (the frame lint's exempt shape), NOT an
+    aggregate joined back: a separate count-agg would RE-EXECUTE the
+    upstream pipeline for the sizes (measured: the SemDeDup serve path's
+    Arrow centroid-assignment pass ran twice, 0.8 s → 3.7 s at sf0.1).
+    The window costs one corpus shuffle on the block key instead — bounded
+    by data volume regardless of how expensive the upstream plan is, the
+    right trade for a general operator whose callers feed it derived
+    pipelines, not just scans."""
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
-    sizes = df.groupBy(*block_cols).agg(F.count("*").alias("_bn"))
-    with_n = df.join(F.broadcast(sizes), block_cols)
+    with_n = df.withColumn(
+        "_bn", F.count(F.lit(1)).over(Window.partitionBy(*block_cols))
+    )
     # bits so that _bn / 2^bits <= cap/2, capped by the hyperplane budget
     bits = F.least(
         F.lit(SIG_BITS),

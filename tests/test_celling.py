@@ -44,7 +44,7 @@ def test_under_cap_cell_is_constant_zero(spark):
     out = subcell_over_cap(df, ["label"], "v", cap=40)
     cells = {r._cell for r in out.collect()}
     assert cells == {0}
-    assert out.count() == 40  # no rows lost or duplicated by the size join
+    assert out.count() == 40  # no rows lost or duplicated by the size window
 
 
 def test_over_cap_splits_block_and_partitions_it(spark):
