@@ -175,8 +175,26 @@ def main() -> None:
         calibration = calibrate()
         timings = measure()
         calibration_after = calibrate()
-        contended = load_start > 4.0 or (
-            calibration > 0 and calibration_after / calibration > 1.2
+        # Three contention signals (any one flags the run):
+        # 1. hot loadavg at start; 2. after-probe >20% slower than before
+        #    (JVM only gets faster within a run); 3. FRONT-LOADED load the
+        #    first two are blind to — loadavg can decay below the gate
+        #    before the start probe runs while the machine is still
+        #    degraded (round 11 measured a run reporting contended: false
+        #    with a 0.487 s start probe, 4.4× its own after-probe and a
+        #    130 s total on code whose quiet total is ~65 s). JIT tiering
+        #    alone decays the probe ≤~2× from a ≤0.15 s start (r10:
+        #    0.130→0.067), so a start probe BOTH absolutely slow (>0.2 s)
+        #    and >2.5× its after-probe means the start was externally
+        #    loaded, and every early query in the loop is suspect.
+        contended = (
+            load_start > 4.0
+            or (calibration > 0 and calibration_after / calibration > 1.2)
+            or (
+                calibration > 0.2
+                and calibration_after > 0
+                and calibration / calibration_after > 2.5
+            )
         )
         if first_contended is None:
             first_contended = contended

@@ -20,7 +20,15 @@ test_contention_sentinel_rules_match_bench):
 - asymmetric probe drift: the after-probe slower than the before-probe by
   >20% (the JVM only gets FASTER within a run as C2 tiers up, so a
   symmetric rule misfires on every run — r10 measured the probe decaying
-  0.16 → 0.05 s across a suite).
+  0.16 → 0.05 s across a suite);
+- front-loaded load: the before-probe both absolutely slow (>0.2 s) and
+  >2.5× the after-probe. The first two rules are blind to load that dies
+  DURING the run: loadavg can decay under the gate before the start probe
+  fires while the machine is still degraded (round 11 measured a bench
+  run reporting contended: false with a 0.487 s start probe and a 130 s
+  total on code whose quiet total is ~65 s). JIT tiering alone decays the
+  probe ≤~2× from a ≤0.15 s start, so both bounds together separate
+  warm-up from contention.
 """
 
 from __future__ import annotations
@@ -31,6 +39,8 @@ import time
 
 LOADAVG_GATE = 4.0
 DRIFT_GATE = 1.2
+FRONTLOAD_ABS = 0.2
+FRONTLOAD_RATIO = 2.5
 
 
 def calibrate(spark) -> float:
@@ -77,9 +87,17 @@ class Sentinel:
 
     def finish(self) -> dict:
         calibration_after = calibrate(self._spark)
-        contended = self.loadavg_start > LOADAVG_GATE or (
-            self.calibration > 0
-            and calibration_after / self.calibration > DRIFT_GATE
+        contended = (
+            self.loadavg_start > LOADAVG_GATE
+            or (
+                self.calibration > 0
+                and calibration_after / self.calibration > DRIFT_GATE
+            )
+            or (
+                self.calibration > FRONTLOAD_ABS
+                and calibration_after > 0
+                and self.calibration / calibration_after > FRONTLOAD_RATIO
+            )
         )
         return {
             "loadavg_start": round(self.loadavg_start, 2),

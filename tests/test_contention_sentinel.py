@@ -31,8 +31,12 @@ def test_contention_sentinel_rules_match_bench():
         bench = fh.read()
     m_load = re.search(r"load_start > (\d+\.\d+)", bench)
     m_drift = re.search(r"calibration_after / calibration > (\d+\.\d+)", bench)
+    m_abs = re.search(r"\(\s*calibration > (\d+\.\d+)", bench)
+    m_front = re.search(r"calibration / calibration_after > (\d+\.\d+)", bench)
     assert m_load and float(m_load.group(1)) == mod.LOADAVG_GATE
     assert m_drift and float(m_drift.group(1)) == mod.DRIFT_GATE
+    assert m_abs and float(m_abs.group(1)) == mod.FRONTLOAD_ABS
+    assert m_front and float(m_front.group(1)) == mod.FRONTLOAD_RATIO
 
 
 def test_sentinel_verdict_is_asymmetric(monkeypatch):
@@ -58,6 +62,13 @@ def test_sentinel_verdict_is_asymmetric(monkeypatch):
     assert FakeSentinel(0.5, 0.16, 0.05).finish()["contended"] is False
     assert FakeSentinel(0.5, 0.10, 0.13).finish()["contended"] is True
     assert FakeSentinel(6.9, 0.10, 0.05).finish()["contended"] is True
+    # front-loaded contention (round 11): start probe absolutely slow AND
+    # far above the after-probe — JIT decay can't explain it
+    assert FakeSentinel(0.5, 0.487, 0.111).finish()["contended"] is True
+    # ...but a fast start probe with a big ratio is ordinary C2 tiering
+    # (r10 measured 0.16 → 0.05), and r10's 0.130 → 0.067 is under both
+    # bounds: neither may flag
+    assert FakeSentinel(0.5, 0.130, 0.067).finish()["contended"] is False
 
 
 def test_sentinel_reports_all_fields(spark):
