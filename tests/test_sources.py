@@ -272,6 +272,59 @@ def test_fan_out_never_repartitions_down(spark, sf_dir):
     assert fan_out(narrow, 7).rdd.getNumPartitions() == 7
 
 
+def test_est_width_tracks_scan_bytes_and_fast_paths_the_probe(
+    spark, sf_dir, monkeypatch
+):
+    """io._est_width is the optimizer's sizeInBytes over maxPartitionBytes:
+    for a parquet scan it must track the file's actual size (within the
+    parquet-footer slack the optimizer reports), scale with the split-size
+    conf, and degrade to 0.0 (= "repartition", the pre-floor behavior) when
+    stats are unreachable. And fan_out_if_narrow's stats fast-path must
+    SHORT-CIRCUIT the expensive .rdd probe on volume-wide frames — the
+    whole point at cluster scale, where the probe itself costs a
+    driver-side physical plan + split enumeration."""
+    import os
+
+    import nocouncil_etl_spark.io as io
+
+    docs = io.load(spark, sf_dir, "documents")
+    file_bytes = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+    max_pb = float(
+        spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+    )
+    est = io._est_width(docs)
+    # same order of magnitude as bytes/split — the decision only needs that
+    assert 0.1 * (file_bytes / max_pb) < est < 10 * (file_bytes / max_pb)
+
+    # conf-scaling: 1/256th the split size ⇒ ~256× the implied width
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(int(max_pb // 256)))
+    try:
+        assert io._est_width(io.load(spark, sf_dir, "documents")) > 100 * est
+
+        # fast path: on a volume-wide frame (512-byte splits make the real
+        # file imply ≫ 2× session width) fan_out_if_narrow must decide from
+        # stats alone — the probe raising proves it was never reached
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "512")
+
+        def boom(_df):
+            raise AssertionError("probe must not run on a volume-wide frame")
+
+        monkeypatch.setattr(io, "_planned_scan_width", boom)
+        wide = io.load(spark, sf_dir, "documents")
+        assert io.fan_out_if_narrow(wide) is wide
+        assert io.fan_out(wide) is wide
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    # unreachable stats (no JVM frame behind the attribute) ⇒ 0.0, never a
+    # raise: fan_out then just repartitions, the pre-floor behavior
+    class Husk:
+        _jdf = property(lambda self: (_ for _ in ()).throw(RuntimeError()))
+
+    assert io._est_width(Husk()) == 0.0
+
+
 def test_planned_scan_width_refuses_exchanged_frames(spark):
     """_planned_scan_width only probes scan-rooted plans: narrow chains
     (scan/filter/project/generate/union) report their planned split count;
