@@ -138,6 +138,13 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = [bits_by_word.get(w, 0) for w in range(BLOOM_WORDS)]
     bitset = F.array(*[F.lit(int(x)).cast("long") for x in arr])
 
+    # r11 opt (guide §1.2/§2.4): the funnel used to evaluate the md5 probe
+    # TWICE — `survivors` fed two separate agg subtrees (the exact-join agg
+    # and the n_bloom_pass agg crossJoined together), so every fact row
+    # paid the BLOOM_K md5 hashes two times. Now ONE pass: survivors are
+    # broadcast-LEFT-joined to the dim side and a single agg counts
+    # bloom-pass rows, exact matches, and the verified sum together. The
+    # bitset, the bits, and every reported number are unchanged.
     fact = li.select("l_suppkey", "l_quantity")
     probe = fact.withColumn("_bs", bitset)
     for i in range(BLOOM_K):
@@ -155,13 +162,18 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     for h in hits[1:]:
         bloom_pass = bloom_pass & h
     survivors = probe.filter(bloom_pass).select("l_suppkey", "l_quantity")
-    exact = survivors.join(F.broadcast(dim), survivors.l_suppkey == dim.s_suppkey)
+    exact = survivors.join(
+        F.broadcast(dim.withColumn("_hit", F.lit(1))),
+        survivors.l_suppkey == dim.s_suppkey,
+        "left",
+    )
     n_fact = fact.count()
     row = exact.agg(
-        F.count(F.lit(1)).alias("n_exact"),
-        F.sum("l_quantity").cast("long").alias("sum_qty"),
-    ).crossJoin(
-        F.broadcast(survivors.agg(F.count(F.lit(1)).alias("n_bloom_pass")))
+        F.count(F.lit(1)).alias("n_bloom_pass"),
+        F.count("_hit").alias("n_exact"),
+        F.sum(F.when(F.col("_hit").isNotNull(), F.col("l_quantity")))
+        .cast("long")
+        .alias("sum_qty"),
     )
     return row.select(
         F.lit(n_fact).cast("long").alias("n_fact"),

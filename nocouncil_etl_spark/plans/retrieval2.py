@@ -72,25 +72,26 @@ scored AS (
 
 
 def _bm25_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, term, tf, part DECIMAL(18,6)) — Spark twin of the CTE."""
+    """(doc_id, term, tf, part DECIMAL(18,6)) — Spark twin of the CTE.
+
+    r11 opt: same rewrite as text_bm25_search — dl/tf computed row-locally
+    (size/filter HOFs, no explode, no doc-keyed shuffles), the compact
+    per-doc frame pinned once for meta/df/scoring (guide §2.4)."""
+    from nocouncil_etl_spark.plans.retrieval_plans import _bm25_per_doc
+
     docs = fan_out(load(spark, sf_dir, "documents"))
-    tok = docs.select("doc_id", F.explode(F.expr(_TOK_SPARK)).alias("term"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
-    meta = dl.agg(
+    per_doc = _bm25_per_doc(docs).localCheckpoint(eager=True)
+    meta = per_doc.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_len"),
     )
     tf = (
-        tok.filter(F.col("term").isin(*QUERY_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        per_doc.select("doc_id", "dl", F.explode("tfs").alias("x"))
+        .select("doc_id", "dl", "x.term", "x.tf")
+        .filter(F.col("tf") > 0)
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    j = (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(meta))
-    )
+    j = tf.join(F.broadcast(df), "term").crossJoin(F.broadcast(meta))
     idf = F.log(
         1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )

@@ -23,7 +23,7 @@ shuffle cannot flicker a ranking.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.io import fan_out, load
@@ -47,6 +47,34 @@ NB_VOCAB = 50  # vocabulary size (top document-frequency terms)
 # --------------------------------------------------------------------------
 
 _QT = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+
+
+def _bm25_per_doc(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl, tfs: array<struct<term,tf>>) — one row per non-empty
+    doc, computed ROW-LOCALLY: dl = size(tokens), tf(term) =
+    size(filter(tokens, = term)). Exactly the integers the explode +
+    groupBy shape produced (a doc with zero tokens had no dl row there,
+    so dl > 0 filters them identically), with zero shuffle. The token
+    array is aliased once in its own projection; CollapseProject keeps
+    multi-referenced non-trivial aliases, so tokenization runs once per
+    row, not once per consumer expression."""
+    toked = docs.select("doc_id", F.expr(_TOK_SPARK).alias("toks"))
+    tfs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("term"),
+                F.size(
+                    F.filter(F.col("toks"), lambda x: x == F.lit(t))
+                )
+                .cast("long")
+                .alias("tf"),
+            )
+            for t in QUERY_TERMS
+        ]
+    )
+    return toked.select(
+        "doc_id", F.size("toks").cast("long").alias("dl"), tfs.alias("tfs")
+    ).filter(F.col("dl") > 0)
 
 
 @query(
@@ -91,27 +119,28 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties are impossible to flip by combine order; final order (score desc,
     doc_id) is total.
 
-    Scale shape: tokenization is one narrow pass; the tf table carries only
-    query-term hits (≤|Q| rows per doc); df is |Q| rows (broadcast); doc
-    lengths join on doc_id. TakeOrderedAndProject caps the result."""
+    Scale shape (r11 opt): tokenization is ONE narrow pass with NO explode
+    and NO doc-keyed shuffle — dl is size(tokens) and each query term's tf
+    is size(filter(tokens, = term)), all computed row-locally (guide §2.4:
+    remove shuffles outright; the old shape exploded the full token stream
+    twice and shuffled it by doc_id for dl and by (doc_id, term) for tf).
+    The compact per-doc frame (doc_id, dl, ≤|Q| tf structs — no text) is
+    pinned once and feeds meta, df and the scoring join, so the corpus is
+    tokenized exactly once per run instead of once per consumer. df is |Q|
+    rows (broadcast); TakeOrderedAndProject caps the result."""
     docs = fan_out(load(spark, sf_dir, "documents"))
-    tok = docs.select("doc_id", F.explode(F.expr(_TOK_SPARK)).alias("term"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
-    meta = dl.agg(
+    per_doc = _bm25_per_doc(docs).localCheckpoint(eager=True)
+    meta = per_doc.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_len"),
     )
     tf = (
-        tok.filter(F.col("term").isin(*QUERY_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        per_doc.select("doc_id", "dl", F.explode("tfs").alias("x"))
+        .select("doc_id", "dl", "x.term", "x.tf")
+        .filter(F.col("tf") > 0)
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    j = (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(meta))
-    )
+    j = tf.join(F.broadcast(df), "term").crossJoin(F.broadcast(meta))
     idf = F.log(
         1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
@@ -211,9 +240,17 @@ def model_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     each doc's ≤V tf rows against the broadcast model — per-doc cost is
     O(hit terms · classes), never corpus×vocab. The same shape at 100 TB:
     the model is always broadcastable because V is chosen, not data-sized.
-    """
-    # fan_out ONCE and pin: tok is consumed by vocab, class counts, and
-    # doc tf — pinning the compact fanned docs costs one small shuffle +
+
+    r11 opt (guide §2.3/§2.4): the corpus is tokenized ONCE — the exploded
+    token stream collapses immediately to the per-(doc, term) count table
+    ``tokdf`` (one map-side-combined shuffle), which is pinned and then
+    feeds all three former consumers: vocabulary df = count(*) per term
+    over tokdf (≡ countDistinct(doc_id) over raw tokens), class-term
+    counts cf = sum(tf) grouped by (lang, term) (≡ count(*) over raw
+    tokens), and the per-doc scoring tf rows. The old shape ran the
+    explode + shuffle three times."""
+    # fan_out ONCE and pin: docs feed class counts, n_total and the token
+    # pass — pinning the compact fanned docs costs one small shuffle +
     # cache instead of one repartition per consumer
     docs = fan_out(load(spark, sf_dir, "documents")).localCheckpoint(
         eager=True
@@ -221,9 +258,17 @@ def model_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", "lang", F.explode(F.expr(_TOK_SPARK)).alias("term")
     )
+    tokdf = (
+        tok.groupBy("doc_id", "term")
+        .agg(
+            F.any_value("lang").alias("actual"),
+            F.count(F.lit(1)).cast("long").alias("tf"),
+        )
+        .localCheckpoint(eager=True)
+    )
     vocab = (
-        tok.groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        tokdf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
         .orderBy(F.desc("df"), "term")
         .limit(NB_VOCAB)
         .select("term")
@@ -233,9 +278,9 @@ def model_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_total = docs.count()
     cnt = (
-        tok.join(F.broadcast(vocab), "term")
-        .groupBy(F.col("lang").alias("c"), "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
+        tokdf.join(F.broadcast(vocab), "term")
+        .groupBy(F.col("actual").alias("c"), "term")
+        .agg(F.sum("tf").cast("long").alias("cf"))
     )
     tot = cnt.groupBy("c").agg(F.sum("cf").cast("long").alias("tot"))
     model = (
@@ -262,14 +307,7 @@ def model_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,6)")
         .alias("logprior"),
     )
-    doctf = (
-        tok.join(F.broadcast(vocab), "term")
-        .groupBy("doc_id", "term")
-        .agg(
-            F.any_value("lang").alias("actual"),
-            F.count(F.lit(1)).cast("long").alias("tf"),
-        )
-    )
+    doctf = tokdf.join(F.broadcast(vocab), "term")
     docscore = (
         doctf.join(F.broadcast(model), "term")
         .join(F.broadcast(prior), "c")
@@ -282,14 +320,16 @@ def model_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "c")
-    pred = (
-        docscore.withColumn("rn", F.row_number().over(w))
-        .groupBy("doc_id")
-        .agg(
-            F.any_value("actual").alias("actual"),
-            F.min(F.when(F.col("rn") == 1, F.col("c"))).alias("predicted"),
-        )
+    # argmax by (score desc, c asc) as ONE partial-aggregable hash agg:
+    # min(struct(-score, c)) picks the largest score, then the smallest
+    # class — identical to the former row_number window + groupBy pair,
+    # without the per-doc sort or the extra pass (guide §2.3: aggregate
+    # before you shuffle; DECIMAL negation is exact)
+    pred = docscore.groupBy("doc_id").agg(
+        F.any_value("actual").alias("actual"),
+        F.min(F.struct((-F.col("score")).alias("ns"), F.col("c")))["c"].alias(
+            "predicted"
+        ),
     )
     return pred.groupBy("actual", "predicted").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
