@@ -128,23 +128,33 @@ def hits_fixed_point(
     # uncached edge list re-runs its whole upstream subtree (scan + union +
     # distinct shuffle) 2·iters times. One lazy local checkpoint each —
     # materialized by the first half-step's job — makes every later
-    # half-step start from in-memory blocks.
+    # half-step start from in-memory blocks. r11 opt (guide §2.4): the
+    # edge list is additionally pinned TWICE MORE, pre-partitioned by src
+    # and by dst — each half-step's edges⋈scores join then starts from
+    # blocks already hash-partitioned on its join key, so the (largest)
+    # edge side is never re-shuffled inside the loop: per half-step the
+    # only exchange left is the contribution sum's.
     nodes = nodes.localCheckpoint(eager=False)
     edges = edges.localCheckpoint(eager=False)
+    e_src = edges.repartition("src").localCheckpoint(eager=False)
+    e_dst = edges.repartition("dst").localCheckpoint(eager=False)
+    # r11 opt (guide §2.3): half-step state is SPARSE — only nodes with
+    # incoming contributions. Nodes absent from a state frame contribute
+    # nothing to the next half-step's sums, exactly like an explicit zero
+    # row (0·h sums to 0), and max() over a set extended by zeros is
+    # unchanged (sums are non-negative; the empty case already fell back
+    # to 1 via `or 0`). The old shape LEFT-JOINED the full node table back
+    # in every half-step — 2·iters densify joins whose zeros were
+    # arithmetic no-ops. Densification now happens ONCE on the way out.
     hub = nodes.withColumn("h", F.lit(scale).cast("long"))
     auth = None
     prev_a = prev_h = None
     for _ in range(iters):
         araw = (
-            edges.join(hub, edges["src"] == hub["node"])
+            e_src.join(hub, e_src["src"] == hub["node"])
             .groupBy("dst")
             .agg(F.sum("h").alias("c"))
-        )
-        araw = (
-            nodes.join(araw, nodes["node"] == araw["dst"], "left")
-            .select(
-                "node", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("a")
-            )
+            .select(F.col("dst").alias("node"), F.col("c").cast("long").alias("a"))
             .localCheckpoint(eager=False)
         )
         amax = max(araw.agg(F.max("a")).collect()[0][0] or 0, 1)  # one scalar
@@ -153,15 +163,10 @@ def hits_fixed_point(
         )
 
         hraw = (
-            edges.join(auth, edges["dst"] == auth["node"])
+            e_dst.join(auth, e_dst["dst"] == auth["node"])
             .groupBy("src")
             .agg(F.sum("a").alias("c"))
-        )
-        hraw = (
-            nodes.join(hraw, nodes["node"] == hraw["src"], "left")
-            .select(
-                "node", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("h")
-            )
+            .select(F.col("src").alias("node"), F.col("c").cast("long").alias("h"))
             .localCheckpoint(eager=False)
         )
         hmax = max(hraw.agg(F.max("h")).collect()[0][0] or 0, 1)
@@ -176,7 +181,16 @@ def hits_fixed_point(
             _release_checkpoint(prev_h)
         prev_a, prev_h = araw, hraw
 
-    out = auth.join(hub, "node").persist()
+    out = (
+        nodes.join(auth, "node", "left")
+        .join(hub, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("a"),
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("h"),
+        )
+        .persist()
+    )
     out.count()
     return out
 

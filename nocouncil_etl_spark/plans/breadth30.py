@@ -233,14 +233,18 @@ def eval_bleu_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documented variant: the classic e^(1−r/c) differs across libms;
     for c ≥ r both are exactly 1).
 
-    Scale shape: n-gram explode is map-side; the clip join is equi on
-    (pair, order, gram) — shuffle volume is the n-gram multiset, the
-    same shape as dedup_span_ngrams. One final scalar reduce.
-
-    The pair frame is fanned out + pinned (it feeds both gram sides and
-    the length reduce — unpinned, the scan+lead-window subtree executed
-    ~9x), and all four n-gram orders ride ONE explode per side as
-    (n, gram) structs instead of a 4-branch union (4 passes -> 1)."""
+    Scale shape (r11 opt, guide §4.2/§2.4): the hypothesis and its
+    reference live in the SAME ROW, so the clipped counts are a per-row
+    multiset intersection — no distributed state at all. The old plan
+    exploded BOTH sides' n-gram multisets into two (pid, n, gram)
+    hash-aggs and a clip join — three exchanges moving every n-gram
+    string of the corpus — to join a row with itself. Now one Arrow
+    mapInPandas pass computes per-batch partial sums (Counter
+    intersection per pair — exact BIGINT counts, the same min/Σ
+    arithmetic), and a scalar agg folds the ≤one-row-per-batch partials:
+    ZERO n-gram bytes ever shuffle, and the pair frame no longer needs
+    pinning (single consumer). The final formula is evaluated on the
+    same integer totals, so bp/bleu bits are unchanged."""
     docs = load(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy("doc_id")
     pairs = fan_out(
@@ -251,61 +255,49 @@ def eval_bleu_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("ref", F.lead("hyp").over(w))
         .filter(F.col("ref").isNotNull())
-        .select(F.col("doc_id").alias("pid"), "hyp", "ref")
-    ).localCheckpoint(eager=True)
-
-    def _mk(col: str, n: int):
-        # single-arg lambda: F.transform passes (element, index) to any
-        # TWO-arg callable, so a `n=n` default would silently rebind n to
-        # the array index
-        return lambda i: F.struct(
-            F.lit(n).alias("n"),
-            F.concat_ws(" ", F.slice(col, i, n)).alias("gram"),
-        )
-
-    def grams_all(col: str):
-        arrs = [
-            F.when(
-                F.size(col) >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(col) - n + 1), _mk(col, n)
-                ),
-            ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
-            for n in BLEU_ORDERS
-        ]
-        return F.flatten(F.array(*arrs))
-
-    def side_counts(col: str, cname: str):
-        return (
-            pairs.select("pid", F.explode(grams_all(col)).alias("g"))
-            .select("pid", "g.n", "g.gram")
-            .groupBy("pid", "n", "gram")
-            .agg(F.count("*").cast("long").alias(cname))
-        )
-
-    hc = side_counts("hyp", "ch")
-    rc = side_counts("ref", "cr")
-    clipped = (
-        hc.join(rc, ["pid", "n", "gram"], "left")
-        .groupBy("n")
-        .agg(
-            F.sum(F.least(F.col("ch"), F.coalesce(F.col("cr"), F.lit(0))))
-            .cast("long")
-            .alias("num"),
-            F.sum("ch").cast("long").alias("den"),
-        )
+        .select("hyp", "ref")
     )
-    piv = clipped.agg(
-        *[
-            F.max(F.when(F.col("n") == n, F.col(c))).alias(f"{c}{n}")
-            for n in BLEU_ORDERS
-            for c in ("num", "den")
-        ]
+
+    fields = (
+        ["n_pairs", "c_len", "r_len"]
+        + [f"{c}{n}" for n in BLEU_ORDERS for c in ("num", "den")]
     )
-    lens = pairs.agg(
-        F.count("*").cast("long").alias("n_pairs"),
-        F.sum(F.size("hyp")).cast("long").alias("c_len"),
-        F.sum(F.size("ref")).cast("long").alias("r_len"),
+    out_schema = ", ".join(f"{f} long" for f in fields)
+
+    def _bleu_partials(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            n_pairs = c_len = r_len = 0
+            nums = dict.fromkeys(BLEU_ORDERS, 0)
+            dens = dict.fromkeys(BLEU_ORDERS, 0)
+            for h, r in zip(pdf["hyp"].tolist(), pdf["ref"].tolist()):
+                h = list(h)
+                r = list(r)
+                n_pairs += 1
+                c_len += len(h)
+                r_len += len(r)
+                for n in BLEU_ORDERS:
+                    if len(h) < n:
+                        continue
+                    dens[n] += len(h) - n + 1
+                    hc = Counter(
+                        tuple(h[i : i + n]) for i in range(len(h) - n + 1)
+                    )
+                    if len(r) >= n:
+                        rc = Counter(
+                            tuple(r[i : i + n]) for i in range(len(r) - n + 1)
+                        )
+                        nums[n] += sum((hc & rc).values())
+            row = [n_pairs, c_len, r_len] + [
+                x for n in BLEU_ORDERS for x in (nums[n], dens[n])
+            ]
+            yield pd.DataFrame([row], columns=fields)
+
+    partials = pairs.mapInPandas(_bleu_partials, out_schema)
+    totals = partials.agg(
+        F.coalesce(F.sum("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+        *[F.sum(f).cast("long").alias(f) for f in fields[1:]],
     )
     bp = F.least(F.lit(1.0), F.col("c_len").cast("double") / F.col("r_len"))
     prod = (
@@ -314,7 +306,7 @@ def eval_bleu_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("num3").cast("double") / F.col("den3"))
         * (F.col("num4").cast("double") / F.col("den4"))
     )
-    return lens.crossJoin(piv).select(
+    return totals.select(
         "n_pairs",
         "c_len",
         "r_len",

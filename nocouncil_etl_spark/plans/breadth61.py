@@ -139,6 +139,10 @@ def graph_spectral_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
+        # r11 opt: cache the edge list already partitioned on the per-
+        # iteration join key, so the matvec's edges side is never
+        # re-shuffled inside the loop (guide §2.4; same move as LPA/HITS)
+        .repartition("b")
     )
     und.persist()
     udeg = und.groupBy(F.col("a").alias("node")).agg(
@@ -171,17 +175,26 @@ def graph_spectral_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.coalesce("acc", F.lit(0))
                 ).alias("y"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        sy = int(mv.agg(F.sum("y").alias("sy")).first().sy)
+        # r11 opt (guide §1.2): ONE normalizer job per iteration instead
+        # of three (eager checkpoint + Σy + max|yc|): yc = y·n − Σy is
+        # MONOTONE in y, so max|yc| = max(y_max·n − Σy, Σy − y_min·n) —
+        # (sum, max, min) come back in a single agg over the lazily
+        # checkpointed matvec (the agg job materializes the blocks), and
+        # the centered iterate needs no second pass. Identical integers.
+        st = mv.agg(
+            F.sum("y").alias("sy"), F.max("y").alias("mx"), F.min("y").alias("mn")
+        ).first()
+        sy = int(st.sy)
+        m = max(int(st.mx) * n_nodes - sy, sy - int(st.mn) * n_nodes)
         ctr = mv.select(
             "node", (F.col("y") * n_nodes - F.lit(sy)).alias("yc")
         )
-        m = int(ctr.agg(F.max(F.abs("yc")).alias("m")).first().m)
         x = ctr.select(
             "node",
             F.expr(f"yc * {SB_SCALE} div {m}").cast("long").alias("x"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     side = x.select(
         "node", F.when(F.col("x") >= 0, 1).otherwise(0).alias("side")
     )

@@ -123,10 +123,20 @@ def stat_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lnfact + hypergeometric enumeration) is reusable for any
     permutation-style p-value.
 
-    Scale shape: the lnfact table is one generated sequence + one
-    Fenwick prefix-sum pass (r7 — no window; at 100 TB margins,
-    Stirling replaces enumeration); the k-enumeration is
-    min-margin-sized; all joins are integer-keyed equi-joins."""
+    Scale shape (r11 opt, guide §2.3/§2.4): the old plan materialized the
+    FULL n-row log-factorial table, persisted it, and equi-joined it FOUR
+    times against the k-range — four shuffles of an n-row table. But only
+    13 prefix sums of it are ever consumed as absolute values (5 margin
+    lookups for `base`, 4 for lnp(klo), 4 for lnp(a) = the observed
+    table's log-probability), and consecutive lnp values telescope:
+    lnp(k) − lnp(k−1) = −l(k) + l(m1−k+1) + l(n1−k+1) − l(m2−n1+k),
+    where l(j) = round(1e6·ln j) is computable per row. So now ONE
+    conditional-sum agg over range(1, n] yields all 13 point lookups, and
+    the k-range carries its own increments through a dense two-phase
+    cumsum — zero joins, zero persisted n-row state. Integer addition is
+    associative, so the reassociated sums are bit-identical to the old
+    table lookups. (At 100 TB margins, Stirling replaces enumeration —
+    unchanged caveat.)"""
     d = load(spark, sf_dir, "events").select(
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
         F.when(
@@ -147,62 +157,67 @@ def stat_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     a, b, c, dd, n = int(tab.a), int(tab.b), int(tab.c), int(tab.d), int(tab.n)
     m1, m2, n1, n2 = a + b, c + dd, a + c, b + dd
-    lf = (
-        dense_cumsum(
-            spark.range(1, n + 1).select(
-                F.col("id").alias("j"),
-                F.round(1_000_000 * F.log(F.col("id").cast("double")))
-                .cast("long")
-                .alias("l"),
-            ),
-            "j",
-            "l",
-        )
-        # r7: the log-factorial running sum via the dense two-phase scan
-        # (partition-local windows + broadcast offsets) — spark.range
-        # partitions are contiguous, so no global sort and no Fenwick
-        # explode is needed
-        .select("j", F.col("cum").alias("lf"))
-        .unionByName(
-            spark.createDataFrame([(0, 0)], "j long, lf long")
-        )
-    )
-    lf.persist()
+    klo, khi = max(0, m1 + n1 - n), min(m1, n1)
 
-    # one job for all five margin lookups, not five filter().first() jobs
-    wanted = {m1, m2, n1, n2, n}
-    lf_map = {
-        int(r.j): int(r.lf)
-        for r in lf.filter(F.col("j").isin(*[int(x) for x in wanted])).collect()
-    }
+    # l(j) = round(1e6·ln j) — the SAME quantized-log expression the full
+    # table used; every value below is an (associative) integer sum of
+    # these, so the rewrite is bit-identical to the joined-table plan.
+    def _l(col):
+        return (
+            F.round(1_000_000 * F.log(col.cast("double"))).cast("long")
+        )
+
+    # all 13 needed prefix sums lf(p) = Σ_{j≤p} l(j) from ONE scan
+    points = sorted(
+        {m1, m2, n1, n2, n, klo, m1 - klo, n1 - klo, m2 - n1 + klo,
+         a, m1 - a, n1 - a, m2 - n1 + a} - {0}
+    )
+    sums_row = (
+        spark.range(1, n + 1)
+        .select(_l(F.col("id")).alias("l"), "id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("id") <= p, F.col("l")))
+                .cast("long")
+                .alias(f"p{i}")
+                for i, p in enumerate(points)
+            ]
+        )
+        .first()
+    )
+    lf_map = {p: int(sums_row[f"p{i}"]) for i, p in enumerate(points)}
+    lf_map[0] = 0
 
     def lf_at(j: int) -> int:
         return lf_map[j]
 
     base = lf_at(m1) + lf_at(m2) + lf_at(n1) + lf_at(n2) - lf_at(n)
-    klo, khi = max(0, m1 + n1 - n), min(m1, n1)
-    ks = spark.range(klo, khi + 1).select(F.col("id").alias("k"))
-    l1 = lf.select(F.col("j").alias("k"), F.col("lf").alias("f1"))
-    l2 = lf.select((m1 - F.col("j")).alias("k"), F.col("lf").alias("f2"))
-    l3 = lf.select((n1 - F.col("j")).alias("k"), F.col("lf").alias("f3"))
-    l4 = lf.select(
-        (F.col("j") - (m2 - n1)).alias("k"), F.col("lf").alias("f4")
-    )
-    lnp = (
-        ks.join(l1, "k")
-        .join(l2, "k")
-        .join(l3, "k")
-        .join(l4, "k")
-        .select(
-            "k",
-            (
-                F.lit(base) - F.col("f1") - F.col("f2") - F.col("f3")
-                - F.col("f4")
-            ).alias("lnp_micro"),
+
+    def lnp_at(k: int) -> int:
+        return (
+            base
+            - lf_at(k)
+            - lf_at(m1 - k)
+            - lf_at(n1 - k)
+            - lf_at(m2 - n1 + k)
         )
+
+    obs = lnp_at(a)
+    lnp0 = lnp_at(klo)
+    # k-range log-probabilities via the telescoped increment cumsum: the
+    # (contiguous) range carries inc(k) per row, the dense two-phase scan
+    # accumulates it, and lnp(k) = lnp(klo) + cum(k) — no joins at all
+    kc = F.col("id")
+    inc = F.when(kc == klo, F.lit(0).cast("long")).otherwise(
+        -_l(kc) + _l(F.lit(m1) + 1 - kc) + _l(F.lit(n1) + 1 - kc)
+        - _l(kc + F.lit(m2 - n1))
     )
-    lnp.persist()
-    obs = int(lnp.filter(F.col("k") == a).first().lnp_micro)
+    ks = spark.range(klo, khi + 1).select(
+        F.col("id").alias("k"), inc.alias("inc")
+    )
+    lnp = dense_cumsum(ks, "k", "inc").select(
+        "k", (F.lit(lnp0) + F.col("cum")).alias("lnp_micro")
+    )
     tail = lnp.filter(F.col("lnp_micro") <= obs).agg(
         F.sum(
             F.round(

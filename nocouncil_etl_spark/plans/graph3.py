@@ -114,10 +114,15 @@ def _lpa_labels(spark: SparkSession, sf_dir: str):
             edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
         )
         .distinct()
+        # r11 opt: pre-partition the cached edge list by the probe key so
+        # every round's edges⋈labels join reuses the cached partitioning
+        # instead of re-shuffling the (largest) edge side per round
+        # (guide §2.4: two operations keyed the same way share one
+        # exchange; InMemoryRelation preserves outputPartitioning)
+        .repartition("b")
     )
     und.persist()
     lab = nodes.select("node", F.col("node").alias("lab"))
-    w = Window.partitionBy("node").orderBy(F.desc("c"), "lab")
     for _ in range(LPA_ROUNDS):
         cnt = (
             und.join(
@@ -126,14 +131,34 @@ def _lpa_labels(spark: SparkSession, sf_dir: str):
             .groupBy(F.col("a").alias("node"), "lab")
             .agg(F.count(F.lit(1)).cast("long").alias("c"))
         )
-        best = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", F.col("lab").alias("new_lab"))
+        # r11 opt (guide §2.3): the per-node majority used to be a
+        # row_number window (sort) + a LEFT JOIN back onto the label table
+        # for nodes with no neighbors — two more exchanges and a per-node
+        # sort per round. Both collapse into ONE partial-aggregable hash
+        # agg: every node contributes its own label at count 0 (it loses
+        # to any real neighbor count ≥ 1 and wins exactly when the node
+        # has no neighbor labels — the coalesce semantics), and
+        # max(struct(c, -lab, lab)) is the (c DESC, lab ASC) argmax.
+        cand = cnt.unionByName(
+            lab.select("node", "lab", F.lit(0).cast("long").alias("c"))
+            .select("node", "lab", "c")
         )
         lab = (
-            lab.join(best, "node", "left")
-            .select("node", F.coalesce("new_lab", "lab").alias("lab"))
+            cand.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c"),
+                        (-F.col("lab")).alias("neg"),
+                        F.col("lab").alias("l"),
+                    )
+                )["l"].alias("lab")
+            )
+            # bounded-lineage contract (operators/graph.py): each round's
+            # label state re-roots the next round's plan, so Catalyst
+            # re-analyzes a constant-size tree instead of a per-round
+            # doubling (lab feeds both the join and the own-label union)
+            .localCheckpoint(eager=False)
         )
     return lab, und, edges
 
