@@ -60,14 +60,20 @@ def agg_percentile_exact_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     share the picked value regardless of tie order, so row_number's
     nondeterminism among ties is invisible in the output.
 
-    Scale shape (r9): per-group ranks via the GROUPED range-partitioned
-    two-phase scan (operators/quantiles.ranged_group_rank_cumsum) — a
-    plain partitionBy(flag) window puts each flag's WHOLE frame in one
-    task, and with only 3 flags that is 3 single-task sorts of a third
-    of the corpus each (measured 3.9x at 10x data before the swap; the
-    flag-keyed window was the documented interim). Now no task ever
-    holds more than one range slice, at any group cardinality. Spark's
-    exact percentile() aggregate is still worse (one buffer per group);
+    Scale shape (r9 + r11 opt): per-group CUMULATIVE COUNTS via the
+    GROUPED range-partitioned two-phase scan
+    (operators/quantiles.ranged_group_rank_cumsum) — a plain
+    partitionBy(flag) window puts each flag's WHOLE frame in one task,
+    and with only 3 flags that is 3 single-task sorts of a third of the
+    corpus each (measured 3.9x at 10x data before the swap). r11: the
+    scan now runs over the (flag, value) HISTOGRAM, not the raw rows —
+    the order statistic at rank t is the smallest value whose cumulative
+    count reaches t, so ranking every duplicate row individually shuffled
+    |corpus| rows through the range partitioner where |distinct prices|
+    suffice (guide §2.3: shuffle fewer bytes; the map-side-combined
+    count agg collapses duplicates before any range shuffle). Still no
+    per-group single-task sort at any group cardinality. Spark's exact
+    percentile() aggregate is still worse (one buffer per group);
     percentile_approx (agg_approx_sketches) is the one-pass sketch
     sibling."""
     from nocouncil_etl_spark.operators.quantiles import (
@@ -75,21 +81,24 @@ def agg_percentile_exact_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        F.col("l_extendedprice").alias("v"),
-        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("_rid"),
+        "l_returnflag", F.col("l_extendedprice").alias("v")
     )
-    rk = ranged_group_rank_cumsum(
-        li, "l_returnflag", "v", "_rid", rank_col="rn"
-    ).drop("_rid")
-    cnt = rk.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    hist = li.groupBy("l_returnflag", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("w")
     )
-    r = rk.join(F.broadcast(cnt), "l_returnflag")
+    cum = ranged_group_rank_cumsum(
+        hist, "l_returnflag", "v", "v", measure_cols=("w",), rank_col="_rn"
+    ).drop("_rn")
+    # n per flag = the flag's max cumulative count — read from the scan's
+    # pinned output instead of re-aggregating the parquet scan
+    cnt = cum.groupBy("l_returnflag").agg(
+        F.max("cum_w").cast("long").alias("n")
+    )
+    r = cum.join(F.broadcast(cnt), "l_returnflag")
     picks = [
-        F.max(
+        F.min(
             F.when(
-                F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("long"),
+                F.col("cum_w") >= F.ceil(F.lit(p) * F.col("n")).cast("long"),
                 F.col("v"),
             )
         ).alias(name)

@@ -83,29 +83,45 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair volume is Σ C(|basket|,2), linear in orders at any corpus
     size. Counts stay BIGINT; the three ratios are single double divisions.
 
-    Scale shape: distinct → self-join co-partitioned on l_orderkey (one
-    shuffle both sides share) → pair hash-agg with map-side combine →
-    broadcast-sized item-count joins (item table ≪ fact) → TakeOrdered.
-    Reference parity: keyword co-occurrence relevance (filter.py) lifted to
-    the transactional setting."""
+    Scale shape (r11 opt, guide §2.3/§2.4): ONE shuffle of the (order,
+    part) pairs into per-order sorted item arrays (collect_set is
+    map-side combinable; basket arrays are ≤|basket| ints), pinned once;
+    the a<b pair candidates are then generated ROW-LOCALLY from each
+    sorted array — the old shape shuffled the distinct pair list twice
+    more (both sides of a self-join) to meet rows that live in the same
+    basket. Item counts and the order count read the same pinned frame.
+    Pair hash-agg with map-side combine, broadcast-sized item-count
+    joins, TakeOrdered — unchanged. Reference parity: keyword
+    co-occurrence relevance (filter.py) lifted to the transactional
+    setting."""
     li = load(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = basket.select("l_orderkey").distinct().count()
-    item = basket.groupBy("l_partkey").agg(
-        F.count("*").cast("long").alias("item_cnt")
+    basket = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+        .localCheckpoint(eager=True)
     )
-    a = basket.alias("a")
-    b = basket.alias("b")
+    n_orders = basket.count()
+    item = basket.select(
+        F.explode("items").alias("l_partkey")
+    ).groupBy("l_partkey").agg(F.count("*").cast("long").alias("item_cnt"))
+    # all a<b pairs of the sorted basket, generated in-row: for item i,
+    # pair it with every later item j>i — identical candidate multiset to
+    # the l_orderkey self-join with part_a < part_b
+    pair_structs = F.flatten(
+        F.transform(
+            "items",
+            lambda x, i: F.transform(
+                F.slice(
+                    "items", i + F.lit(2), F.size("items") - i - F.lit(1)
+                ),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
     pair = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        basket.select(F.explode(pair_structs).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count("*").cast("long").alias("pair_cnt"))
         .filter(F.col("pair_cnt") >= MIN_PAIR_SUPPORT)
     )
