@@ -189,6 +189,56 @@ def update_centroids(
     return new_cm
 
 
+def _assign_stats(
+    points: DataFrame,
+    cent_ids: np.ndarray,
+    cm: np.ndarray,
+    q_col: str = "xq",
+) -> DataFrame:
+    """Fused Lloyd's statistics kernel (r11 opt, guide §2.3 "aggregate
+    before you shuffle" + §4.2): the assignment matmul already holds the
+    batch's vectors and their argmin cluster, so the per-(cluster, dim)
+    SUMS and per-cluster COUNTS are one np.add.at away — each Arrow batch
+    emits ≤ k·dim partial rows instead of round-tripping n vectors back
+    to the JVM and posexploding them into n·dim agg inputs. The argmin is
+    byte-for-byte assign_l2's (same integer distances, same lexsort
+    tie-break); int64 partial sums re-associate exactly, so the final
+    floor-division means are unchanged."""
+    if len(cent_ids) > MAX_CENTROIDS:
+        _guard_k(len(cent_ids))
+    c2 = np.einsum("ij,ij->i", cm, cm)
+    k = len(cent_ids)
+
+    def stats(batches):
+        for pdf in batches:
+            vm = np.vstack(pdf[q_col].to_numpy()).astype(np.int64)
+            x2 = np.einsum("ij,ij->i", vm, vm)
+            dist = x2[:, None] - 2 * (vm @ cm.T) + c2[None, :]
+            order = np.lexsort(
+                (cent_ids[None, :].repeat(len(vm), 0), dist), axis=1
+            )
+            best = order[:, 0]  # position into cent_ids
+            dim = vm.shape[1]
+            sums = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(sums, best, vm)
+            counts = np.bincount(best, minlength=k)
+            live = np.nonzero(counts)[0]
+            if len(live) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "cid": np.asarray(cent_ids)[live].repeat(dim),
+                    "pos": np.tile(np.arange(dim), len(live)),
+                    "s": sums[live].reshape(-1),
+                    "n": counts[live].repeat(dim),
+                }
+            )
+
+    return points.select(q_col).mapInPandas(
+        stats, schema="cid long, pos int, s long, n long"
+    )
+
+
 def kmeans_fit(
     points: DataFrame,
     k: int,
@@ -198,10 +248,23 @@ def kmeans_fit(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Fixed-iteration Lloyd's loop → (cent_ids, final k×dim centroid
     matrix). ``points`` should be persisted by the caller when iters > 1 —
-    each iteration re-reads it once."""
+    each iteration re-reads it once. Per iteration the fused
+    ``_assign_stats`` kernel ships only ≤ k·dim partial-sum rows per Arrow
+    batch to the (cid, pos) agg — the pre-r11 shape returned every
+    assigned vector to the JVM and posexploded n·dim rows into the same
+    aggregation, with identical resulting means."""
     cent_ids, cm = seed_centroids(points, k, id_col=id_col, q_col=q_col)
     for _ in range(iters):
-        assigned = assign_l2(points, cent_ids, cm, id_col=id_col, q_col=q_col,
-                             passthrough_vec=True)
-        cm = update_centroids(assigned, cent_ids, cm, q_col=q_col)
+        partial = _assign_stats(points, cent_ids, cm, q_col=q_col)
+        sums = (
+            partial.groupBy("cid", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .select("cid", "pos", F.expr("s div n").alias("m"))
+            .collect()
+        )
+        new_cm = cm.copy()
+        idx = {int(c): i for i, c in enumerate(cent_ids)}
+        for r in sums:
+            new_cm[idx[r["cid"]], r["pos"]] = r["m"]
+        cm = new_cm
     return cent_ids, cm

@@ -92,15 +92,36 @@ def sketch_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash set is the audit path (one hash-keyed shuffle), not the serving
     path — at 100 TB you'd publish only the sketches."""
     docs = fan_out(load(spark, sf_dir, "documents"))
+    # r11 opt (guide §2.3): hash BEFORE deduplicating — the old shape ran
+    # distinct on (source, gram STRING) and then a second distinct on
+    # (source, hv), shuffling every gram's bytes once for no reason
+    # (distinct-then-hash ≡ hash-then-distinct on the hashed pairs).
+    # Per-doc array_distinct also collapses in-row repeats before the
+    # explode ever emits them. One narrow-key distinct total.
     g = docs.select(
-        "source", F.explode(make_shingle_udf(GRAM_N)("text")).alias("gram")
-    ).distinct()
+        "source",
+        F.explode(F.array_distinct(make_shingle_udf(GRAM_N)("text"))).alias(
+            "gram"
+        ),
+    )
     d = g.select("source", _hv(F.col("gram")).alias("hv")).distinct()
     d = d.persist()
     w = Window.partitionBy("source").orderBy("hv")
-    r = d.select("source", "hv", F.row_number().over(w).alias("rn"))
-    sk = r.filter(F.col("rn") <= KMV_K).select("source", "hv")
-    kth = r.filter(F.col("rn") == KMV_K).select("source", F.col("hv").alias("kv"))
+    # bottom-K once; the K-th order statistic is the sketch's max, present
+    # exactly when the source filled the sketch — so kth derives from sk
+    # instead of running the rank window a second time
+    sk = (
+        d.select("source", "hv", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= KMV_K)
+        .select("source", "hv")
+        .localCheckpoint(eager=True)
+    )
+    kth = (
+        sk.groupBy("source")
+        .agg(F.max("hv").alias("kv"), F.count("*").alias("_c"))
+        .filter(F.col("_c") == KMV_K)
+        .select("source", "kv")
+    )
     pairs = (
         kth.alias("a")
         .join(kth.alias("b"), F.col("a.source") < F.col("b.source"))
