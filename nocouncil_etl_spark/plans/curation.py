@@ -6,7 +6,7 @@ the whole DAG is SQL-expressible, so the oracle checks it end to end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nocouncil_etl_spark.functions.text import quality_score, token_count_ws
@@ -70,9 +70,12 @@ FROM final
 def curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star curation DAG as one lazy plan. Stage shapes: quality and
     fingerprint are narrow maps (per-doc expressions); the two dedup stages
-    are window-over-hash-key (one shuffle each, combiner-light but
-    key-partitioned); at 100 TB the exact-dup window can be replaced by the
-    groupBy-min form (operators/dedup.exact_dedup) with identical keeps."""
+    are keep-min-doc hash AGGREGATES (r11 opt — the former
+    window-over-hash-key form paid an exchange PLUS a per-key sort per
+    stage and shipped every duplicate to the reducer; min_by is the
+    groupBy-min form the old docstring already blessed as
+    identical-keeps, it partial-aggregates map-side so duplicates
+    collapse before the shuffle, and no sort runs at all)."""
     docs = load(spark, sf_dir, "documents")
     ws = F.split("text", " ")
     scored = docs.select(
@@ -84,19 +87,26 @@ def curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = scored.filter(
         (F.col("quality") >= QUALITY_MIN) & F.col("lang").isin(*LANGS)
     )
-    w_exact = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     exact_kept = (
-        gated.withColumn("rn", F.row_number().over(w_exact))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        gated.groupBy(F.md5("text").alias("_k"))
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "text", "lang", "quality"), F.col("doc_id")
+            ).alias("_r")
+        )
+        .select("_r.*")
     )
     from nocouncil_etl_spark.functions.text import fingerprint
 
     fp = exact_kept.withColumn("fp", fingerprint(F.split("text", " "), gram=5, width=16))
-    w_fp = Window.partitionBy("fp").orderBy("doc_id")
     final = (
-        fp.withColumn("rn2", F.row_number().over(w_fp))
-        .filter(F.col("rn2") == 1)
+        fp.groupBy("fp")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "lang", "quality", "text"), F.col("doc_id")
+            ).alias("_r")
+        )
+        .select("fp", "_r.*")
     )
     return final.select(
         "doc_id",

@@ -102,9 +102,18 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("c_custkey", "n_nationkey", "n_name")
     )
+    # r11 opt (guide §3.2 spirit): apply the selective broadcast dim chain
+    # to ORDERS before the fact-fact join, so the orders side entering the
+    # one orderkey shuffle is already cut to ASIA customers (~1/5) and the
+    # region/nation columns ride the small side — inner joins commute, so
+    # the result is unchanged. At bench scale AQE is then free to convert
+    # the shrunken orders side to a runtime broadcast; at 100 TB it stays
+    # a shuffle join of the pruned side.
+    o2 = o.join(F.broadcast(dims), o.o_custkey == dims.c_custkey).select(
+        "o_orderkey", "n_nationkey", "n_name"
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        li.join(o2, li.l_orderkey == o2.o_orderkey)
         .join(
             F.broadcast(s),
             (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == F.col("n_nationkey")),

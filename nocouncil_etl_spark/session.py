@@ -29,6 +29,12 @@ RUNTIME_CONFS: dict[str, str] = {
     # local[32]: one shuffle partition per core; on a real cluster this would
     # be ~2-3x total executor cores (or left to AQE's initialPartitionNum).
     "spark.sql.shuffle.partitions": str(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    # r11 opt: this was only set on OUR builder, so sessions owned by the
+    # verification driver planned with the 10 MB default and demoted the
+    # engine's broadcast-shaped dim joins to sort-merge. Runtime-settable,
+    # so tune() can carry it to any externally-owned session. 64 MB is the
+    # documented production value too (dim tables ≪ executor memory).
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
 }
 
 
