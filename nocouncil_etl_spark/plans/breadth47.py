@@ -371,7 +371,10 @@ def stat_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = daily.filter(F.col("event_type") == "view").select(
         F.col("d").alias("db"), F.col("y").alias("yb")
     )
-    diffs = a.crossJoin(b).select((F.col("ya") - F.col("yb")).alias("dv"))
+    # r11 opt: day-level frames (≤ #days rows) — broadcast the right side
+    # so the pair stage is one BroadcastNestedLoopJoin, not a 1024-task
+    # CartesianProduct
+    diffs = a.crossJoin(F.broadcast(b)).select((F.col("ya") - F.col("yb")).alias("dv"))
     np_ = diffs.count()
     hl = (
         diffs.withColumn("rk", F.row_number().over(Window.orderBy("dv")))
@@ -380,7 +383,7 @@ def stat_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a2 = a.select(F.col("da").alias("d2"), F.col("ya").alias("y2"))
     walsh = (
-        a.crossJoin(a2)
+        a.crossJoin(F.broadcast(a2))
         .filter(F.col("da") <= F.col("d2"))
         .select((F.col("ya") + F.col("y2")).alias("w2"))
     )

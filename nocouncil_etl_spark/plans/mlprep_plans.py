@@ -108,7 +108,9 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = cand.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
     b = cand.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
     sims = (
-        a.crossJoin(b)
+        # r11 opt: ≤CAND_N rows per side (limit-bounded) — broadcast so
+        # the planner never falls back to a 32×32-task CartesianProduct
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("ia") != F.col("ib"))
         .select("ia", "ib", F.round(cosine("va", "vb"), 6).alias("s"))
     )

@@ -493,7 +493,11 @@ def pipeline_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = cand.select(F.col("doc_id").alias("ia"), F.col("v").alias("va"))
     b = cand.select(F.col("doc_id").alias("ib"), F.col("v").alias("vb"))
     sims = (
-        a.crossJoin(b)
+        # r11 opt: both sides are ≤E2E_CAND rows by construction, but the
+        # limit hides that from size estimation, so the planner chose a
+        # CartesianProduct — 32×32 = 1024 near-empty tasks per run. The
+        # explicit broadcast pins BroadcastNestedLoopJoin (guide §3.1).
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("ia") != F.col("ib"))
         .select("ia", "ib", F.round(cosine("va", "vb"), 6).alias("s"))
     )
