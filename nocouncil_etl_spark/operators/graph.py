@@ -128,16 +128,15 @@ def hits_fixed_point(
     # uncached edge list re-runs its whole upstream subtree (scan + union +
     # distinct shuffle) 2·iters times. One lazy local checkpoint each —
     # materialized by the first half-step's job — makes every later
-    # half-step start from in-memory blocks. r11 opt (guide §2.4): the
-    # edge list is additionally pinned TWICE MORE, pre-partitioned by src
-    # and by dst — each half-step's edges⋈scores join then starts from
-    # blocks already hash-partitioned on its join key, so the (largest)
-    # edge side is never re-shuffled inside the loop: per half-step the
-    # only exchange left is the contribution sum's.
+    # half-step start from in-memory blocks. (r11 note: a pre-partitioned
+    # edge-copy variant was measured SLOWER here — the score side is
+    # node-table-sized, so the planner broadcasts it and the edge list is
+    # never shuffle-joined in the first place; two extra cached edge
+    # copies bought nothing.)
     nodes = nodes.localCheckpoint(eager=False)
     edges = edges.localCheckpoint(eager=False)
-    e_src = edges.repartition("src").localCheckpoint(eager=False)
-    e_dst = edges.repartition("dst").localCheckpoint(eager=False)
+    e_src = edges
+    e_dst = edges
     # r11 opt (guide §2.3): half-step state is SPARSE — only nodes with
     # incoming contributions. Nodes absent from a state frame contribute
     # nothing to the next half-step's sums, exactly like an explicit zero

@@ -353,67 +353,43 @@ def item_cosine_topk(
     column computed on the k survivors only — no unbounded
     single-partition WindowExec (plan-asserted in tests/test_rec_cf.py).
     """
-    # r11 opt (guide §2.3/§2.4): the cap + self-join used to be a per-cid
-    # row_number window (shuffle + sort), a persisted intermediate, and a
-    # cid-keyed self-join re-meeting rows that live in the same customer.
-    # ONE collect_list agg now builds each customer's rating list (map-
-    # side combinable, ≤cap kept per customer after an in-row sort), and
-    # both the a<b pair candidates and the norms explode ROW-LOCALLY from
-    # the pinned per-cid arrays — the same candidate multiset, two fewer
-    # corpus shuffles. sort_array on struct(-r, pid) is exactly the
-    # (r DESC, pid ASC) cap order; the pid-sorted re-projection makes
-    # array position i<j equivalent to the old pid1 < pid2 predicate.
-    by_cid = (
-        ratings.groupBy("cid")
-        .agg(
-            F.array_sort(
-                F.transform(
-                    F.slice(
-                        F.sort_array(
-                            F.collect_list(
-                                F.struct(
-                                    (-F.col("r")).alias("nr"),
-                                    F.col("pid").alias("pid"),
-                                    F.col("r").alias("r"),
-                                )
-                            )
-                        ),
-                        1,
-                        cap,
-                    ),
-                    lambda s: F.struct(
-                        s["pid"].alias("pid"), s["r"].alias("r")
-                    ),
-                )
-            ).alias("items")
-        )
-        .localCheckpoint(eager=True)
-    )
-    norms = (
-        by_cid.select(F.explode("items").alias("x"))
-        .groupBy(F.col("x.pid").alias("pid"))
-        .agg(F.sum(F.col("x.r") * F.col("x.r")).cast("long").alias("n2"))
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            "items",
-            lambda x, i: F.transform(
-                F.slice(
-                    "items", i + F.lit(2), F.size("items") - i - F.lit(1)
-                ),
-                lambda y: F.struct(
-                    x["pid"].alias("pid1"),
-                    y["pid"].alias("pid2"),
-                    (x["r"] * y["r"]).alias("prod"),
-                ),
+    # r11 note (measured and REJECTED): a row-local variant — per-cid
+    # collect_list + in-row sort/cap + HOF pair generation, mirroring the
+    # market_basket rewrite — benched ~2x SLOWER here (two full-bench runs,
+    # rec_item_cosine 2.3 s -> 4.6-5.2 s): the rating cap makes per-row
+    # pair arrays ~cap² structs, and Spark evaluates higher-order
+    # functions interpreted (no codegen — the dedup.py:86 finding), so the
+    # in-row slice/transform chain cost more than the co-partitioned
+    # self-join it replaced. Keeping the window-cap + self-join shape.
+    capped = (
+        ratings.withColumn(
+            "_urk",
+            F.row_number().over(
+                Window.partitionBy("cid").orderBy(F.desc("r"), "pid")
             ),
         )
+        .filter(F.col("_urk") <= cap)
+        .drop("_urk")
+        # three consumers (both self-join sides + norms) would each re-run
+        # the upstream join+agg+cap; pin the capped ratings once. persist
+        # (not localCheckpoint): the cache keeps the cap window's
+        # hashpartitioning(cid) + sort, so BOTH self-join sides read it
+        # exchange-free — the cap's shuffle replaces the join's, it does
+        # not add to it. Caller-owned cache (cleared per query by the
+        # harness), same contract as the graph iterates.
+        .persist()
     )
+    norms = capped.groupBy("pid").agg(
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("n2")
+    )
+    a = capped.select("cid", F.col("pid").alias("pid1"), F.col("r").alias("r1"))
+    b = capped.select("cid", F.col("pid").alias("pid2"), F.col("r").alias("r2"))
     pairs = (
-        by_cid.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.pid1").alias("pid1"), F.col("p.pid2").alias("pid2"))
+        a.join(b, "cid")
+        .filter(F.col("pid1") < F.col("pid2"))
+        .groupBy("pid1", "pid2")
         .agg(
-            F.sum("p.prod").cast("long").alias("num"),
+            F.sum(F.col("r1") * F.col("r2")).cast("long").alias("num"),
             F.count("*").cast("long").alias("n_common"),
         )
         .filter(F.col("n_common") >= min_common)
