@@ -29,12 +29,22 @@ RUNTIME_CONFS: dict[str, str] = {
     # local[32]: one shuffle partition per core; on a real cluster this would
     # be ~2-3x total executor cores (or left to AQE's initialPartitionNum).
     "spark.sql.shuffle.partitions": str(os.environ.get("SPARK_GRAFT_CPUS", "32")),
-    # r11 opt: this was only set on OUR builder, so sessions owned by the
-    # verification driver planned with the 10 MB default and demoted the
-    # engine's broadcast-shaped dim joins to sort-merge. Runtime-settable,
-    # so tune() can carry it to any externally-owned session. 64 MB is the
-    # documented production value too (dim tables ≪ executor memory).
-    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+# r11 opt: lifted (not pinned) confs — applied by tune() ONLY while the
+# session still carries Spark's built-in default, so an explicit caller
+# override (a test forcing -1, an operator pinning a value) is never
+# stomped by the next load() call. autoBroadcastJoinThreshold was set on
+# OUR builder only, so sessions owned by the verification driver planned
+# dim joins at the 10 MB default and demoted broadcast-shaped joins to
+# sort-merge. 64 MB is the documented production value too (dim tables
+# ≪ executor memory).
+RUNTIME_DEFAULT_LIFTS: dict[str, tuple[str, str]] = {
+    # conf → (Spark built-in default, lifted value)
+    "spark.sql.autoBroadcastJoinThreshold": (
+        "10485760b",
+        str(64 * 1024 * 1024),
+    ),
 }
 
 
@@ -45,6 +55,12 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on this build — ignore
+    for k, (default, lifted) in RUNTIME_DEFAULT_LIFTS.items():
+        try:
+            if spark.conf.get(k, default) == default:
+                spark.conf.set(k, lifted)
+        except Exception:
+            pass
     return spark
 
 

@@ -108,6 +108,10 @@ WHITELIST: dict[str, tuple[int, str]] = {
         4096, "k seed rows, k <= MAX_CENTROIDS"),
     f"{_P}/operators/kmeans.py:update_centroids": (
         262_144, "k*dim Lloyd's-update rows, k <= MAX_CENTROIDS, dim fixed"),
+    f"{_P}/operators/kmeans.py:kmeans_fit": (
+        262_144,
+        "k*dim Lloyd's-update rows (fused _assign_stats partials reduce to "
+        "the same k*dim means), k <= MAX_CENTROIDS, dim fixed"),
     f"{_P}/operators/kmeans_index.py:read_kmeans_index": (
         4096, "k-row centroid sidecar, k <= MAX_CENTROIDS"),
     f"{_P}/operators/pq.py:pq_seed": (
