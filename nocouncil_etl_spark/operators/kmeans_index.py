@@ -183,8 +183,23 @@ def search_kmeans_index(
 ) -> DataFrame:
     """Top-k against the pinned artifact: quantize the query side only,
     integer-L2 rank the stored centroids, probe top-nprobe cells, cosine
-    rank inside probed cells (cell-keyed equi-join; broadcast query side).
-    Emits (q_id, c_id, sim, rk)."""
+    rank inside probed cells. Emits (q_id, c_id, sim, rk).
+
+    r12 opt (guide §4.2): in-cell scoring is the blocked numpy kernel —
+    the (query, probed-cell) pairs are collected once (bounded:
+    nq·nprobe rows, MAX_BLOCKED_QUERIES-guarded) and each Arrow batch of
+    the stored index scores against its cell's query matrix with one
+    matmul, replacing the per-candidate interpreted-HOF cosine() of the
+    broadcast equi-join (knn_partitioned's substitution — same documented
+    ~1-ulp evaluation-order tolerance, same HALF_UP rounding, nulls rank
+    last with the same c_id tie-break). A data-sized query set falls back
+    to the equi-join + expression-cosine shape, which never collects."""
+    from nocouncil_etl_spark.operators.similarity import (
+        MAX_BLOCKED_QUERIES,
+        _blocked_candidates_by_part,
+        _query_matrix,
+    )
+
     spark = queries.sparkSession
     stored, ids, cm = read_kmeans_index(spark, path)
     qq = quantize_vectors(queries, vec_col, "xq").select(id_col, "xq")
@@ -192,6 +207,45 @@ def search_kmeans_index(
         F.col(id_col).alias("q_id"), "cid"
     )
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    p_rows = (
+        probes.join(F.broadcast(q), "q_id")
+        .select("cid", "q_id", "q_vec")
+        .limit(MAX_BLOCKED_QUERIES + 1)
+        .collect()
+    )
+    if len(p_rows) > MAX_BLOCKED_QUERIES:
+        return _search_kmeans_joined(stored, probes, q, topk, id_col, vec_col)
+    by_cell: dict = {}
+    for r in p_rows:
+        by_cell.setdefault(r["cid"], []).append(r)
+    per_part = {
+        cell: _query_matrix(rows, "q_id", "q_vec")
+        for cell, rows in by_cell.items()
+    }
+    candidates = _blocked_candidates_by_part(
+        stored, per_part, topk, "cid", id_col, vec_col, "q_id"
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc_nulls_last(), F.asc(id_col)
+    )
+    return (
+        candidates.filter(F.col("q_id") != F.col(id_col))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= topk)
+        .select("q_id", F.col(id_col).alias("c_id"), "sim", "rk")
+    )
+
+
+def _search_kmeans_joined(
+    stored: DataFrame,
+    probes: DataFrame,
+    q: DataFrame,
+    topk: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Distributed fallback for a data-sized query side: cell-keyed
+    equi-join + JVM expression cosine (the pre-r12 shape; never collects)."""
     cand = (
         stored.join(F.broadcast(probes), "cid")
         .filter(F.col(id_col) != F.col("q_id"))

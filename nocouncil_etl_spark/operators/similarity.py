@@ -200,6 +200,34 @@ def _query_matrix(rows, q_id: str, q_vec: str):
     return ids, qm, q_zero
 
 
+def _emit_batch_topk(sims, c_ids, q_ids, k):
+    """Shared per-batch candidate emission (the knn_exact_blocked scoring
+    tail): per query keep the group's top min(k+1, n) with the 1e-6 epsilon
+    guard (one rounding ulp at 6dp — a candidate that would round-tie into
+    the global top-k is never dropped), −inf (undefined cosine) rows kept
+    as nulls tie-broken by smallest c_id, sims emitted with Spark's
+    HALF_UP rounding rule."""
+    out_q, out_c, out_s = [], [], []
+    top = min(k + 1, len(c_ids))
+    for j in range(sims.shape[1]):
+        col = sims[:, j]
+        finite = np.nonzero(np.isfinite(col))[0]
+        if len(finite) >= top:
+            vals = col[finite]
+            kth = np.partition(vals, len(vals) - top)[len(vals) - top]
+            idx = finite[vals >= kth - 1e-6]
+        else:
+            nulls = np.nonzero(~np.isfinite(col))[0]
+            pick = nulls[np.argsort(c_ids[nulls])[: top - len(finite)]]
+            idx = np.concatenate([finite, pick])
+        out_q.extend([q_ids[j]] * len(idx))
+        out_c.extend(c_ids[idx])
+        out_s.extend(
+            _round6_like_spark(v) if np.isfinite(v) else None for v in col[idx]
+        )
+    return out_q, out_c, out_s
+
+
 def _blocked_candidates_by_part(
     corpus: DataFrame,
     per_part: dict,
@@ -232,29 +260,84 @@ def _blocked_candidates_by_part(
                 sims = cm @ qm.T
                 sims[c_zero, :] = -np.inf
                 sims[:, q_zero] = -np.inf
-                c_ids = sub[c_id].to_numpy()
-                out_q, out_c, out_s = [], [], []
-                top = min(k + 1, len(c_ids))
-                for j in range(qm.shape[0]):
-                    col = sims[:, j]
-                    finite = np.nonzero(np.isfinite(col))[0]
-                    if len(finite) >= top:
-                        vals = col[finite]
-                        kth = np.partition(vals, len(vals) - top)[len(vals) - top]
-                        idx = finite[vals >= kth - 1e-6]
-                    else:
-                        nulls = np.nonzero(~np.isfinite(col))[0]
-                        pick = nulls[np.argsort(c_ids[nulls])[: top - len(finite)]]
-                        idx = np.concatenate([finite, pick])
-                    out_q.extend([q_ids[j]] * len(idx))
-                    out_c.extend(c_ids[idx])
-                    out_s.extend(
-                        _round6_like_spark(v) if np.isfinite(v) else None
-                        for v in col[idx]
-                    )
+                out_q, out_c, out_s = _emit_batch_topk(
+                    sims, sub[c_id].to_numpy(), q_ids, k
+                )
                 yield pd.DataFrame({q_id: out_q, c_id: out_c, "sim": out_s})
 
     return corpus.select(part_col, c_id, c_vec).mapInPandas(
+        score, schema=f"{q_id} long, {c_id} long, sim double"
+    )
+
+
+def _blocked_candidates_by_signature(
+    corpus: DataFrame,
+    per_part: dict,
+    k: int,
+    c_id: str,
+    c_vec: str,
+    q_id: str,
+    multi: bool = False,
+) -> DataFrame:
+    """Fused sign-and-score pass for the LSH strategies (r12 opt, guide
+    §4.2 + §2.4): ONE Arrow pass computes each corpus batch's signature(s)
+    — the same stacked numpy matmul attach_signature runs — AND scores the
+    batch against the colliding queries' matrices, so the corpus is
+    touched exactly once, no signature column materializes, and the
+    per-pair interpreted-HOF dot() the old plan evaluated is a blocked
+    matmul (the knn_partitioned substitution, same documented ~1-ulp
+    evaluation-order tolerance, same HALF_UP rounding).
+
+    ``multi=True`` unions candidates over the L signature tables; a pair
+    colliding in several tables scores identically, and batch-local dedup
+    is complete because a corpus row lives in exactly one Arrow batch."""
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[c_vec].to_numpy()).astype(np.float64)
+            c_norm = np.linalg.norm(mat, axis=1, keepdims=True)
+            c_zero = (c_norm == 0).ravel()
+            cm = np.divide(mat, c_norm, out=np.zeros_like(mat), where=c_norm != 0)
+            c_ids_all = pdf[c_id].to_numpy()
+            if multi:
+                signs = mat @ _MULTI_MAT.T >= 0
+                keys_rows = [multi_bucket_keys(row) for row in signs]
+            else:
+                signs = mat @ _PLANES_MAT.T >= 0
+                keys_rows = [[bits_key(row)] for row in signs]
+            groups: dict = {}
+            for i, keys in enumerate(keys_rows):
+                for key in keys:
+                    if key in per_part:
+                        groups.setdefault(key, []).append(i)
+            seen: set = set()
+            out_q, out_c, out_s = [], [], []
+            for key, idxs in groups.items():
+                q_ids, qm, q_zero = per_part[key]
+                sub = np.asarray(idxs)
+                sims = cm[sub] @ qm.T
+                sims[c_zero[sub], :] = -np.inf
+                sims[:, q_zero] = -np.inf
+                oq, oc, os_ = _emit_batch_topk(sims, c_ids_all[sub], q_ids, k)
+                if multi:
+                    # OR over tables: a pair colliding in several tables
+                    # scores once (the old dropDuplicates([q, c]))
+                    for a, b, s in zip(oq, oc, os_):
+                        if (a, b) not in seen:
+                            seen.add((a, b))
+                            out_q.append(a)
+                            out_c.append(b)
+                            out_s.append(s)
+                else:
+                    out_q.extend(oq)
+                    out_c.extend(oc)
+                    out_s.extend(os_)
+            if out_q:
+                yield pd.DataFrame({q_id: out_q, c_id: out_c, "sim": out_s})
+
+    return corpus.select(c_id, c_vec).mapInPandas(
         score, schema=f"{q_id} long, {c_id} long, sim double"
     )
 
@@ -355,8 +438,45 @@ def knn_lsh(
     c_vec: str = "c_vec",
 ) -> DataFrame:
     """LSH ANN: pair only vectors sharing the hyperplane sign signature.
-    Signatures attach via one mapInPandas pass per side — see
-    attach_signature for why not the UDF-expression form (double eval)."""
+
+    r12 opt (guide §4.2): the query side (tiny by the ANN contract) is
+    signed and collected once; the corpus side runs the fused
+    sign-and-score Arrow kernel (_blocked_candidates_by_signature) — one
+    corpus pass, no per-pair interpreted-HOF dot(), no signature column
+    shuffled. A query set above MAX_BLOCKED_QUERIES falls back to the
+    broadcast bucket equi-join + expression cosine (result-identical up
+    to the documented ~1-ulp evaluation-order tolerance, same as
+    knn_partitioned's fallback)."""
+    q = attach_signature(queries, q_vec)
+    q_rows = q.select("bucket", q_id, q_vec).limit(MAX_BLOCKED_QUERIES + 1).collect()
+    if len(q_rows) > MAX_BLOCKED_QUERIES:
+        return _knn_lsh_joined(queries, corpus, k, q_id, c_id, q_vec, c_vec)
+    by_part: dict = {}
+    for r in q_rows:
+        by_part.setdefault(r["bucket"], []).append(r)
+    per_part = {p: _query_matrix(rows, q_id, q_vec) for p, rows in by_part.items()}
+    candidates = _blocked_candidates_by_signature(
+        corpus, per_part, k, c_id, c_vec, q_id
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("sim").desc_nulls_last(), F.col(c_id))
+    return (
+        candidates.filter(F.col(q_id) != F.col(c_id))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def _knn_lsh_joined(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str,
+    c_id: str,
+    q_vec: str,
+    c_vec: str,
+) -> DataFrame:
+    """Distributed fallback for a data-sized query side: broadcast bucket
+    equi-join + JVM expression cosine (the pre-r12 shape; never collects)."""
     q = attach_signature(queries, q_vec).withColumn("_qn", l2_norm(q_vec))
     c = attach_signature(corpus, c_vec).withColumn("_cn", l2_norm(c_vec))
     pairs = c.join(F.broadcast(q), on="bucket").filter(F.col(q_id) != F.col(c_id))
@@ -380,11 +500,48 @@ def knn_lsh_multi(
 ) -> DataFrame:
     """LSH ANN with OR-amplification over L signature tables: a pair is a
     candidate if it collides in ANY table, so recall compounds as
-    1-(1-p^r)^L instead of p^r (single table). Plan shape per table is
-    unchanged — explode L bucket keys (narrow map), one equi-join on the
-    key, pair-dedup, verify — so the 100 TB story is the single-table one
-    ×L, never quadratic. The recall-vs-candidates trade is measured in
-    SCALE.md and property-tested against the exact kernel."""
+    1-(1-p^r)^L instead of p^r (single table). The recall-vs-candidates
+    trade is measured in SCALE.md and property-tested against the exact
+    kernel.
+
+    r12 opt (guide §4.2): same fused sign-and-score corpus pass as
+    knn_lsh with per-batch pair dedup across the L tables (complete — a
+    corpus row lives in exactly one Arrow batch); oversized query sets
+    fall back to the explode + broadcast equi-join shape, whose 100 TB
+    story is the single-table one ×L, never quadratic."""
+    q = attach_signature(queries, q_vec, multi=True)
+    q_rows = (
+        q.select(F.explode("buckets").alias("bucket"), q_id, q_vec)
+        .limit(MAX_BLOCKED_QUERIES + 1)
+        .collect()
+    )
+    if len(q_rows) > MAX_BLOCKED_QUERIES:
+        return _knn_lsh_multi_joined(queries, corpus, k, q_id, c_id, q_vec, c_vec)
+    by_part: dict = {}
+    for r in q_rows:
+        by_part.setdefault(r["bucket"], []).append(r)
+    per_part = {p: _query_matrix(rows, q_id, q_vec) for p, rows in by_part.items()}
+    candidates = _blocked_candidates_by_signature(
+        corpus, per_part, k, c_id, c_vec, q_id, multi=True
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("sim").desc_nulls_last(), F.col(c_id))
+    return (
+        candidates.filter(F.col(q_id) != F.col(c_id))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def _knn_lsh_multi_joined(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str,
+    c_id: str,
+    q_vec: str,
+    c_vec: str,
+) -> DataFrame:
+    """Distributed fallback for a data-sized query side (pre-r12 shape)."""
     q = (
         attach_signature(queries, q_vec, multi=True)
         .withColumn("bucket", F.explode("buckets"))
