@@ -94,6 +94,58 @@ def test_dedup_semantic_serve_matches_train_twin(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# pinned corpus-side assignments (r12: warm serve does query-side work only)
+# --------------------------------------------------------------------------
+
+
+def test_serve_assignments_matches_inline_assign(vecs, tmp_path):
+    """Pinned assignments ≡ per-call assign_l2 against the same pinned
+    centroids (the immutability that justifies storing them)."""
+    from nocouncil_etl_spark.operators.kmeans import assign_l2
+
+    path = str(tmp_path / "asg")
+    got = ca.serve_assignments(
+        vecs, 4, 2, path, to_quantized=lambda d: _eq(d)
+    )
+    ids, cm = ca.read_centroids(vecs.sparkSession, path)
+    want = assign_l2(_eq(vecs), ids, cm)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert ca.read_manifest(path)["assignments"] is True
+
+
+def test_serve_assignments_warm_never_quantizes_or_trains(
+    vecs, tmp_path, monkeypatch
+):
+    """Warm path = fingerprint + parquet read: poisoning BOTH kmeans_fit
+    and the caller's quantizer proves neither runs over an unchanged
+    corpus."""
+    path = str(tmp_path / "asgwarm")
+    first = ca.serve_assignments(
+        vecs, 4, 2, path, to_quantized=lambda d: _eq(d)
+    ).collect()
+
+    def boom(*a, **k):  # pragma: no cover
+        raise AssertionError("training/quantization ran on the warm path")
+
+    monkeypatch.setattr(ca, "kmeans_fit", boom)
+    second = ca.serve_assignments(vecs, 4, 2, path, to_quantized=boom).collect()
+    assert sorted(first) == sorted(second)
+
+
+def test_serve_assignments_rejects_centroid_only_artifact(vecs, tmp_path):
+    """A pre-r12 artifact (centroids, no assignments parquet) must
+    republish rather than serve a missing file."""
+    path = str(tmp_path / "old")
+    ca.serve_centroids(_eq(vecs), 4, 2, path)  # old-format manifest
+    got = ca.serve_assignments(
+        vecs, 4, 2, path, to_quantized=lambda d: _eq(d)
+    )
+    assert got.count() == 120
+    assert ca.read_manifest(path)["assignments"] is True
+
+
+# --------------------------------------------------------------------------
 # trained-IVF index artifact (the ANN path)
 # --------------------------------------------------------------------------
 
