@@ -42,6 +42,54 @@ LIST_N = 50  # per-ranker candidate list depth
 FUSE_TOP = 20
 EVAL_K = 10
 
+
+def _dense_scored(e: DataFrame, n: int) -> DataFrame:
+    """(doc_id, c) dense cosine scores against the fixed query vector
+    (vec_id 0), pruned per Arrow batch to the batch top-``n``.
+
+    r12 opt (guide §4.2): the old shape crossJoined the broadcast query
+    vector and evaluated the interpreted-HOF cosine() expression per
+    corpus row; now one blocked numpy pass scores each batch against the
+    single collected query vector and emits only its top-``n`` candidates
+    (same 1e-6 epsilon guard, HALF_UP rounding and zero-norm-null
+    semantics as the knn blocked kernels — the documented ~1-ulp
+    evaluation-order tolerance). The caller's global orderBy/limit ranks
+    the surviving ≤ n·n_batches rows."""
+    import numpy as np
+    import pandas as pd
+
+    from nocouncil_etl_spark.operators.similarity import _emit_batch_topk
+
+    spark = e.sparkSession
+    q_rows = e.filter(F.col("vec_id") == 0).select("embedding").limit(1).collect()
+    if not q_rows:
+        return spark.createDataFrame([], "doc_id long, c double")
+    qm = np.array([q_rows[0]["embedding"]], dtype=np.float64)
+    q_norm = np.linalg.norm(qm, axis=1, keepdims=True)
+    q_zero = (q_norm == 0).ravel()
+    qm = np.divide(qm, q_norm, out=np.zeros_like(qm), where=q_norm != 0)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            c_norm = np.linalg.norm(cm, axis=1, keepdims=True)
+            c_zero = (c_norm == 0).ravel()
+            cm = np.divide(cm, c_norm, out=np.zeros_like(cm), where=c_norm != 0)
+            sims = cm @ qm.T
+            sims[c_zero, :] = -np.inf
+            sims[:, q_zero] = -np.inf
+            out_q, out_c, out_s = _emit_batch_topk(
+                sims, pdf["vec_id"].to_numpy(), np.zeros(1, dtype=np.int64), n
+            )
+            if out_c:
+                yield pd.DataFrame({"doc_id": out_c, "c": out_s})
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        score, schema="doc_id long, c double"
+    )
+
 # Shared SQL: per-(doc, query-term) BM25 part as DECIMAL(18,6) — identical
 # text to text_bm25_search's scored CTE so the two queries rank alike.
 _BM25_PARTS_SQL = f"""
@@ -80,7 +128,10 @@ def _bm25_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nocouncil_etl_spark.plans.retrieval_plans import _bm25_per_doc
 
     docs = fan_out(load(spark, sf_dir, "documents"))
-    per_doc = _bm25_per_doc(docs).localCheckpoint(eager=True)
+    # r12 (r11 verdict item 8): recoverable persist instead of the one-shot
+    # localCheckpoint pin — see text_bm25_search for the rationale
+    per_doc = _bm25_per_doc(docs).persist()
+    per_doc.count()
     meta = per_doc.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_len"),
@@ -175,13 +226,8 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank"),
         )
     )
-    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     dense = (
-        e.crossJoin(F.broadcast(qv))
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            F.round(cosine("embedding", "qv"), 6).alias("c"),
-        )
+        _dense_scored(e, LIST_N)
         .orderBy(F.desc("c"), "doc_id")
         .limit(LIST_N)
         .select(
@@ -467,15 +513,16 @@ def pipeline_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank"),
         )
     )
+    # r12 opt (guide §4.2 + §5): the dense ranking runs the blocked kernel
+    # (_dense_scored) instead of a corpus-wide persisted crossJoin +
+    # interpreted-HOF cosine; the E2E_CAND candidates' (v, rel) then come
+    # from one broadcast join of the 20 fused ids back to the corpus, with
+    # rel recomputed by the identical JVM expression on those 20 rows only
+    # — the corpus-sized cache disappears entirely.
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    scored_dense = e.crossJoin(F.broadcast(qv)).select(
-        F.col("vec_id").alias("doc_id"),
-        F.col("embedding").alias("v"),
-        F.round(cosine("embedding", "qv"), 6).alias("c"),
-    )
-    scored_dense.persist()
     dense = (
-        scored_dense.orderBy(F.desc("c"), "doc_id")
+        _dense_scored(e, LIST_N)
+        .orderBy(F.desc("c"), "doc_id")
         .limit(LIST_N)
         .select(
             "doc_id",
@@ -487,8 +534,15 @@ def pipeline_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused = rrf_fuse(
         {"lex": lex, "dense": dense}, "doc_id", k0=RRF_K0, top=E2E_CAND
     )
-    cand = fused.select("doc_id", "rrf").join(
-        scored_dense.select("doc_id", "v", F.col("c").alias("rel")), "doc_id"
+    cand = (
+        e.join(F.broadcast(fused.select("doc_id", "rrf")), e.vec_id == F.col("doc_id"))
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            "rrf",
+            F.col("embedding").alias("v"),
+            F.round(cosine("embedding", "qv"), 6).alias("rel"),
+        )
     )
     a = cand.select(F.col("doc_id").alias("ia"), F.col("v").alias("va"))
     b = cand.select(F.col("doc_id").alias("ib"), F.col("v").alias("vb"))

@@ -129,7 +129,13 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenized exactly once per run instead of once per consumer. df is |Q|
     rows (broadcast); TakeOrderedAndProject caps the result."""
     docs = fan_out(load(spark, sf_dir, "documents"))
-    per_doc = _bm25_per_doc(docs).localCheckpoint(eager=True)
+    # r12 (r11 verdict item 8): one-shot pin → recoverable persist (lineage
+    # kept, so an executor loss recomputes the tokenize pass instead of
+    # killing the job; localCheckpoint stays reserved for iterative graph
+    # state). Materialized once so meta/df/scoring can't race the cache
+    # fill; caller-owned cache, cleared per query by the harness.
+    per_doc = _bm25_per_doc(docs).persist()
+    per_doc.count()
     meta = per_doc.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_len"),
@@ -252,9 +258,10 @@ def model_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out ONCE and pin: docs feed class counts, n_total and the token
     # pass — pinning the compact fanned docs costs one small shuffle +
     # cache instead of one repartition per consumer
-    docs = fan_out(load(spark, sf_dir, "documents")).localCheckpoint(
-        eager=True
-    )
+    # r12 (r11 verdict item 8): both one-shot pins → recoverable persists
+    # (lineage kept; docs.count() below materializes docs and n_total in
+    # one job, tokdf materializes once before its three consumers)
+    docs = fan_out(load(spark, sf_dir, "documents")).persist()
     tok = docs.select(
         "doc_id", "lang", F.explode(F.expr(_TOK_SPARK)).alias("term")
     )
@@ -264,8 +271,9 @@ def model_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("lang").alias("actual"),
             F.count(F.lit(1)).cast("long").alias("tf"),
         )
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    tokdf.count()
     vocab = (
         tokdf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))

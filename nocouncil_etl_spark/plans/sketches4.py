@@ -110,12 +110,20 @@ def sketch_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bottom-K once; the K-th order statistic is the sketch's max, present
     # exactly when the source filled the sketch — so kth derives from sk
     # instead of running the rank window a second time
+    # r12 (r11 verdict item 8): one-shot pin → recoverable persist. The
+    # sketch is consumed by kth + both pair sides; persist keeps the
+    # lineage so a lost block recomputes instead of killing the job at
+    # 100 TB (localCheckpoint is executor-local, non-replicated — kept
+    # only for ITERATIVE state where lineage growth is the enemy).
+    # Materialized once up front so the three consumers can't race the
+    # cache fill; caller-owned (cleared per query by the harness).
     sk = (
         d.select("source", "hv", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= KMV_K)
         .select("source", "hv")
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    sk.count()
     kth = (
         sk.groupBy("source")
         .agg(F.max("hv").alias("kv"), F.count("*").alias("_c"))
