@@ -145,6 +145,23 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
         return timings
 
+    # Absolute calibration floor (round-11 verdict #1): the three
+    # self-relative signals below are blind to a host that is UNIFORMLY
+    # slow for the whole run — BENCH_r11 shipped contended: false with a
+    # warm probe of 0.116 s, 1.7x the documented quiet-era floor, and 40
+    # untouched queries read as phantom regressions. The floor is the
+    # committed quiet-era warm probe (BASELINE.md: 0.064-0.067 s across
+    # r10/r11_local on the original host class); a warm probe beyond 1.5x
+    # of it means the HOST is degraded relative to the era every
+    # round-over-round comparison is anchored to, so the run is flagged
+    # and a calibration-normalized total is reported alongside the raw
+    # one. Degradation is a host property, not transient load — the
+    # quiet-retry loop cannot fix it, so it does NOT trigger the retry
+    # (r12 measured this sandbox's own quiet floor at 0.15-0.23 s: every
+    # retry would burn a full pass and land in the same place).
+    CAL_QUIET_FLOOR_SEC = 0.064
+    CAL_DEGRADED_FACTOR = 1.5
+
     # Contention sentinel (round-9 verdict #5): "contended": true tells the
     # judge to read per-query deltas as ambient load, not code. Two signals:
     # 1. the 1-min loadavg sampled BEFORE bench started its own work — a
@@ -187,7 +204,7 @@ def main() -> None:
         #    0.130→0.067), so a start probe BOTH absolutely slow (>0.2 s)
         #    and >2.5× its after-probe means the start was externally
         #    loaded, and every early query in the loop is suspect.
-        contended = (
+        transient_contended = (
             load_start > 4.0
             or (calibration > 0 and calibration_after / calibration > 1.2)
             or (
@@ -196,10 +213,14 @@ def main() -> None:
                 and calibration / calibration_after > 2.5
             )
         )
+        degraded_host = (
+            calibration_after > CAL_QUIET_FLOOR_SEC * CAL_DEGRADED_FACTOR
+        )
+        contended = transient_contended or degraded_host
         if first_contended is None:
             first_contended = contended
-        if not contended:
-            break
+        if not transient_contended:
+            break  # a degraded host won't improve on retry — don't burn one
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -211,6 +232,16 @@ def main() -> None:
                 "unit": "sec",
                 "calibration_sec": calibration,
                 "calibration_after_sec": calibration_after,
+                "calibration_floor_sec": CAL_QUIET_FLOOR_SEC,
+                "degraded_host": degraded_host,
+                # total scaled by quiet-floor/warm-probe: a rough
+                # host-speed-normalized number for cross-round comparison
+                # when degraded_host is true (the raw total stays `value`)
+                "value_floor_normalized": round(
+                    total * CAL_QUIET_FLOOR_SEC / calibration_after, 3
+                )
+                if calibration_after > 0
+                else total,
                 "loadavg_start": round(load_start, 2),
                 "contended": contended,
                 "attempts": attempt,

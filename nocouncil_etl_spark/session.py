@@ -10,9 +10,12 @@ semantics match columnar storage and the DuckDB oracle.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import SparkSession
+
+_LOG = logging.getLogger(__name__)
 
 # Runtime-settable confs, applied both at build time and defensively at query
 # time (the verification driver owns its own SparkSession).
@@ -32,20 +35,31 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 # r11 opt: lifted (not pinned) confs — applied by tune() ONLY while the
-# session still carries Spark's built-in default, so an explicit caller
-# override (a test forcing -1, an operator pinning a value) is never
-# stomped by the next load() call. autoBroadcastJoinThreshold was set on
-# OUR builder only, so sessions owned by the verification driver planned
-# dim joins at the 10 MB default and demoted broadcast-shaped joins to
-# sort-merge. 64 MB is the documented production value too (dim tables
-# ≪ executor memory).
-RUNTIME_DEFAULT_LIFTS: dict[str, tuple[str, str]] = {
-    # conf → (Spark built-in default, lifted value)
-    "spark.sql.autoBroadcastJoinThreshold": (
-        "10485760b",
-        str(64 * 1024 * 1024),
-    ),
+# session has NOT explicitly set the key, so an explicit caller override
+# (a test forcing -1, an operator pinning a value — even pinning the
+# built-in default on purpose) is never stomped by the next load() call.
+# autoBroadcastJoinThreshold was set on OUR builder only, so sessions
+# owned by the verification driver planned dim joins at the 10 MB default
+# and demoted broadcast-shaped joins to sort-merge. 64 MB is the
+# documented production value too (dim tables ≪ executor memory).
+RUNTIME_DEFAULT_LIFTS: dict[str, str] = {
+    # conf → lifted value
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
 }
+
+
+def _explicitly_set(spark: SparkSession, key: str) -> bool:
+    """Whether ``key`` was explicitly set on this session (r12, from the
+    r11 advice): SQLConf.contains reads the session's own settings map, so
+    detection no longer string-compares against a hard-coded default
+    literal — a caller who pins exactly the built-in default is
+    distinguishable from unset, and a Spark build whose default formats
+    differently can't confuse the check. Conservative on failure (treat as
+    set → never lift)."""
+    try:
+        return bool(spark._jsparkSession.sessionState().conf().contains(key))
+    except Exception:
+        return True
 
 
 def tune(spark: SparkSession) -> SparkSession:
@@ -55,10 +69,11 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on this build — ignore
-    for k, (default, lifted) in RUNTIME_DEFAULT_LIFTS.items():
+    for k, lifted in RUNTIME_DEFAULT_LIFTS.items():
         try:
-            if spark.conf.get(k, default) == default:
+            if not _explicitly_set(spark, k):
                 spark.conf.set(k, lifted)
+                _LOG.info("tune(): lifted unset %s to %s", k, lifted)
         except Exception:
             pass
     return spark

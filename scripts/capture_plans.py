@@ -26,7 +26,7 @@ def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r11")
+    out_dir = os.path.join(REPO, "plans", os.environ.get("PLANS_ROUND", "r12"))
     os.makedirs(out_dir, exist_ok=True)
     registry = load_all()
     spark = get_session("plan-capture")
