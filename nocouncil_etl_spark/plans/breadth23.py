@@ -33,6 +33,30 @@ HAM_TOPK = 5
 HAM_QUERY_MOD = 100  # the vectors_plans query-set convention
 
 
+def _ham_scored_joined(packed: DataFrame) -> DataFrame:
+    """Distributed fallback for a data-sized query side: broadcast
+    crossJoin + codegen'd xor/popcount per pair (the pre-r12 shape; never
+    collects — every scored pair flows into the rank window)."""
+    q = packed.filter(F.col("vec_id") % HAM_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("p0").alias("q0"),
+        F.col("p1").alias("q1"),
+    )
+    return (
+        packed.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            (
+                F.bit_count(F.expr("p0 ^ q0")) + F.bit_count(F.expr("p1 ^ q1"))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+
+
 def _pack_sql(half: int) -> str:
     lo = 1 + 32 * half
     return (
@@ -106,24 +130,70 @@ def vec_knn_hamming_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = e.select(
         "vec_id", pack(0).alias("p0"), pack(1).alias("p1")
     ).localCheckpoint(eager=False)
-    q = packed.filter(F.col("vec_id") % HAM_QUERY_MOD == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("p0").alias("q0"),
-        F.col("p1").alias("q1"),
+    # r12 opt (guide §2.3: shuffle fewer bytes): the old shape shuffled
+    # EVERY scored pair (|Q|·|C| rows at sf0.1: 500×50k = 25M) into the
+    # rank window; hamming is exact integer arithmetic, so each Arrow
+    # batch can emit its provable per-query top-(k+1) by the window's own
+    # total order (hamming, c_id) — global top-k ⊆ union of batch top-k
+    # under the same order, +1 absorbs the self-match — and the window
+    # ranks ≤ (k+1)·|Q|·n_batches rows. No rounding concerns (integers),
+    # popcount via a 16-bit LUT (numpy<2 has no bitwise_count). The query
+    # side is MAX_BLOCKED_QUERIES-guarded with the crossJoin shape as the
+    # distributed fallback.
+    from nocouncil_etl_spark.operators.similarity import MAX_BLOCKED_QUERIES
+
+    q_rows = (
+        packed.filter(F.col("vec_id") % HAM_QUERY_MOD == 0)
+        .limit(MAX_BLOCKED_QUERIES + 1)
+        .collect()
     )
-    scored = (
-        packed.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("c_id"),
-            (
-                F.bit_count(F.expr("p0 ^ q0")) + F.bit_count(F.expr("p1 ^ q1"))
-            )
-            .cast("long")
-            .alias("hamming"),
+    if len(q_rows) > MAX_BLOCKED_QUERIES:
+        scored = _ham_scored_joined(packed)
+    else:
+        import numpy as np
+        import pandas as pd
+
+        pop16 = np.array(
+            [bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8
         )
-    )
+        q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+        q0 = np.array([r["p0"] for r in q_rows], dtype=np.int64)
+        q1 = np.array([r["p1"] for r in q_rows], dtype=np.int64)
+
+        def popc(x):
+            return (
+                pop16[x.view(np.uint16).reshape(*x.shape, 4)]
+                .sum(axis=-1)
+                .astype(np.int64)
+            )
+
+        def score(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                c_ids = pdf["vec_id"].to_numpy()
+                c0 = pdf["p0"].to_numpy()
+                c1 = pdf["p1"].to_numpy()
+                h = popc(np.bitwise_xor(c0[:, None], q0[None, :])) + popc(
+                    np.bitwise_xor(c1[:, None], q1[None, :])
+                )  # (batch, |Q|)
+                # composite integer key = hamming·2^48 + c_id realizes the
+                # window's exact (hamming, c_id) total order in one value
+                key = h * (1 << 48) + c_ids[:, None]
+                top = min(HAM_TOPK + 1, len(c_ids))
+                out_q, out_c, out_h = [], [], []
+                for j in range(len(q_ids)):
+                    idx = np.argpartition(key[:, j], top - 1)[:top]
+                    out_q.extend([q_ids[j]] * len(idx))
+                    out_c.extend(c_ids[idx])
+                    out_h.extend(h[idx, j])
+                yield pd.DataFrame(
+                    {"q_id": out_q, "c_id": out_c, "hamming": out_h}
+                )
+
+        scored = packed.mapInPandas(
+            score, schema="q_id long, c_id long, hamming long"
+        ).filter(F.col("q_id") != F.col("c_id"))
     w = Window.partitionBy("q_id").orderBy("hamming", "c_id")
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("int"))

@@ -71,11 +71,12 @@ def test_index_search_matches_corpus_side_lsh(spark, corpus, artifact):
 
 
 def test_index_plan_has_no_corpus_side_signature_udf(spark, corpus, artifact):
-    """The read-side plan scans the index parquet; the only Python eval is
-    the (tiny) query side's signature pass — lsh: exactly one MapInPandas;
-    ivf: zero Python at all (centroid ranking is pure expressions over the
-    sidecar). No ArrowEvalPython anywhere — the UDF-expression form would be
-    double-evaluated around the join's isnotnull filter."""
+    """The read-side plan scans the index parquet and the only Python eval
+    is the blocked SCORING kernel (r12): exactly one MapInPandas per
+    strategy, fed directly by the index scan — the query side's signature
+    pass runs at plan-construction time (bounded collect) and never
+    re-signs the corpus. No ArrowEvalPython anywhere — the UDF-expression
+    form would be double-evaluated around the join's isnotnull filter."""
     idx, cent = read_vector_index(spark, artifact)
     q = _queries(corpus)
 
@@ -85,14 +86,16 @@ def test_index_plan_has_no_corpus_side_signature_udf(spark, corpus, artifact):
     assert "Scan parquet" in lsh_plan
 
     ivf_plan = _plan(knn_from_index(q, idx, cent, 5, "ivf"))
+    assert ivf_plan.count(") MapInPandas") == 1
     assert "ArrowEvalPython" not in ivf_plan
-    assert "MapInPandas" not in ivf_plan
     assert "Scan parquet" in ivf_plan
 
 
 def test_index_scan_prunes_unused_columns(spark, corpus, artifact):
-    """Column pruning reaches the index scan: the lsh path must not read the
-    multi-table `buckets` array (the widest column) from parquet."""
+    """Column pruning reaches the index scan: the lsh path must not read
+    the multi-table `buckets` array (the widest column) — and since r12's
+    blocked kernel folds norms itself, the stored `norm` column is pruned
+    too; only (bucket, id, vec) leave parquet."""
     idx, cent = read_vector_index(spark, artifact)
     plan = _plan(knn_from_index(_queries(corpus), idx, cent, 5, "lsh"))
     scan = next(
@@ -102,7 +105,8 @@ def test_index_scan_prunes_unused_columns(spark, corpus, artifact):
     )
     schema_line = next(ln for ln in scan.splitlines() if "ReadSchema" in ln)
     assert "buckets" not in schema_line
-    assert "bucket" in schema_line and "norm" in schema_line
+    assert "norm" not in schema_line
+    assert "bucket" in schema_line and "vec" in schema_line
 
 
 def test_upsert_indexes_only_incoming_and_keeps_latest(spark, corpus, artifact):

@@ -157,6 +157,10 @@ WHITELIST: dict[str, tuple[int, str]] = {
         65_537, "keyed query side (|Q|, x L tables for lsh_multi, x nprobe "
         "for ivf), size-guarded at MAX_BLOCKED_QUERIES+1 (r12: blocked "
         "kernel; over the cap it falls back to the broadcast equi-join)"),
+    f"{_P}/plans/breadth23.py:vec_knn_hamming_packed": (
+        65_537, "packed query codes (|C|/100 rows of 2 longs), size-guarded "
+        "at MAX_BLOCKED_QUERIES+1 (r12: per-batch exact top-k pruning; over "
+        "the cap it falls back to the crossJoin shape)"),
     f"{_P}/plans/breadth21.py:join_bloom_pruned": (
         4096, "bloom bitset words, filter size fixed"),
     f"{_P}/plans/breadth34.py:io_manifest_file_pruning": (
